@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One named, judged query: a Spark DataFrame program plus (optionally) the
+  * equivalent ANSI SQL for the DuckDB oracle. Oracle-less queries get the
+  * driver's weaker rows-only check (used for ops whose semantics aren't
+  * SQL-expressible, e.g. approx sketches).
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)
+
+trait QueryModule {
+  def all: Seq[Q]
+}
+
+/** Shared helpers for oracle-exact query authoring.
+  *
+  * Determinism rules (the DuckDB compare hashes values, so results must be
+  * bit-reproducible across runs AND engines):
+  *   - Never emit a raw double produced by a multi-row aggregation: Spark's
+  *     partial-aggregation order varies run-to-run. Sum through an exact
+  *     DECIMAL cast, then cast the final value back to DOUBLE (both engines
+  *     round-to-nearest identically on the cast, so the result is
+  *     bit-identical and the output schema is a plain double).
+  *   - Never emit raw timestamps (parquet tz-annotation differs between a
+  *     Spark write and a DuckDB read); format to strings.
+  *   - Every query ends with a total-order sort so row order is stable.
+  */
+object H {
+  /** Spark-side timestamp → string, microsecond precision.
+    * DuckDB twin: strftime(ts, '%Y-%m-%d %H:%M:%S.%f'). */
+  def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Second-precision variant for date-like timestamps.
+    * DuckDB twin: strftime(ts, '%Y-%m-%d %H:%M:%S'). */
+  def fmtTsSec(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Exact money: 2-dp doubles → DECIMAL(12,2) (values < 1e10). */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact small factor (discount/tax ∈ [0,2]) → DECIMAL(4,2). */
+  def dec2s(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** Exact decimal sum emitted as a plain double (see determinism rules). */
+  def sumMoney(c: Column): Column = sum(dec2(c)).cast("double")
+
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4 only
+    * reads via spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench and
+    * test sessions). Convert nanos → TimestampType (micros) here; integer
+    * `div` so no double-precision loss on ~1.7e18 nano values. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = tbl(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+}

@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are declared per-module; every module row maps to a SURVEY §2
+  * inventory line. A query with an oracle is hash-verified against DuckDB at
+  * sf0.01; oracle-less queries (approx sketches etc.) get rows-only checks.
+  */
 object SparkEntry {
+
+  import graft.{queries => qm}
+  private val modules: Seq[QueryModule] = Seq(
+    qm.RefOps)
+
+  private lazy val registry: Seq[Q] = {
+    val qs = modules.flatMap(_.all)
+    require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
+    qs
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("o23_run_report")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted entries → weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

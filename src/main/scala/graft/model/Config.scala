@@ -1,0 +1,75 @@
+package graft.model
+
+/** Job-spec model mirroring the reference's extractionConfig document
+  * (reference: readme.md:158-216, consumed at app.py:36-64 and
+  * resources/priorityDataSource.py:52-78). Canonical spellings fix the
+  * reference's `EntityID`/`entityID` and `dataStartDate`/`datarStartDate`
+  * casing drift (readme.md:170,175 vs priorityDataSource.py:174,668).
+  */
+final case class EntityConfig(
+    entityId: String,
+    filterFlag: Boolean,
+    filterField: String,
+    expand: Seq[String],
+    lastRun: Option[String],
+    dataStartDate: Option[String])
+
+final case class ExtractionConfig(
+    datasourceName: String,
+    uri: String,
+    accountId: String,
+    systemTimezone: String,
+    sourceSystem: String,
+    entities: Seq[EntityConfig]) {
+
+  /** Flat worklist of every table an extraction touches — the reference's
+    * `flatEntities` (resources/sqlDwh.py:147-174): entity id plus each
+    * expanded subform name. */
+  def flatEntities: Seq[String] =
+    entities.flatMap(e => e.entityId +: e.expand)
+}
+
+/** Per-entity schema document inferred from the source's `$metadata`
+  * (reference: resources/priorityDataSource.py:347-458; example
+  * readme.md:519-551). */
+final case class FieldMeta(
+    fieldName: String,
+    sourceDataType: String,
+    keyFlag: Boolean,
+    desc: String = "")
+
+final case class EntityMeta(
+    entityName: String,
+    sourceSystem: String,
+    fields: Seq[FieldMeta],
+    entityPk: Seq[String])
+
+object Fixtures {
+  /** The canonical fixture config (FIXTURES.md A1). */
+  val config: ExtractionConfig = ExtractionConfig(
+    datasourceName = "priority_companyA",
+    uri = "https://host/odata/Priority/tabmob.ini/usdemo/",
+    accountId = "03445d66",
+    systemTimezone = "Israel",
+    sourceSystem = "priority",
+    entities = Seq(
+      EntityConfig("ORDERS", filterFlag = true, filterField = "CURDATE",
+        expand = Seq("ORDERITEMS"),
+        lastRun = Some("2024-06-12 21:53:35"),
+        dataStartDate = Some("2020-05-30 00:00:00")),
+      EntityConfig("CTYPE", filterFlag = false, filterField = "",
+        expand = Seq.empty,
+        lastRun = Some("2024-06-12 21:53:40"),
+        dataStartDate = Some("2020-05-30 00:00:00"))))
+
+  /** Fixture metadata for ORDERS (FIXTURES.md A2). */
+  val ordersMeta: EntityMeta = EntityMeta(
+    entityName = "ORDERS",
+    sourceSystem = "priority",
+    fields = Seq(
+      FieldMeta("ORDNAME", "Edm.String", keyFlag = true, desc = "Order name"),
+      FieldMeta("CURDATE", "Edm.DateTimeOffset", keyFlag = false),
+      FieldMeta("QPRICE", "Edm.Decimal", keyFlag = false),
+      FieldMeta("ORD", "Edm.Int64", keyFlag = false)),
+    entityPk = Seq("ORDNAME"))
+}

@@ -1,0 +1,87 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+import graft.model.{EntityMeta, FieldMeta}
+
+/** Source-type → warehouse/Spark type mapping.
+  *
+  * Re-expresses the reference's datatype dictionary
+  * (resources/static/datatypesConvert.json:1-55, looked up per field at
+  * resources/priorityDataSource.py:523-563) as a pure, total Scala map keyed
+  * by (sourceSystem, sourceDataType) — the reference's own composite key
+  * (priorityDataSource.py:546-552), i.e. the design is multi-source.
+  *
+  * The PK override (every key column lands as VARCHAR(255) regardless of its
+  * source type — resources/sqlDwh.py:368-370,479) and the two audit columns
+  * (sqlDwh.py:380-381) are modeled as explicit rules, not data.
+  */
+object EdmTypes {
+
+  final case class Target(azureSql: String, spark: DataType)
+
+  /** (sourceSystem, sourceType) → target types. `SBO` rows mirror the
+    * reference's second source system (datatypesConvert.json:38-55). */
+  val mapping: Map[(String, String), Target] = Map(
+    ("priority", "Edm.String") -> Target("VARCHAR", StringType),
+    ("priority", "Edm.Decimal") -> Target("NUMERIC", DecimalType(38, 3)),
+    ("priority", "Edm.DateTimeOffset") -> Target("DATETIMEOFFSET", TimestampType),
+    ("priority", "Edm.Int64") -> Target("BIGINT", LongType),
+    ("SBO", "SBO_text") -> Target("VARCHAR", StringType),
+    ("SBO", "SBO_num") -> Target("NUMERIC", DecimalType(38, 3)))
+
+  /** PK columns are uniformly stringly-typed, length 255
+    * (reference rule, sqlDwh.py:368-370). */
+  val pkAzureType = "VARCHAR(255)"
+  val pkSparkType: DataType = StringType
+
+  /** Run-lineage audit columns appended to every table
+    * (sqlDwh.py:380-381; stamped at priorityDataSource.py:770-771). */
+  val auditColumns: Seq[(String, String, DataType)] = Seq(
+    ("extractionid", "VARCHAR(36)", StringType),
+    ("extractiontimestamputc", "DATETIME", TimestampType))
+
+  def targetFor(sourceSystem: String, f: FieldMeta): Target =
+    if (f.keyFlag) Target(pkAzureType, pkSparkType)
+    else mapping.getOrElse(
+      (sourceSystem, f.sourceDataType),
+      Target("VARCHAR", StringType)) // unknown types degrade to text
+
+  /** Metadata → deterministic Spark schema (fixes the reference's
+    * set-difference column-order nondeterminism, priorityDataSource.py:781-783:
+    * field order is the metadata order, audit columns last). */
+  def toStructType(meta: EntityMeta): StructType = {
+    val fields = meta.fields.map { f =>
+      val t = targetFor(meta.sourceSystem, f)
+      StructField(
+        f.fieldName.toLowerCase, t.spark, nullable = !f.keyFlag,
+        new MetadataBuilder()
+          .putBoolean("keyFlag", f.keyFlag)
+          .putString("sourceDataType", f.sourceDataType)
+          .putString("desc", f.desc)
+          .build())
+    }
+    val audit = auditColumns.map { case (n, _, t) => StructField(n, t) }
+    StructType(fields ++ audit)
+  }
+
+  /** `CREATE TABLE` DDL string for the JDBC sink — the reference generates the
+    * same shape through SQLAlchemy `Table` objects (sqlDwh.py:320-390). */
+  def ddl(meta: EntityMeta, tablePrefix: String = ""): String = {
+    val cols = meta.fields.map { f =>
+      val t = targetFor(meta.sourceSystem, f)
+      s"${f.fieldName.toLowerCase} ${t.azureSql}"
+    } ++ auditColumns.map { case (n, sqlT, _) => s"$n $sqlT" }
+    val pk =
+      if (meta.entityPk.nonEmpty)
+        Seq(s"PRIMARY KEY (${meta.entityPk.map(_.toLowerCase).mkString(", ")})")
+      else Seq.empty
+    s"CREATE TABLE IF NOT EXISTS ${tablePrefix}${meta.entityName.toLowerCase} " +
+      (cols ++ pk).mkString("(", ", ", ")")
+  }
+
+  /** Spark JDBC writer `createTableColumnTypes` option value. */
+  def createTableColumnTypes(meta: EntityMeta): String =
+    (meta.fields.map { f =>
+      s"${f.fieldName.toLowerCase} ${targetFor(meta.sourceSystem, f).azureSql}"
+    } ++ auditColumns.map { case (n, sqlT, _) => s"$n $sqlT" }).mkString(", ")
+}
