@@ -12,7 +12,8 @@ object SparkEntry {
 
   import graft.{queries => qm}
   private val modules: Seq[QueryModule] = Seq(
-    qm.RefOps)
+    qm.RefOps,
+    qm.RelationalQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -79,7 +79,8 @@ def main():
             results[name] = f"OK ({len(a)} rows)"
 
     width = max(len(n) for n in results) if results else 0
-    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_ok = sum(1 for v in results.values()
+               if v.startswith("OK") or v.startswith("ROWS-ONLY"))
     for name, status in sorted(results.items()):
         print(f"{name:<{width}}  {status}")
     print(f"\n{n_ok}/{len(results)} OK")
