@@ -13,7 +13,8 @@ object SparkEntry {
   import graft.{queries => qm}
   private val modules: Seq[QueryModule] = Seq(
     qm.RefOps,
-    qm.RelationalQueries)
+    qm.RelationalQueries,
+    qm.LlmQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate sketches for document dedup at scale: word-shingles,
+  * MinHash signatures + LSH banding, and 64-bit SimHash.
+  *
+  * Hash family: `md5(i || ':' || shingle)` compared as lowercase hex strings
+  * (lexicographic min == numeric min for fixed-width hex). md5 is bit-exact
+  * across Spark and DuckDB, so the whole pipeline — signatures, bands,
+  * candidate pairs, verified Jaccard — is oracle-checkable, not just
+  * rows-counted.
+  *
+  * Scale shape (100 TB reasoning):
+  *   - shingling/minhash: narrow projection + explode + partial-agg min —
+  *     map-side combine keeps the shuffle at |docs| × n_hashes;
+  *   - LSH: candidates come from an equi-join on (band, key) buckets —
+  *     never an all-pairs comparison;
+  *   - verification joins are candidate-driven (pairs × shingles), so cost
+  *     follows the candidate count, not |docs|².
+  */
+object DedupSketches {
+
+  val NumHashes = 12
+  val BandRows = 3 // 4 bands × 3 rows: P(candidate) = 1-(1-J^3)^4
+  val NumBands: Int = NumHashes / BandRows
+
+  /** (doc_id, shingle) — distinct word n-grams per document. Documents
+    * shorter than n tokens produce no shingles (dropped, both engines). */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN transform(sequence(0, size(toks) - $n), " +
+          s"i -> ${(0 until n).map(k => s"toks[i + $k]").mkString("concat(", ", ' ', ", ")")}) " +
+          "ELSE array() END")).as("shingle"))
+      .distinct()
+
+  /** DuckDB twin of `shingles` as a CTE body over `documents`. */
+  def shinglesSql(n: Int): String = {
+    val gram = (0 until n).map(k => s"l[i + $k]").mkString(" || ' ' || ")
+    s"SELECT DISTINCT doc_id, $gram AS shingle FROM " +
+      s"(SELECT doc_id, l, unnest(range(1, len(l) - ${n - 2})) AS i " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))"
+  }
+
+  /** MinHash signature: one groupBy pass, NumHashes partial-min aggregates. */
+  def minhashSignature(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(
+      min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
+      (1 until NumHashes).map(i =>
+        min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")): _*)
+
+  def minhashSignatureSql: String =
+    "SELECT doc_id, " + (0 until NumHashes)
+      .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ") +
+      " FROM sh GROUP BY doc_id"
+
+  /** (doc_id, band, key) — one row per LSH band. */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*)
+          .as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  def lshBandsSql: String =
+    (0 until NumBands).map { b =>
+      val key = (0 until BandRows).map(r => s"h${b * BandRows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
+      col("key").as("key_b"))
+    a.join(b, col("band") === col("band_b") && col("key") === col("key_b") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard for candidate pairs, computed candidate-driven. */
+  def verifiedJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sa = sh.select(col("doc_id").as("sa_id"), col("shingle").as("sa_sh"))
+    val sb = sh.select(col("doc_id").as("sb_id"), col("shingle").as("sb_sh"))
+    val inter = cand
+      .join(sa, col("sa_id") === col("doc_a"))
+      .join(sb, col("sb_id") === col("doc_b") && col("sb_sh") === col("sa_sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    cand
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("ni", coalesce(col("ni"), lit(0L)))
+      .withColumn("jaccard",
+        col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double"))
+  }
+
+  // -------------------------------------------------------------------------
+  // SimHash (64-bit): md5(token) hex digits → bit vector; weighted by token
+  // frequency; sign of the per-bit sum. Convention: bit j comes from hex
+  // digit j/4 (1-based digit j/4+1), shifted (3 - j%4); output is 16 hex
+  // chars, nibble c = b[4c]*8 + b[4c+1]*4 + b[4c+2]*2 + b[4c+3].
+  // -------------------------------------------------------------------------
+
+  /** (doc_id, simhash) from a documents frame. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("tok")))
+    val dig = tok.select(
+      col("doc_id") +: col("cnt") +:
+        (1 to 16).map(k =>
+          conv(substring(col("h"), k, 1), 16, 10).cast("int").as(s"d$k")): _*)
+    val v = dig.groupBy("doc_id").agg(
+      sumBit(0).as("v0"),
+      (1 until 64).map(j => sumBit(j).as(s"v$j")): _*)
+    val withBits = v.select(
+      col("doc_id") +:
+        (0 until 64).map(j =>
+          when(col(s"v$j") > 0, 1).otherwise(0).as(s"b$j")): _*)
+    withBits.select(col("doc_id"),
+      concat((0 until 16).map { c =>
+        expr(s"substr('0123456789abcdef', b${4 * c} * 8 + b${4 * c + 1} * 4 + " +
+          s"b${4 * c + 2} * 2 + b${4 * c + 3} + 1, 1)")
+      }: _*).as("simhash"))
+  }
+
+  private def sumBit(j: Int): Column = {
+    val digit = j / 4 + 1
+    val div = 1 << (3 - j % 4)
+    sum(expr(s"((d$digit div $div) % 2 * 2 - 1) * cnt"))
+  }
+
+  /** DuckDB twin of `simhash` over `documents`. */
+  def simhashSql: String = {
+    val digits = (1 to 16)
+      .map(k => s"strpos('0123456789abcdef', substr(h, $k, 1)) - 1 AS d$k")
+      .mkString(", ")
+    val sums = (0 until 64).map { j =>
+      val digit = j / 4 + 1
+      val div = 1 << (3 - j % 4)
+      s"sum(((d$digit // $div) % 2 * 2 - 1) * cnt) AS v$j"
+    }.mkString(", ")
+    val bits = (0 until 64)
+      .map(j => s"CASE WHEN v$j > 0 THEN 1 ELSE 0 END AS b$j").mkString(", ")
+    val hexChars = (0 until 16).map { c =>
+      s"substr('0123456789abcdef', b${4 * c} * 8 + b${4 * c + 1} * 4 + " +
+        s"b${4 * c + 2} * 2 + b${4 * c + 3} + 1, 1)"
+    }.mkString(" || ")
+    "WITH tok AS (SELECT doc_id, t AS tok, count(*) AS cnt FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) " +
+      "GROUP BY 1, 2), " +
+      "dig AS (SELECT doc_id, cnt, md5(tok) AS h FROM tok), " +
+      s"d AS (SELECT doc_id, cnt, $digits FROM dig), " +
+      s"v AS (SELECT doc_id, $sums FROM d GROUP BY doc_id), " +
+      s"b AS (SELECT doc_id, $bits FROM v) " +
+      s"SELECT doc_id, $hexChars AS simhash FROM b ORDER BY doc_id"
+  }
+}

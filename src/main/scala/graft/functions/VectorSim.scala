@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity: exact brute-force cosine top-k (the baseline) and a
+  * random-hyperplane LSH-bucketed variant (the scale path — candidates come
+  * from a bucket equi-join, not an all-pairs cross product).
+  *
+  * Determinism: dot products / norms are built as explicit left-associated
+  * 64-term sums over double-cast elements, the same tree DuckDB parses from
+  * the generated SQL — results are bit-identical, no rounding tolerance
+  * needed. Hyperplane coefficients come from an integer LCG evaluated in both
+  * engines' integer arithmetic (exactly representable in double), not from a
+  * printed float literal.
+  */
+object VectorSim {
+
+  val Dim = 64
+  val NumPlanes = 8
+
+  /** Σ a[i]*b[i] as a left-assoc chain (bit-reproducible). 1-based arrays. */
+  def dot(a: String, b: String): Column =
+    (1 to Dim).map(i => element_at(col(a), i) * element_at(col(b), i))
+      .reduce(_ + _)
+
+  def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+
+  def norm2(a: String): Column = dot(a, a)
+  def norm2Sql(a: String): String = dotSql(a, a)
+
+  def cosine(a: String, an: String, b: String, bn: String): Column =
+    dot(a, b) / (sqrt(col(an)) * sqrt(col(bn)))
+
+  def cosineSql(a: String, an: String, b: String, bn: String): String =
+    s"(${dotSql(a, b)}) / (sqrt($an) * sqrt($bn))"
+
+  /** LCG-derived hyperplane coefficient, exact in both engines:
+    * ((1103515245*(p*Dim+i) + 12345) mod 2^31) / 2^31 - 0.5. */
+  def coef(p: Int, i: Int): Double =
+    ((1103515245L * (p * Dim + i) + 12345L) % 2147483648L).toDouble /
+      2147483648.0 - 0.5
+
+  /** 8-char '0'/'1' bucket signature from hyperplane sign bits. */
+  def lshBucket(v: String): Column =
+    concat((0 until NumPlanes).map { p =>
+      val d = (1 to Dim).map(i => element_at(col(v), i) * lit(coef(p, i - 1)))
+        .reduce(_ + _)
+      when(d > 0, "1").otherwise("0")
+    }: _*)
+
+  def lshBucketSql(v: String): String =
+    (0 until NumPlanes).map { p =>
+      val d = (1 to Dim).map { i =>
+        val k = p * Dim + (i - 1)
+        s"$v[$i] * (CAST((1103515245 * CAST($k AS BIGINT) + 12345) % 2147483648 AS DOUBLE) " +
+          "/ 2147483648.0 - 0.5)"
+      }.mkString(" + ")
+      s"CASE WHEN ($d) > 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+}

@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{H, Q, QueryModule}
+import graft.H.tbl
+import graft.functions.{DedupSketches => DS, Multimodal, TextAnalysis => TA, ValueStatsAgg, VectorSim => VS}
+import graft.ops.Relational.dedupLatestByPk
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis, multimodal columns) — the north-star extras beyond the
+  * reference's own surface. Sketch pipelines use md5-based hash families so
+  * even MinHash/SimHash results are DuckDB-oracle-exact.
+  */
+object LlmQueries extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- dedup -----------------------------------------------------------
+
+    // Exact dedup, keep-latest-run: the stg→final promotion the reference
+    // never built (its append-only staging dups rows on retry).
+    Q("dedup_exact",
+      Some("WITH staged AS (SELECT doc_id, lang, 'r1' AS run FROM documents " +
+        "UNION ALL SELECT doc_id, lang, 'r2' AS run FROM documents) " +
+        "SELECT doc_id, lang, run FROM staged QUALIFY " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY run DESC) = 1 " +
+        "ORDER BY doc_id"),
+      (s, dir) => {
+        val d = tbl(s, dir, "documents").select("doc_id", "lang")
+        val staged = d.withColumn("run", lit("r1"))
+          .unionByName(d.withColumn("run", lit("r2")))
+        dedupLatestByPk(Seq("doc_id"), "run")(staged)
+          .select("doc_id", "lang", "run").orderBy("doc_id")
+      }),
+
+    // MinHash + LSH near-dup: shingle → 12-hash signature → 4×3 bands →
+    // bucket-join candidates → exact-Jaccard verify ≥ 0.5.
+    Q("dedup_minhash_lsh",
+      Some {
+        val cand = "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key " +
+          "AND a.doc_id < b.doc_id"
+        s"WITH sh AS (${DS.shinglesSql(3)}), " +
+          s"sig AS (${DS.minhashSignatureSql}), " +
+          s"bands AS (${DS.lshBandsSql}), " +
+          s"cand AS ($cand), " +
+          "counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+          "inter AS (SELECT doc_a, doc_b, count(*) AS ni FROM cand " +
+          "JOIN sh sa ON sa.doc_id = doc_a " +
+          "JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle " +
+          "GROUP BY doc_a, doc_b), " +
+          "j AS (SELECT c.doc_a, c.doc_b, CAST(coalesce(ni, 0) AS DOUBLE) / " +
+          "CAST(ca.n + cb.n - coalesce(ni, 0) AS DOUBLE) AS jaccard " +
+          "FROM cand c JOIN counts ca ON ca.doc_id = c.doc_a " +
+          "JOIN counts cb ON cb.doc_id = c.doc_b " +
+          "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b) " +
+          "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5 " +
+          "ORDER BY doc_a, doc_b"
+      },
+      (s, dir) => {
+        val sh = DS.shingles(tbl(s, dir, "documents"), 3).cache()
+        val cand = DS.candidatePairs(DS.lshBands(DS.minhashSignature(sh)))
+        DS.verifiedJaccard(cand, sh)
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+      }),
+
+    // 64-bit SimHash fingerprints (md5-bit convention, oracle-exact).
+    Q("dedup_simhash",
+      Some(DS.simhashSql),
+      (s, dir) => DS.simhash(tbl(s, dir, "documents")).orderBy("doc_id")),
+
+    // Exact word-2-gram Jaccard for all same-(lang, source) bucket pairs.
+    Q("dedup_ngram_jaccard",
+      Some {
+        "WITH sh AS (" + DS.shinglesSql(2) + "), " +
+          "counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+          "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM documents a JOIN documents b ON a.lang = b.lang " +
+          "AND a.source = b.source AND a.doc_id < b.doc_id), " +
+          "inter AS (SELECT doc_a, doc_b, count(*) AS ni FROM pairs " +
+          "JOIN sh sa ON sa.doc_id = doc_a " +
+          "JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle " +
+          "GROUP BY doc_a, doc_b) " +
+          "SELECT p.doc_a, p.doc_b, CAST(coalesce(ni, 0) AS DOUBLE) / " +
+          "CAST(ca.n + cb.n - coalesce(ni, 0) AS DOUBLE) AS jaccard " +
+          "FROM pairs p JOIN counts ca ON ca.doc_id = p.doc_a " +
+          "JOIN counts cb ON cb.doc_id = p.doc_b " +
+          "LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b " +
+          "ORDER BY p.doc_a, p.doc_b"
+      },
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val sh = DS.shingles(docs, 2)
+        val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("source"))
+        val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+          col("source").as("source_b"))
+        val pairs = a.join(b, col("lang") === col("lang_b") &&
+            col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+        DS.verifiedJaccard(pairs, sh)
+          .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+      }),
+
+    // ---- similarity search ----------------------------------------------
+
+    // Brute-force cosine top-5 for 10 query vectors (exact baseline).
+    Q("sim_cosine_topk",
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"n AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm FROM e), " +
+        "p AS (SELECT q.vec_id AS qid, c.vec_id AS vid, " +
+        s"(${VS.dotSql("q.v", "c.v")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS sim " +
+        "FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) " +
+        "SELECT qid, vid, CAST(row_number() OVER " +
+        "(PARTITION BY qid ORDER BY sim DESC, vid) AS BIGINT) AS rnk, sim " +
+        "FROM p QUALIFY rnk <= 5 ORDER BY qid, rnk"),
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val n = e.withColumn("nrm", VS.norm2("v"))
+        val q = n.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn")).filter(col("qid") < 10)
+        val c = n.select(col("vec_id").as("vid"), col("v").as("cv"),
+          col("nrm").as("cn"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
+        c.join(broadcast(q), col("vid") =!= col("qid"))
+          .withColumn("sim",
+            VS.dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select("qid", "vid", "rnk", "sim").orderBy("qid", "rnk")
+      }),
+
+    // LSH-bucketed ANN: random-hyperplane sign buckets, candidates from a
+    // bucket equi-join (the 100 TB shape: no cross product), top-3 in-bucket.
+    Q("sim_ann_lsh",
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"n AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm, " +
+        s"${VS.lshBucketSql("v")} AS bucket FROM e), " +
+        "p AS (SELECT q.vec_id AS qid, c.vec_id AS vid, " +
+        s"(${VS.dotSql("q.v", "c.v")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS sim " +
+        "FROM n q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id " +
+        "WHERE q.vec_id < 10) " +
+        "SELECT qid, vid, CAST(row_number() OVER " +
+        "(PARTITION BY qid ORDER BY sim DESC, vid) AS BIGINT) AS rnk, sim " +
+        "FROM p QUALIFY rnk <= 3 ORDER BY qid, rnk"),
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val n = e.withColumn("nrm", VS.norm2("v"))
+          .withColumn("bucket", VS.lshBucket("v"))
+        val q = n.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket")).filter(col("qid") < 10)
+        val c = n.select(col("vec_id").as("vid"), col("v").as("cv"),
+          col("nrm").as("cn"), col("bucket").as("bucket_c"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
+        c.join(broadcast(q),
+            col("bucket") === col("bucket_c") && col("vid") =!= col("qid"))
+          .withColumn("sim",
+            VS.dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("qid", "vid", "rnk", "sim").orderBy("qid", "rnk")
+      }),
+
+    // ---- text analysis ---------------------------------------------------
+
+    Q("text_stats",
+      Some("SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, " +
+        "n_chars, CAST(length(text) AS BIGINT) AS n_chars_actual, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / " +
+        "CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr " +
+        "FROM documents ORDER BY doc_id"),
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .withColumn("toks", TA.tokens(col("text")))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+            col("n_chars"),
+            length(col("text")).cast("long").as("n_chars_actual"),
+            (size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks")).cast("double")).as("ttr"))
+          .orderBy("doc_id")),
+
+    Q("text_quality",
+      Some {
+        val toks = "string_split(text, ' ')"
+        val hits = TA.hitCountSql(toks, TA.stopwords.head._2)
+        s"SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens, " +
+          s"CAST($hits AS DOUBLE) / CAST(len($toks) AS DOUBLE) AS stop_ratio, " +
+          s"CAST(length(text) - (len($toks) - 1) AS DOUBLE) / CAST(len($toks) AS DOUBLE) AS mean_wlen, " +
+          s"CAST((CASE WHEN len($toks) BETWEEN 20 AND 200 THEN 1 ELSE 0 END) + " +
+          s"(CASE WHEN CAST($hits AS DOUBLE) / CAST(len($toks) AS DOUBLE) < 0.4 THEN 1 ELSE 0 END) + " +
+          s"(CASE WHEN CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE) > 0.3 " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS quality_score " +
+          "FROM documents ORDER BY doc_id"
+      },
+      (s, dir) => {
+        val d = tbl(s, dir, "documents").withColumn("toks", TA.tokens(col("text")))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("hits", TA.hitCount(col("toks"), TA.stopwords.head._2))
+          .withColumn("stop_ratio",
+            col("hits").cast("double") / col("n_tokens").cast("double"))
+          .withColumn("mean_wlen",
+            (length(col("text")) - (col("n_tokens") - 1)).cast("double") /
+              col("n_tokens").cast("double"))
+          .withColumn("ttr",
+            size(array_distinct(col("toks"))).cast("double") /
+              col("n_tokens").cast("double"))
+        d.select(col("doc_id"), col("n_tokens"), col("stop_ratio"), col("mean_wlen"),
+          (when(col("n_tokens").between(20, 200), 1).otherwise(0) +
+            when(col("stop_ratio") < 0.4, 1).otherwise(0) +
+            when(col("ttr") > 0.3, 1).otherwise(0)).cast("long").as("quality_score"))
+          .orderBy("doc_id")
+      }),
+
+    Q("text_langid",
+      Some {
+        val toks = "string_split(text, ' ')"
+        val scores = TA.stopwords
+          .map { case (lang, words) => s"${TA.hitCountSql(toks, words)} AS s_$lang" }
+          .mkString(", ")
+        "SELECT doc_id, lang, s_en, s_es, s_fr, s_de, " +
+          "CASE WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en' " +
+          "WHEN s_es >= greatest(s_fr, s_de) THEN 'es' " +
+          "WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS lang_pred, " +
+          "CAST(CASE WHEN (CASE WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en' " +
+          "WHEN s_es >= greatest(s_fr, s_de) THEN 'es' " +
+          "WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS agree " +
+          s"FROM (SELECT doc_id, lang, $scores FROM documents) ORDER BY doc_id"
+      },
+      (s, dir) => {
+        val d = tbl(s, dir, "documents").withColumn("toks", TA.tokens(col("text")))
+        val scored = TA.langScores(col("toks")).foldLeft(d) {
+          case (df, (lang, c)) => df.withColumn(s"s_$lang", c)
+        }
+        val pred = when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_de")), "en")
+          .when(col("s_es") >= greatest(col("s_fr"), col("s_de")), "es")
+          .when(col("s_fr") >= col("s_de"), "fr")
+          .otherwise("de")
+        scored.select(col("doc_id"), col("lang"),
+          col("s_en"), col("s_es"), col("s_fr"), col("s_de"),
+          pred.as("lang_pred"),
+          when(pred === col("lang"), 1L).otherwise(0L).as("agree"))
+          .orderBy("doc_id")
+      }),
+
+    Q("text_fingerprint",
+      Some(s"SELECT doc_id, ${TA.fingerprintSql("text")} AS fp, " +
+        s"substr(${TA.fingerprintSql("text")}, 1, 2) AS fp_bucket " +
+        "FROM documents ORDER BY doc_id"),
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            TA.fingerprint(col("text")).as("fp"),
+            substring(TA.fingerprint(col("text")), 1, 2).as("fp_bucket"))
+          .orderBy("doc_id")),
+
+    // ---- custom UDAF -----------------------------------------------------
+
+    Q("udaf_value_stats",
+      Some("SELECT event_type, count(*) AS n, min(value) AS min_val, " +
+        "max(value) AS max_val, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_val " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+      (s, dir) => {
+        val statsAgg = udaf(ValueStatsAgg)
+        H.events(s, dir)
+          .groupBy("event_type")
+          .agg(statsAgg(col("value")).as("st"))
+          .select(col("event_type"),
+            col("st.n").as("n"), col("st.minV").as("min_val"),
+            col("st.maxV").as("max_val"),
+            (col("st.cents").cast("double") / 100.0).as("sum_val"))
+          .orderBy("event_type")
+      }),
+
+    // ---- multimodal ------------------------------------------------------
+
+    Q("multimodal_meta",
+      Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, " +
+        "CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte, " +
+        "CAST(64 + length(text) % 512 AS BIGINT) AS width, " +
+        "CAST(64 + (length(text) * 7 + ascii(substr(text, 1, 1))) % 512 AS BIGINT) AS height, " +
+        "CAST(3 AS BIGINT) AS channels, 'fake/rgb8' AS format " +
+        "FROM documents ORDER BY doc_id"),
+      (s, dir) =>
+        Multimodal.extractMeta(s, tbl(s, dir, "documents")).toDF().orderBy("doc_id")),
+
+    Q("multimodal_frames",
+      Some("SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, " +
+        "md5(substr(text, CAST(i * 64 + 1 AS INT), 16)) AS frame_md5 " +
+        "FROM (SELECT doc_id, text, unnest(range(0, ((length(text) - 16) // 64) + 1)) AS i " +
+        "FROM documents WHERE length(text) >= 16) ORDER BY doc_id, frame_idx"),
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .filter(length(col("payload")) >= 16)
+          .select(col("doc_id"),
+            explode(expr("sequence(0, (length(payload) - 16) div 64)")).as("i"),
+            col("payload"))
+          .select(col("doc_id"), col("i").cast("long").as("frame_idx"),
+            expr("md5(substr(payload, i * 64 + 1, 16))").as("frame_md5"))
+          .orderBy("doc_id", "frame_idx")))
+}
