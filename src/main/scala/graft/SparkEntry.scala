@@ -14,7 +14,9 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     qm.RefOps,
     qm.RelationalQueries,
-    qm.LlmQueries)
+    qm.LlmQueries,
+    qm.WindowingQueries,
+    qm.PipelineQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

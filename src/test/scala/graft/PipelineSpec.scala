@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{EntityConfig, ExtractionConfig, Fixtures}
+import graft.ops.Relational.nestChild
+import graft.pipeline.{Refresh, Sinks, StateStore}
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def cfg(entities: EntityConfig*) = ExtractionConfig(
+    "t", "file://x", "acc", "UTC", "priority", entities)
+
+  test("state store: advance/get round-trip, unknown entity empty") {
+    val p = Files.createTempDirectory("state").resolve("s.json").toString
+    val st = new StateStore(p)
+    assert(st.get("ORDERS").isEmpty)
+    st.advance("ORDERS", "2026-01-01 00:00:00")
+    st.advance("CTYPE", "2026-01-02 00:00:00")
+    assert(st.get("ORDERS").contains("2026-01-01 00:00:00"))
+    assert(st.get("CTYPE").contains("2026-01-02 00:00:00"))
+    st.advance("ORDERS", "2026-01-03 00:00:00")
+    assert(st.get("ORDERS").contains("2026-01-03 00:00:00"))
+  }
+
+  test("refreshAll: failure isolation — bad entity errors, good entity loads, watermark only advances on success") {
+    val dir = Files.createTempDirectory("refresh").toString
+    val st = new StateStore(s"$dir/state.json")
+    val good = EntityConfig("ORDERS", filterFlag = false, "", Seq.empty, None, None)
+    val bad = EntityConfig("BROKEN", filterFlag = false, "", Seq.empty, None, None)
+    val reports = Refresh.refreshAll(
+      cfg(bad, good), incremental = false,
+      sources = {
+        case "ORDERS" => H.tbl(spark, sf, "orders")
+        case _ => throw new RuntimeException("source unreachable")
+      },
+      subformsOf = _ => Map.empty, pkOf = _ => Seq("o_orderkey"),
+      sinkDir = dir, state = st,
+      runId = "RUN", runTs = "2026-01-01 00:00:00")
+    assert(reports.map(_.status).count(_ == "success") == 1)
+    assert(reports.exists(_.status.startsWith("error")))
+    assert(st.get("ORDERS").contains("2026-01-01 00:00:00"))
+    assert(st.get("BROKEN").isEmpty) // write-then-advance: no advance on failure
+    val staged = spark.read.parquet(s"$dir/stg_orders")
+    assert(staged.count() == H.tbl(spark, sf, "orders").count())
+    assert(staged.columns.contains("extractionid"))
+  }
+
+  test("incremental refresh appends; full refresh overwrites") {
+    val dir = Files.createTempDirectory("modes").toString
+    val st = new StateStore(s"$dir/state.json")
+    val e = EntityConfig("ORDERS", filterFlag = false, "", Seq.empty, None, None)
+    def run(incr: Boolean) = Refresh.refreshAll(
+      cfg(e), incr, _ => H.tbl(spark, sf, "orders").limit(10),
+      _ => Map.empty, _ => Seq("o_orderkey"), dir, st, "RUN", "2026-01-01 00:00:00")
+    run(incr = false)
+    run(incr = true)
+    assert(spark.read.parquet(s"$dir/stg_orders").count() == 20) // 10 + appended 10
+    run(incr = false)
+    assert(spark.read.parquet(s"$dir/stg_orders").count() == 10) // overwritten
+  }
+
+  test("jdbc writer options carry typed columns and batching") {
+    val opts = Sinks.jdbcOptions(Fixtures.ordersMeta, "jdbc:sqlserver://h;db=x", "stg_orders")
+    assert(opts("createTableColumnTypes").contains("ordname VARCHAR(255)"))
+    assert(opts("batchsize") == "10000")
+  }
+
+  test("csv debug sink writes readable rows (O15)") {
+    val dir = Files.createTempDirectory("csv").toString + "/out"
+    Sinks.writeCsv(H.tbl(spark, sf, "nation"), dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == 25)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DedupSketches => DS, Multimodal, TextAnalysis => TA, VectorSim => VS}
+
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("shingles: n-grams count = tokens - n + 1 (distinct), short docs drop out") {
+    val d = docs((1L, "a b c d e"), (2L, "x y"), (3L, "p p p p"))
+    val sh = DS.shingles(d, 3).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sh.count(_._1 == 1L) == 3) // a b c / b c d / c d e
+    assert(!sh.exists(_._1 == 2L)) // too short
+    assert(sh.count(_._1 == 3L) == 1) // "p p p" twice → distinct
+  }
+
+  test("minhash: identical docs get identical signatures; disjoint docs differ") {
+    val d = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+    val sig = DS.minhashSignature(DS.shingles(d, 3)).collect()
+      .map(r => r.getLong(0) -> (1 to DS.NumHashes).map(i => r.getString(i)))
+      .toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("LSH: identical docs are candidate pairs") {
+    val d = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+    val cand = DS.candidatePairs(DS.lshBands(DS.minhashSignature(DS.shingles(d, 3))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.toSeq == Seq((1L, 2L)))
+  }
+
+  test("verified jaccard: identical = 1.0, disjoint candidates = 0") {
+    val d = docs((1L, "a b c d e f"), (2L, "a b c d e f"))
+    val sh = DS.shingles(d, 3)
+    import spark.implicits._
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val j = DS.verifiedJaccard(cand, sh).collect()(0).getAs[Double]("jaccard")
+    assert(j == 1.0)
+  }
+
+  test("simhash: 16 lowercase hex chars, equal docs equal, stable") {
+    val d = docs((1L, "a b c a b"), (2L, "a b c a b"), (3L, "z z z z z"))
+    val out = DS.simhash(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.values.forall(_.matches("[0-9a-f]{16}")))
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("cosine machinery: dot/norm on a known vector") {
+    import spark.implicits._
+    val v = Array.fill(VS.Dim)(1.0f)
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val n = df.select(VS.norm2("v").as("n")).collect()(0).getDouble(0)
+    assert(n == VS.Dim.toDouble)
+  }
+
+  test("LCG hyperplane coefficients are in [-0.5, 0.5) and deterministic") {
+    val cs = for (p <- 0 until VS.NumPlanes; i <- 0 until VS.Dim) yield VS.coef(p, i)
+    assert(cs.forall(c => c >= -0.5 && c < 0.5))
+    assert(VS.coef(3, 17) == VS.coef(3, 17))
+    assert(cs.distinct.size > 400) // not degenerate
+  }
+
+  test("text analysis: stopword hits + fingerprint normalization") {
+    import org.apache.spark.sql.functions._
+    val d = docs((1L, "the cat and the dog"), (2L, "THE  cat and the dog"))
+    val hits = d.select(TA.hitCount(TA.tokens(col("text")), Seq("the", "and")).as("h"))
+      .orderBy().collect().map(_.getLong(0))
+    assert(hits.contains(3L))
+    val fps = d.select(TA.fingerprint(col("text")).as("fp")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1)) // case + whitespace normalized
+  }
+
+  test("multimodal stub decode: deterministic metadata from real bytes") {
+    val m = Multimodal.decodeMeta(7L, "hello world, a fake png payload!".getBytes("UTF-8"))
+    assert(m.byte_len == 32L)
+    assert(m.first_byte == 'h'.toLong)
+    assert(m.width == 64 + 32 % 512)
+    assert(m.channels == 3L)
+    val empty = Multimodal.decodeMeta(8L, Array.emptyByteArray)
+    assert(empty.byte_len == 0L && empty.first_byte == 0L)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingRefresh
+
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("windowed streaming aggregation over MemoryStream produces per-window counts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = StreamingRefresh.windowedCounts(in.toDF(), "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      in.addData(
+        Ev(1, t("2024-01-01 00:01:00"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01 00:02:00"), 1, "click", 2.0),
+        Ev(3, t("2024-01-01 00:06:00"), 2, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("wstart", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "click", 2L),
+        ("2024-01-01 00:05:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the lateness bound") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = StreamingRefresh.windowedCounts(in.toDF(), "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      in.addData(Ev(1, t("2024-01-01 00:01:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark to 01:00 - 10min = 00:50
+      in.addData(Ev(2, t("2024-01-01 01:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // this event is 40+ minutes behind the watermark → dropped
+      in.addData(Ev(3, t("2024-01-01 00:02:00"), 1, "click", 100.0))
+      q.processAllAvailable()
+      in.addData(Ev(4, t("2024-01-01 02:00:00"), 1, "click", 1.0)) // close windows
+      q.processAllAvailable()
+      val first = spark.table("late_out")
+        .filter(col("wstart") === t("2024-01-01 00:00:00"))
+        .select("n").collect()
+      assert(first.length == 1)
+      assert(first(0).getLong(0) == 1L) // late event not counted
+    } finally q.stop()
+  }
+
+  test("AvailableNow file-stream refresh with foreachBatch upsert is idempotent across retries") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("stream_src").toString
+    val out = Files.createTempDirectory("stream_out").toString
+    val ck = Files.createTempDirectory("stream_ck").toString
+    Seq(Ev(1, t("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Ev(1, t("2024-01-01 00:03:00"), 1, "click", 2.0), // newer version of key 1
+      Ev(2, t("2024-01-01 00:02:00"), 2, "view", 3.0))
+      .toDF().write.mode("overwrite").parquet(src)
+
+    val stream = StreamingRefresh.fileStream(spark,
+      spark.read.parquet(src).schema, src)
+    val q = stream.writeStream
+      .foreachBatch(StreamingRefresh.upsertBatch(Seq("event_id"), "ts", out) _)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val got = spark.read.parquet(out)
+    assert(got.count() == 2) // key 1 deduped to latest
+    val v1 = got.filter(col("event_id") === 1).select("value").collect()(0).getDouble(0)
+    assert(v1 == 2.0)
+
+    // re-run with same checkpoint: no new batches, no duplicate rows
+    val q2 = stream.writeStream
+      .foreachBatch(StreamingRefresh.upsertBatch(Seq("event_id"), "ts", out) _)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+}
