@@ -16,7 +16,8 @@ object SparkEntry {
     qm.RelationalQueries,
     qm.LlmQueries,
     qm.WindowingQueries,
-    qm.PipelineQueries)
+    qm.PipelineQueries,
+    qm.ExpressionQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

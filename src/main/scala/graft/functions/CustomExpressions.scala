@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths where a fused loop beats a
+  * composed Column tree: document rolling-hash fingerprinting and cosine
+  * similarity. Both implement `doGenCode` (real whole-stage codegen, not
+  * CodegenFallback), so they stay inside the generated loop with no boxing.
+  */
+object CustomExpressions {
+
+  /** Polynomial rolling hash over UTF-8 bytes: h0=7, h = (h*31 + byte) mod
+    * 1e9+7. For ASCII text this equals a per-character fold, which is what
+    * the DuckDB oracle replays with list_reduce. */
+  case class RollingHash(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      var h = 7L
+      var i = 0
+      while (i < bytes.length) {
+        h = (h * 31L + (bytes(i) & 0xff)) % 1000000007L
+        i += 1
+      }
+      h
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val bytes = ctx.freshName("bytes")
+        val i = ctx.freshName("i")
+        val h = ctx.freshName("h")
+        s"""
+           |byte[] $bytes = $c.getBytes();
+           |long $h = 7L;
+           |for (int $i = 0; $i < $bytes.length; $i++) {
+           |  $h = ($h * 31L + ($bytes[$i] & 0xff)) % 1000000007L;
+           |}
+           |${ev.value} = $h;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): RollingHash =
+      copy(child = newChild)
+  }
+
+  /** Fused cosine similarity over two double arrays: one loop accumulates
+    * dot, |a|², |b|² (left-assoc, so results are bit-identical to the
+    * unrolled 64-term Column/SQL formulation), then dot/(√na·√nb). */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val xi = ctx.freshName("xi")
+        val yi = ctx.freshName("yi")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xi = $a.getDouble($i);
+           |  double $yi = $b.getDouble($i);
+           |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CosineSimilarity =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // ---- Column API ---------------------------------------------------------
+
+  def rolling_hash(c: Column): Column =
+    GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(c)))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      CosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  // ---- SQL registration ---------------------------------------------------
+
+  /** Make the functions callable from spark.sql on an existing session. */
+  def registerTemp(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
+}
+
+/** Session-extension wiring for production sessions:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or config
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[CustomExpressions.RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => CustomExpressions.RollingHash(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CustomExpressions.CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CustomExpressions.CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

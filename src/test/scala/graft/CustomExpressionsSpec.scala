@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CustomExpressions => CE, GraftExtensions}
+
+class CustomExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("rolling_hash: known fold value, null-safe, SQL-callable") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, null.asInstanceOf[String])).toDF("id", "t")
+    val out = df.select(col("id"), CE.rolling_hash(col("t")).as("h"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 304891L) // ((7*31+97)*31+98)*31+99 mod 1e9+7
+    assert(out(1).isNullAt(1))
+
+    CE.registerTemp(spark)
+    df.createOrReplaceTempView("rh_in")
+    val viaSql = spark.sql("SELECT rolling_hash(t) AS h FROM rh_in WHERE id = 1")
+      .collect()(0).getLong(0)
+    assert(viaSql == 304891L)
+  }
+
+  test("rolling_hash participates in whole-stage codegen (no fallback)") {
+    // parquet-backed input: local Seqs constant-fold into LocalTableScan
+    val df = H.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .select(CE.rolling_hash(col("text")).as("h"))
+    // WholeStageCodegen shows as the "*(n)" prefix in the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [rollinghash("), plan)
+    assert(df.count() == 500)
+  }
+
+  test("cosine_sim: identity = 1, orthogonal = 0, matches unrolled tree bit-for-bit") {
+    import spark.implicits._
+    val a = Array(3.0, 4.0) // |a|² = 25, sqrt exact → identity is exactly 1.0
+    val b = Array(-4.0, 3.0)
+    val df = Seq((a, a), (a, b)).toDF("x", "y")
+    val sims = df.select(CE.cosine_sim(col("x"), col("y"))).collect().map(_.getDouble(0))
+    assert(sims(0) == 1.0)
+    assert(sims(1) == 0.0)
+
+    // bit-equality vs the unrolled left-assoc formulation on real embeddings,
+    // production shape: norms precomputed before the join (keeps the joined
+    // projection small enough for whole-stage codegen)
+    import graft.functions.{VectorSim => VS}
+    val e = H.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(20)
+      .withColumn("nrm", VS.norm2("v"))
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("vid"), col("v").as("cv"), col("nrm").as("cn"))
+    val pairs = c.join(q, col("vid") =!= col("qid"))
+    val both = pairs.select(
+      CE.cosine_sim(col("qv"), col("cv")).as("fused"),
+      (VS.dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn")))).as("unrolled"))
+    assert(both.filter(col("fused") =!= col("unrolled")).count() == 0)
+  }
+
+  test("GraftExtensions registers both functions without error") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // throws on malformed injection
+  }
+}
