@@ -45,17 +45,20 @@ object DedupSketches {
       "FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))"
   }
 
-  /** MinHash signature: one groupBy pass, NumHashes partial-min aggregates. */
+  /** MinHash signature + shingle-set size in ONE groupBy pass (the count
+    * feeds Jaccard verification; folding it here saves a second aggregation
+    * over the shingle set). */
   def minhashSignature(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(
       min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
       (1 until NumHashes).map(i =>
-        min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")): _*)
+        min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")) :+
+        count(lit(1)).as("n"): _*)
 
   def minhashSignatureSql: String =
     "SELECT doc_id, " + (0 until NumHashes)
       .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ") +
-      " FROM sh GROUP BY doc_id"
+      ", count(*) AS n FROM sh GROUP BY doc_id"
 
   /** (doc_id, band, key) — one row per LSH band. */
   def lshBands(sig: DataFrame): DataFrame = {
@@ -74,19 +77,29 @@ object DedupSketches {
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString(" UNION ALL ")
 
-  /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket. */
-  def candidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
-      col("key").as("key_b"))
-    a.join(b, col("band") === col("band_b") && col("key") === col("key_b") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket.
+    * One aggregation per bucket + in-bucket pair expansion — no self-join,
+    * so the signature subtree is computed once, not twice. LSH bucket sizes
+    * are tiny by construction (skewed hub buckets would mean the banding is
+    * too coarse), so the quadratic in-bucket expansion is bounded. */
+  def candidatePairs(bands: DataFrame): DataFrame =
+    bands
+      .groupBy("band", "key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
 
-  /** Exact Jaccard for candidate pairs, computed candidate-driven. */
-  def verifiedJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  /** Exact Jaccard for candidate pairs, computed candidate-driven.
+    * `countsOpt`: pre-computed (doc_id, n) shingle-set sizes (e.g. from the
+    * signature pass); derived from `sh` when absent. */
+  def verifiedJaccard(cand: DataFrame, sh: DataFrame,
+      countsOpt: Option[DataFrame] = None): DataFrame = {
+    val counts = countsOpt.getOrElse(
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
     val sa = sh.select(col("doc_id").as("sa_id"), col("shingle").as("sa_sh"))
     val sb = sh.select(col("doc_id").as("sb_id"), col("shingle").as("sb_sh"))
     val inter = cand

@@ -45,7 +45,7 @@ object LlmQueries extends QueryModule {
           s"sig AS (${DS.minhashSignatureSql}), " +
           s"bands AS (${DS.lshBandsSql}), " +
           s"cand AS ($cand), " +
-          "counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+          "counts AS (SELECT doc_id, n FROM sig), " +
           "inter AS (SELECT doc_a, doc_b, count(*) AS ni FROM cand " +
           "JOIN sh sa ON sa.doc_id = doc_a " +
           "JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle " +
@@ -60,8 +60,9 @@ object LlmQueries extends QueryModule {
       },
       (s, dir) => {
         val sh = DS.shingles(tbl(s, dir, "documents"), 3).cache()
-        val cand = DS.candidatePairs(DS.lshBands(DS.minhashSignature(sh)))
-        DS.verifiedJaccard(cand, sh)
+        val sig = DS.minhashSignature(sh).cache()
+        val cand = DS.candidatePairs(DS.lshBands(sig))
+        DS.verifiedJaccard(cand, sh, Some(sig.select(col("doc_id"), col("n"))))
           .filter(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
       }),
