@@ -17,7 +17,8 @@ object SparkEntry {
     qm.LlmQueries,
     qm.WindowingQueries,
     qm.PipelineQueries,
-    qm.ExpressionQueries)
+    qm.ExpressionQueries,
+    qm.ExtraRelationalQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -79,11 +79,21 @@ object Relational {
     * children inheriting the parent PK columns
     * (pd.json_normalize(record_path, meta=pk) — priorityDataSource.py:804-820).
     * Uses `explode` (not `explode_outer`): parents with empty/missing subform
-    * arrays contribute no child rows, exactly like the reference. */
+    * arrays contribute no child rows, exactly like the reference. PK columns
+    * are inherited only when the child records don't already carry them —
+    * Priority subform rows repeat the parent key, a case where the
+    * reference's pandas json_normalize(meta=pk) raises on the name conflict;
+    * the engine resolves it in favor of the child's own copy. */
   def explodeSubform(subformCol: String, parentPk: Seq[String])(df: DataFrame): DataFrame = {
-    val exploded = df
-      .select(parentPk.map(col) :+ explode(col(subformCol)).as("_r"): _*)
-    exploded.select(col("_r.*") +: parentPk.map(col): _*)
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val childFields = df.schema(subformCol).dataType match {
+      case ArrayType(st: StructType, _) => st.fieldNames.toSeq
+      case other => sys.error(s"$subformCol is not an array of structs: $other")
+    }
+    val inherited = parentPk.filterNot(pk =>
+      childFields.exists(_.equalsIgnoreCase(pk)))
+    df.select(parentPk.map(col) :+ explode(col(subformCol)).as("_r"): _*)
+      .select(col("_r.*") +: inherited.map(col): _*)
   }
 
   /** Keep-latest dedup by PK — the stg→final promotion the reference left as
@@ -94,6 +104,25 @@ object Relational {
     val w = Window.partitionBy(pk.map(col): _*)
       .orderBy(col(orderCol).desc, monotonically_increasing_id().desc)
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Skew-safe equi-join: salt the skewed (large) side's key over `factor`
+    * sub-keys and replicate the other side once per salt, so a hot key's
+    * rows spread across `factor` tasks instead of one straggler. Join
+    * output is identical to the plain equi-join; only the shuffle layout
+    * changes. (AQE's skew-join handles sort-merge skew automatically —
+    * this is the explicit form for aggregation-feeding joins and for
+    * engines/paths where AQE can't see the skew.) */
+  def saltedJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      key: String,
+      factor: Int): DataFrame = {
+    val salted = skewed.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(factor.toLong)))
+    val replicated = other
+      .withColumn("_salt", explode(expr(s"sequence(0L, ${factor - 1}L)")))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
   /** As-of join: for each left row, the single latest right row with

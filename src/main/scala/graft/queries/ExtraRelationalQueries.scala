@@ -1,0 +1,105 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{H, Q, QueryModule}
+import graft.H.{dec2, tbl}
+
+/** Second wave of relational surface: JSON decode with an explicit schema
+  * (the reference's response parsing, O7), pivot/unpivot, scalar subqueries,
+  * and file-format round-trips (CSV/JSON source+sink).
+  */
+object ExtraRelationalQueries extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+
+    // O7: JSON → typed rows with a metadata-derived schema (from_json), the
+    // engine's version of response.json() parsing — never schema inference.
+    Q("o07_json_decode",
+      Some("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k " +
+        "FROM events ORDER BY event_id"),
+      (s, dir) =>
+        H.events(s, dir)
+          .select(col("event_id"),
+            from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+              .getField("k").as("k"))
+          .orderBy("event_id")),
+
+    // Pivot: order counts + exact spend per priority, pivoted on status.
+    Q("agg_pivot",
+      Some("SELECT o_orderpriority, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"), col("F").as("n_f"),
+            col("O").as("n_o"), col("P").as("n_p"))
+          .orderBy("o_orderpriority")),
+
+    // Unpivot via the stack generator (UDTF surface, §2.2 last row).
+    Q("unpivot_stack",
+      Some("SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part " +
+        "UNION ALL SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part " +
+        "ORDER BY p_partkey, metric"),
+      (s, dir) =>
+        tbl(s, dir, "part")
+          .select(col("p_partkey"),
+            expr("stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) " +
+              "AS (metric, value)"))
+          .orderBy("p_partkey", "metric")),
+
+    // Scalar + correlated subqueries through the SQL surface.
+    Q("subquery_scalar",
+      Some("SELECT o_orderkey, " +
+        "o_totalprice / (SELECT max(o_totalprice) FROM orders) AS price_ratio, " +
+        "CAST(o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
+        "AS INTEGER) AS is_building " +
+        "FROM orders ORDER BY o_orderkey"),
+      (s, dir) => {
+        tbl(s, dir, "orders").createOrReplaceTempView("orders_sq")
+        tbl(s, dir, "customer").createOrReplaceTempView("customer_sq")
+        s.sql("SELECT o_orderkey, " +
+          "o_totalprice / (SELECT max(o_totalprice) FROM orders_sq) AS price_ratio, " +
+          "CAST(o_custkey IN (SELECT c_custkey FROM customer_sq WHERE c_mktsegment = 'BUILDING') " +
+          "AS INT) AS is_building " +
+          "FROM orders_sq ORDER BY o_orderkey")
+      }),
+
+    // CSV source+sink round-trip: write typed rows to CSV, read them back
+    // with an explicit schema (never inference — O8 discipline).
+    Q("source_csv_roundtrip",
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"),
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_csv").toString + "/nation"
+        tbl(s, dir, "nation").write.mode("overwrite")
+          .option("header", "true").csv(out)
+        s.read
+          .schema(StructType(Seq(
+            StructField("n_nationkey", IntegerType),
+            StructField("n_name", StringType),
+            StructField("n_regionkey", IntegerType))))
+          .option("header", "true").csv(out)
+          .orderBy("n_nationkey")
+      }),
+
+    // JSON-lines source+sink round-trip with explicit schema.
+    Q("source_json_roundtrip",
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_json").toString + "/region"
+        tbl(s, dir, "region").write.mode("overwrite").json(out)
+        s.read
+          .schema(StructType(Seq(
+            StructField("r_regionkey", IntegerType),
+            StructField("r_name", StringType))))
+          .json(out)
+          .orderBy("r_regionkey")
+      }))
+}

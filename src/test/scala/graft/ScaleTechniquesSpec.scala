@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relational.saltedJoin
+
+/** The 100-TB techniques that local-mode correctness can still prove out:
+  * bucketed co-located joins (no shuffle), salting (identical results,
+  * different shuffle layout), partitioned sink layout (partition pruning).
+  */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables co-locate: join plan has no shuffle exchange") {
+    val orders = H.tbl(spark, sf, "orders")
+    val customer = H.tbl(spark, sf, "customer")
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_bkt")
+    customer.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_bkt")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() ==
+        orders.join(customer, col("o_custkey") === col("c_custkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val orders = H.tbl(spark, sf, "orders")
+    val customer = H.tbl(spark, sf, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+    val salted = saltedJoin(orders, customer, "o_custkey", factor = 4)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.sorted.toSeq == plain.columns.sorted.toSeq)
+    // spot-check value-level equality on an aggregate
+    val a = plain.agg(sum(col("o_orderkey")).as("s")).collect()(0).getLong(0)
+    val b = salted.agg(sum(col("o_orderkey")).as("s")).collect()(0).getLong(0)
+    assert(a == b)
+  }
+
+  test("partitioned parquet sink prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("part_sink").toString + "/events"
+    val ev = H.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val scan = read.queryExecution.executedPlan.toString
+    assert(read.count() == ev.filter(col("event_type") === "click").count())
+    assert(scan.contains("PartitionFilters"), scan) // pruning applied at scan
+  }
+}
