@@ -18,7 +18,8 @@ object SparkEntry {
     qm.WindowingQueries,
     qm.PipelineQueries,
     qm.ExpressionQueries,
-    qm.ExtraRelationalQueries)
+    qm.ExtraRelationalQueries,
+    qm.LlmQueries2)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -36,6 +36,16 @@ object VectorSim {
   def cosineSql(a: String, an: String, b: String, bn: String): String =
     s"(${dotSql(a, b)}) / (sqrt($an) * sqrt($bn))"
 
+  /** Σ (a[i]-b[i])² — squared L2 distance, left-assoc (IVF assignment). */
+  def ssd(a: String, b: String): Column =
+    (1 to Dim).map { i =>
+      val d = element_at(col(a), i) - element_at(col(b), i)
+      d * d
+    }.reduce(_ + _)
+
+  def ssdSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])").mkString(" + ")
+
   /** LCG-derived hyperplane coefficient, exact in both engines:
     * ((1103515245*(p*Dim+i) + 12345) mod 2^31) / 2^31 - 0.5. */
   def coef(p: Int, i: Int): Double =

@@ -15,6 +15,22 @@ object ExtraRelationalQueries extends QueryModule {
 
   def all: Seq[Q] = Seq(
 
+    // O1+O2 as a real DataSource V2 scan: the watermark predicate, column
+    // prune, and row pages flow through the connector's $filter/$select
+    // pushdown (graft.sources.ODataSource) instead of hand-built URLs.
+    Q("o03_dsv2_odata_scan",
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' " +
+        "ORDER BY o_orderkey"),
+      (s, dir) => {
+        graft.sources.ODataTestServer.register(s, "orders", s"$dir/orders.parquet")
+        s.read.format("graft.sources.ODataSource")
+          .option("entity", "orders").option("pageSize", "5000").load()
+          .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00")))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      }),
+
     // O7: JSON → typed rows with a metadata-derived schema (from_json), the
     // engine's version of response.json() parsing — never schema inference.
     Q("o07_json_decode",

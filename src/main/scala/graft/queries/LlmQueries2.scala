@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryModule}
+import graft.H.tbl
+import graft.functions.{VectorSim => VS}
+
+/** Second wave of LLM-pipeline operators: IVF-style ANN (the scale path
+  * beyond hyperplane LSH), embedding-cosine near-dup detection, and BPE-ish
+  * subword token counting.
+  */
+object LlmQueries2 extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+
+    // IVF: assign every vector to its nearest "centroid" (deterministic
+    // seed set: vec_id < 8), then answer queries by probing only the
+    // query's own cell — the inverted-file shape where search cost follows
+    // cell size, not corpus size.
+    Q("sim_ivf_topk",
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"n AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm FROM e), " +
+        "cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8), " +
+        "assign AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+        s"ORDER BY (${VS.ssdSql("n.v", "cent.cv")}), cid) AS arn " +
+        "FROM n, cent), " +
+        "cells AS (SELECT n.vec_id, n.v, n.nrm, a.cid AS cell " +
+        "FROM n JOIN assign a ON a.vec_id = n.vec_id AND a.arn = 1), " +
+        "p AS (SELECT q.vec_id AS qid, c.vec_id AS vid, " +
+        s"(${VS.dotSql("q.v", "c.v")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS sim " +
+        "FROM cells q JOIN cells c ON q.cell = c.cell AND c.vec_id <> q.vec_id " +
+        "WHERE q.vec_id < 10) " +
+        "SELECT qid, vid, CAST(row_number() OVER " +
+        "(PARTITION BY qid ORDER BY sim DESC, vid) AS BIGINT) AS rnk, sim " +
+        "FROM p QUALIFY rnk <= 3 ORDER BY qid, rnk"),
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val n = e.withColumn("nrm", VS.norm2("v"))
+        val cent = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val aw = Window.partitionBy("vec_id").orderBy(col("ssd"), col("cid"))
+        val assign = n.join(broadcast(cent))
+          .withColumn("ssd", VS.ssd("v", "cv"))
+          .withColumn("arn", row_number().over(aw))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("cid").as("cell"))
+        val cells = n.join(assign, "vec_id").cache()
+        val q = cells.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn"), col("cell"))
+        val c = cells.select(col("vec_id").as("vid"), col("v").as("cv"),
+          col("nrm").as("cn"), col("cell").as("cell_c"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
+        c.join(broadcast(q), col("cell") === col("cell_c") && col("vid") =!= col("qid"))
+          .withColumn("sim",
+            VS.dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("qid", "vid", "rnk", "sim").orderBy("qid", "rnk")
+      }),
+
+    // Embedding-cosine near-dup: candidates from hyperplane-bucket
+    // co-residency (never all-pairs), verified sim >= 0.4.
+    Q("dedup_embedding_cosine",
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"n AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm, " +
+        s"${VS.lshBucketSql("v")} AS bucket FROM e), " +
+        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"(${VS.dotSql("a.v", "b.v")}) / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim " +
+        "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4 ORDER BY vec_a, vec_b"),
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val n = e.withColumn("nrm", VS.norm2("v"))
+          .withColumn("bucket", VS.lshBucket("v")).cache()
+        val a = n.select(col("vec_id").as("vec_a"), col("v").as("av"),
+          col("nrm").as("an"), col("bucket"))
+        val b = n.select(col("vec_id").as("vec_b"), col("v").as("bv"),
+          col("nrm").as("bn"), col("bucket").as("bucket_b"))
+        a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+          .withColumn("sim",
+            VS.dot("av", "bv") / (sqrt(col("an")) * sqrt(col("bn"))))
+          .filter(col("sim") >= 0.4)
+          .select("vec_a", "vec_b", "sim").orderBy("vec_a", "vec_b")
+      }),
+
+    // BPE-ish token counting: whitespace words sub-chunked to <=4 chars
+    // (an aggregate higher-order fn — no UDF, stays in codegen).
+    Q("text_tokens_bpe",
+      Some("SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+        "CAST(list_sum(list_apply(string_split(text, ' '), " +
+        "w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens " +
+        "FROM documents ORDER BY doc_id"),
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_words"),
+            expr("aggregate(split(text, ' '), 0L, " +
+              "(acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))")
+              .as("n_bpe_tokens"))
+          .orderBy("doc_id")))
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ODataTestServer
+
+class ODataSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def load() = {
+    ODataTestServer.register(spark, "customer", s"$sf/customer.parquet")
+    spark.read.format("graft.sources.ODataSource")
+      .option("entity", "customer").option("pageSize", "200").load()
+  }
+
+  test("DSv2 scan returns the same rows as a direct parquet read") {
+    val viaOData = load()
+    val direct = H.tbl(spark, sf, "customer")
+    assert(viaOData.count() == direct.count())
+    assert(viaOData.columns.toSeq == direct.columns.toSeq)
+  }
+
+  test("filter + column pushdown reach the service ($filter/$select)") {
+    val df = load()
+      .filter(col("c_acctbal") >= 1000.0)
+      .select("c_custkey", "c_name")
+    val n = df.count()
+    assert(n == H.tbl(spark, sf, "customer")
+      .filter(col("c_acctbal") >= 1000.0).count())
+    assert(ODataTestServer.lastRequest.contains("$filter="), ODataTestServer.lastRequest)
+    assert(ODataTestServer.lastRequest.contains("GreaterThanOrEqual(c_acctbal,1000.0)"))
+    // $select pruned to the needed columns (+ filter column)
+    assert(!ODataTestServer.lastRequest.contains("c_mktsegment"))
+    // and the plan shows the pushdown
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ODataScan"), plan)
+  }
+
+  test("limit pushdown reaches the service ($top) and pages partition the read") {
+    val df = load().limit(7)
+    assert(df.count() == 7)
+    assert(ODataTestServer.lastRequest.contains("$top=7"), ODataTestServer.lastRequest)
+
+    // paging: full scan of 150 rows at pageSize 200 → 1 partition; pageSize 40 → 4
+    ODataTestServer.register(spark, "customer", s"$sf/customer.parquet")
+    val paged = spark.read.format("graft.sources.ODataSource")
+      .option("entity", "customer").option("pageSize", "40").load()
+    assert(paged.rdd.getNumPartitions >= 3, paged.rdd.getNumPartitions.toString)
+  }
+
+  test("unsupported predicates stay residual and results remain correct") {
+    val df = load().filter(col("c_name").contains("42")) // StringContains: not pushed
+    val expected = H.tbl(spark, sf, "customer")
+      .filter(col("c_name").contains("42")).count()
+    assert(df.count() == expected)
+    assert(!ODataTestServer.lastRequest.contains("StringContains"))
+  }
+}
