@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Fixtures
+import graft.pipeline.CatalogOps
+import graft.schema.MetadataXml
+import graft.types.EdmTypes
+
+class MetadataCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** EDMX shaped like the Priority $metadata the reference walks
+    * (edmx:Edmx → DataServices → Schema → EntityType). */
+  private val edmx =
+    """<?xml version="1.0" encoding="utf-8"?>
+      |<edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
+      |  <edmx:DataServices>
+      |    <Schema Namespace="Priority.OData" xmlns="http://docs.oasis-open.org/odata/ns/edm">
+      |      <EntityType Name="ORDERS">
+      |        <Key><PropertyRef Name="ORDNAME"/></Key>
+      |        <Property Name="ORDNAME" Type="Edm.String" Nullable="false">
+      |          <Annotation Term="Org.OData.Core.V1.Description" String="Order name"/>
+      |        </Property>
+      |        <Property Name="CURDATE" Type="Edm.DateTimeOffset"/>
+      |        <Property Name="QPRICE" Type="Edm.Decimal"/>
+      |        <Property Name="ORD" Type="Edm.Int64"/>
+      |      </EntityType>
+      |      <EntityType Name="ORDERITEMS">
+      |        <Key><PropertyRef Name="ORDNAME"/><PropertyRef Name="LINE"/></Key>
+      |        <Property Name="ORDNAME" Type="Edm.String" Nullable="false"/>
+      |        <Property Name="LINE" Type="Edm.Int64" Nullable="false"/>
+      |        <Property Name="PARTNAME" Type="Edm.String"/>
+      |        <Property Name="PRICE" Type="Edm.Decimal"/>
+      |      </EntityType>
+      |    </Schema>
+      |  </edmx:DataServices>
+      |</edmx:Edmx>""".stripMargin
+
+  test("EDMX parse: entities, fields in order, composite keys, descriptions") {
+    val metas = MetadataXml.parse(edmx, "priority")
+    assert(metas.map(_.entityName) == Seq("ORDERS", "ORDERITEMS"))
+    val orders = metas.head
+    assert(orders.fields.map(_.fieldName) == Seq("ORDNAME", "CURDATE", "QPRICE", "ORD"))
+    assert(orders.entityPk == Seq("ORDNAME"))
+    assert(orders.fields.head.keyFlag && orders.fields.head.desc == "Order name")
+    val items = metas(1)
+    assert(items.entityPk == Seq("ORDNAME", "LINE")) // composite PK
+    assert(items.fields.count(_.keyFlag) == 2)
+  }
+
+  test("parsed metadata flows into StructType + DDL (O8 → O16)") {
+    val metas = MetadataXml.parse(edmx, "priority")
+    val st = EdmTypes.toStructType(metas.head)
+    assert(st("ordname").dataType == StringType) // PK erasure rule
+    assert(st("ord").dataType == LongType)
+    assert(EdmTypes.ddl(metas(1)).contains("PRIMARY KEY (ordname, line)"))
+  }
+
+  test("catalog lifecycle: ensure db, deploy tables iff absent, reset drops all (O20/O21)") {
+    val db = "acc_testacc"
+    assert(!CatalogOps.ensureDatabase(spark, db)) // created now
+    assert(CatalogOps.ensureDatabase(spark, db)) // already exists
+
+    val metas = MetadataXml.parse(edmx, "priority")
+    val first = CatalogOps.deployTables(spark, db, metas)
+    assert(first.values.forall(_ == "success"))
+    assert(CatalogOps.tableExists(spark, db, "stg_orders"))
+    val second = CatalogOps.deployTables(spark, db, metas)
+    assert(second.values.forall(_ == "exists")) // create-iff-absent
+
+    val msg = CatalogOps.dropAll(spark, db)
+    assert(msg == "All 2 tables dropped.")
+    assert(!CatalogOps.tableExists(spark, db, "stg_orders"))
+  }
+
+  test("fixture metadata matches the XML-derived metadata (A2 vs $metadata)") {
+    val fromXml = MetadataXml.parse(edmx, "priority").head
+    assert(fromXml.fields.map(f => (f.fieldName, f.sourceDataType, f.keyFlag)) ==
+      Fixtures.ordersMeta.fields.map(f => (f.fieldName, f.sourceDataType, f.keyFlag)))
+  }
+}
