@@ -19,7 +19,8 @@ object SparkEntry {
     qm.PipelineQueries,
     qm.ExpressionQueries,
     qm.ExtraRelationalQueries,
-    qm.LlmQueries2)
+    qm.LlmQueries2,
+    qm.AnalyticQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -44,7 +44,10 @@ object CatalogOps {
     * reference's deleteTables). Returns "All N tables dropped." to match the
     * run-report contract (readme.md:721-731). */
   def dropAll(spark: SparkSession, db: String): String = {
+    // listTables(db) also returns session temp views (database = null);
+    // a database reset must only touch the database's own objects.
     val tables = spark.catalog.listTables(db).collect()
+      .filter(t => t.database == db)
     val (views, plain) = tables.partition(_.tableType == "VIEW")
     views.foreach(v => spark.sql(s"DROP VIEW IF EXISTS `$db`.`${v.name}`"))
     plain.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$db`.`${t.name}`"))

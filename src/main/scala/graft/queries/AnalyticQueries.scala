@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{H, Q, QueryModule}
+import graft.H.{dec2, tbl}
+
+/** Analytic-function completions: distribution ranks (exact rational
+  * doubles, so engine-bit-exact), ntile, first/last value with explicit
+  * frames, discrete median via window selection, and calendar gap-filling —
+  * the "resample with zero-fill" ETL staple.
+  */
+object AnalyticQueries extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+
+    Q("win_analytic_extras",
+      Some("SELECT c_custkey, c_nationkey, " +
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+        "percent_rank() OVER w AS pr, " +
+        "cume_dist() OVER w AS cd, " +
+        "first_value(c_custkey) OVER " +
+        "(PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest, " +
+        "last_value(c_custkey) OVER " +
+        "(PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest " +
+        "FROM customer WINDOW w AS " +
+        "(PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) " +
+        "ORDER BY c_custkey"),
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            first(col("c_custkey")).over(whole).as("richest"),
+            last(col("c_custkey")).over(whole).as("poorest"))
+          .orderBy("c_custkey")
+      }),
+
+    // Discrete median (lower middle) selected by window position — exact in
+    // both engines, unlike interpolated percentile implementations.
+    Q("agg_median_disc",
+      Some("WITH r AS (SELECT event_type, value, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM events) " +
+        "SELECT event_type, value AS median_value FROM r " +
+        "WHERE rn = (n + 1) // 2 ORDER BY event_type"),
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        val wc = Window.partitionBy("event_type")
+        H.events(s, dir)
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wc))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("event_type"), col("value").as("median_value"))
+          .orderBy("event_type")
+      }),
+
+    // Calendar gap-fill: a generated day spine × event-type dim, left-joined
+    // to daily aggregates, missing days zero-filled.
+    Q("stream_gapfill",
+      Some("WITH spine AS (SELECT unnest(generate_series(DATE '2024-01-01', " +
+        "DATE '2024-01-30', INTERVAL 1 DAY))::DATE AS day), " +
+        "types AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type), " +
+        "daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, " +
+        "count(*) AS n FROM events GROUP BY 1, 2) " +
+        "SELECT strftime(s.day, '%Y-%m-%d') AS day, t.event_type, " +
+        "coalesce(d.n, 0) AS n " +
+        "FROM spine s CROSS JOIN types t " +
+        "LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type " +
+        "ORDER BY 1, 2"),
+      (s, dir) => {
+        val spine = s.range(1)
+          .select(explode(expr(
+            "sequence(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)"))
+            .as("day"))
+        import s.implicits._
+        val types = Seq("click", "error", "purchase", "signup", "view")
+          .toDF("event_type")
+        val daily = H.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        spine.crossJoin(types)
+          .join(daily, Seq("day", "event_type"), "left")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("day", "event_type")
+      }))
+}
