@@ -106,6 +106,31 @@ object Relational {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Large×large time-proximity join: pairs with |left.ts - right.ts| <=
+    * radius. A naive theta join is a cross product; here both sides bin
+    * into radius-width buckets (micros), the left side probes bins
+    * {b-1, b, b+1} via an EQUI-join, and the exact predicate filters the
+    * bucket neighbors — cost follows matches per bucket, not |L|×|R|. Each
+    * qualifying pair matches in exactly one right bin, so no dedup needed.
+    */
+  def proximityJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      radiusSeconds: Long): DataFrame = {
+    val radiusMicros = radiusSeconds * 1000000L
+    val lb = left.withColumn("_lbin",
+      expr(s"unix_micros($leftTs) div ${radiusMicros}L"))
+      .withColumn("_bin", explode(expr("array(_lbin - 1L, _lbin, _lbin + 1L)")))
+      .drop("_lbin")
+    val rb = right.withColumn("_bin",
+      expr(s"unix_micros($rightTs) div ${radiusMicros}L"))
+    lb.join(rb, "_bin")
+      .filter(abs(expr(s"unix_micros($leftTs) - unix_micros($rightTs)")) <= radiusMicros)
+      .drop("_bin")
+  }
+
   /** Skew-safe equi-join: salt the skewed (large) side's key over `factor`
     * sub-keys and replicate the other side once per salt, so a hot key's
     * rows spread across `factor` tasks instead of one straggler. Join

@@ -62,6 +62,32 @@ object AnalyticQueries extends QueryModule {
           .orderBy("event_type")
       }),
 
+    // Large×large time-range join via binning: clicks within ±1h of each
+    // purchase, counted — an equi-join on time buckets plus an exact
+    // predicate, never a cross product (graft.ops.Relational.proximityJoin).
+    Q("join_range_time",
+      Some("WITH p AS (SELECT event_id AS p_id, ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT ts AS cts FROM events WHERE event_type = 'click'), " +
+        "j AS (SELECT p_id, count(*) AS n FROM p JOIN c " +
+        "ON cts >= p.ts - INTERVAL '1 hour' AND cts <= p.ts + INTERVAL '1 hour' " +
+        "GROUP BY p_id) " +
+        "SELECT p.p_id, coalesce(j.n, 0) AS n_clicks " +
+        "FROM p LEFT JOIN j ON j.p_id = p.p_id ORDER BY p.p_id"),
+      (s, dir) => {
+        val ev = H.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("ts").as("c_ts"))
+        val matched = graft.ops.Relational
+          .proximityJoin(p, c, "p_ts", "c_ts", radiusSeconds = 3600L)
+          .groupBy("p_id").agg(count(lit(1)).as("n"))
+        p.join(matched, Seq("p_id"), "left")
+          .select(col("p_id"), coalesce(col("n"), lit(0L)).as("n_clicks"))
+          .orderBy("p_id")
+      }),
+
     // Calendar gap-fill: a generated day spine × event-type dim, left-joined
     // to daily aggregates, missing days zero-filled.
     Q("stream_gapfill",

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+final case class Click(user_id: Long, ts: Timestamp, value: Double)
+final case class UserTotal(user_id: Long, n: Long, total: Double)
+
+/** Custom streaming state via flatMapGroupsWithState — the §2.2 stateful
+  * surface beyond built-in windows: a per-user running total that survives
+  * across micro-batches.
+  */
+class StatefulStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("flatMapGroupsWithState keeps per-key state across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Click]
+
+    val totals = in.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Click], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserTotal(user,
+            prev.n + batch.size,
+            prev.total + batch.map(_.value).sum)
+          state.update(next)
+          Iterator.single(next)
+      }
+
+    val q = totals.writeStream.outputMode("update")
+      .format("memory").queryName("user_totals").start()
+    try {
+      in.addData(Click(1, t("2024-01-01 00:00:01"), 10.0),
+        Click(1, t("2024-01-01 00:00:02"), 5.0),
+        Click(2, t("2024-01-01 00:00:03"), 1.0))
+      q.processAllAvailable()
+      in.addData(Click(1, t("2024-01-01 00:10:00"), 2.5))
+      q.processAllAvailable()
+
+      val latest = spark.table("user_totals")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n").as("n"),
+          org.apache.spark.sql.functions.max("total").as("total"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(latest == Set((1L, 3L, 17.5), (2L, 1L, 1.0))) // state carried over
+    } finally q.stop()
+  }
+}
