@@ -101,6 +101,49 @@ object CustomExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Fused Σ(a[i]-b[i])² — squared L2 distance, left-assoc like the
+    * unrolled formulation (bit-identical results). */
+  case class SquaredDistance(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getDouble(i) - y.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = $a.getDouble($i) - $b.getDouble($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SquaredDistance =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ---- Column API ---------------------------------------------------------
 
   def rolling_hash(c: Column): Column =
@@ -109,6 +152,10 @@ object CustomExpressions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       CosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def squared_distance(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      SquaredDistance(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   // ---- SQL registration ---------------------------------------------------
 

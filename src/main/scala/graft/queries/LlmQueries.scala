@@ -149,17 +149,16 @@ object LlmQueries extends QueryModule {
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val n = e.withColumn("nrm", VS.norm2("v"))
-          .withColumn("bucket", VS.lshBucket("v"))
+        val n = e.withColumn("bucket", VS.lshBucket("v"))
         val q = n.select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bucket")).filter(col("qid") < 10)
+          col("bucket")).filter(col("qid") < 10)
         val c = n.select(col("vec_id").as("vid"), col("v").as("cv"),
-          col("nrm").as("cn"), col("bucket").as("bucket_c"))
+          col("bucket").as("bucket_c"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
         c.join(broadcast(q),
             col("bucket") === col("bucket_c") && col("vid") =!= col("qid"))
-          .withColumn("sim",
-            VS.dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
+          // fused native cosine: bit-identical to the oracle's unrolled form
+          .withColumn("sim", graft.functions.CustomExpressions.cosine_sim(col("qv"), col("cv")))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 3)
           .select("qid", "vid", "rnk", "sim").orderBy("qid", "rnk")

@@ -35,27 +35,26 @@ object LlmQueries2 extends QueryModule {
         "(PARTITION BY qid ORDER BY sim DESC, vid) AS BIGINT) AS rnk, sim " +
         "FROM p QUALIFY rnk <= 3 ORDER BY qid, rnk"),
       (s, dir) => {
+        import graft.functions.{CustomExpressions => CE}
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val n = e.withColumn("nrm", VS.norm2("v"))
         val cent = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("v").as("cv"))
         val aw = Window.partitionBy("vec_id").orderBy(col("ssd"), col("cid"))
-        val assign = n.join(broadcast(cent))
-          .withColumn("ssd", VS.ssd("v", "cv"))
+        // fused native distance/cosine: bit-identical to the unrolled oracle
+        val assign = e.join(broadcast(cent))
+          .withColumn("ssd", CE.squared_distance(col("v"), col("cv")))
           .withColumn("arn", row_number().over(aw))
           .filter(col("arn") === 1)
           .select(col("vec_id"), col("cid").as("cell"))
-        val cells = n.join(assign, "vec_id").cache()
+        val cells = e.join(assign, "vec_id").cache()
         val q = cells.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("v").as("qv"),
-            col("nrm").as("qn"), col("cell"))
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
         val c = cells.select(col("vec_id").as("vid"), col("v").as("cv"),
-          col("nrm").as("cn"), col("cell").as("cell_c"))
+          col("cell").as("cell_c"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
         c.join(broadcast(q), col("cell") === col("cell_c") && col("vid") =!= col("qid"))
-          .withColumn("sim",
-            VS.dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
+          .withColumn("sim", CE.cosine_sim(col("qv"), col("cv")))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 3)
           .select("qid", "vid", "rnk", "sim").orderBy("qid", "rnk")
@@ -72,17 +71,16 @@ object LlmQueries2 extends QueryModule {
         "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
         "SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4 ORDER BY vec_a, vec_b"),
       (s, dir) => {
+        import graft.functions.{CustomExpressions => CE}
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val n = e.withColumn("nrm", VS.norm2("v"))
-          .withColumn("bucket", VS.lshBucket("v")).cache()
+        val n = e.withColumn("bucket", VS.lshBucket("v")).cache()
         val a = n.select(col("vec_id").as("vec_a"), col("v").as("av"),
-          col("nrm").as("an"), col("bucket"))
+          col("bucket"))
         val b = n.select(col("vec_id").as("vec_b"), col("v").as("bv"),
-          col("nrm").as("bn"), col("bucket").as("bucket_b"))
+          col("bucket").as("bucket_b"))
         a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
-          .withColumn("sim",
-            VS.dot("av", "bv") / (sqrt(col("an")) * sqrt(col("bn"))))
+          .withColumn("sim", CE.cosine_sim(col("av"), col("bv")))
           .filter(col("sim") >= 0.4)
           .select("vec_a", "vec_b", "sim").orderBy("vec_a", "vec_b")
       }),

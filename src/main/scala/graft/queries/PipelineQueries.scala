@@ -44,6 +44,8 @@ object PipelineQueries extends QueryModule {
           parent = tbl(s, dir, "orders"), child = tbl(s, dir, "lineitem"),
           parentKey = "o_orderkey", childKey = "l_orderkey",
           subformName = "lineitems_subform", sortCols = Seq("l_linenumber"))
+        // deliberately NOT cached: materializing the array-of-struct column
+        // costs more than recomputing the nest for the two table writes
         val reports = Refresh.refreshAll(
           config, incremental = true,
           sources = _ => nested,
