@@ -46,4 +46,40 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it => it.map { case (id, bytes) => decodeMeta(id, bytes) } }
   }
+
+  final case class MediaTransform(
+      doc_id: Long,
+      resized_len: Long,
+      resized_md5: String,
+      n_vowel: Long,
+      n_space: Long,
+      n_other: Long)
+
+  /** STUB resize + feature-extract over the real bytes: "resize" keeps every
+    * 4th byte (a deterministic stand-in for pixel subsampling) and hashes
+    * the result; features are byte-class counts. All real executor-side
+    * byte-array work in one mapPartitions batch. */
+  def transform(spark: SparkSession, docs: DataFrame): Dataset[MediaTransform] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val resized = bytes.indices.collect {
+            case i if i % 4 == 0 => bytes(i)
+          }.toArray
+          md.reset()
+          val hex = md.digest(resized).map("%02x".format(_)).mkString
+          var vowel = 0L; var space = 0L; var other = 0L
+          bytes.foreach { b =>
+            val c = (b & 0xff).toChar
+            if ("aeiou".indexOf(c) >= 0) vowel += 1
+            else if (c == ' ') space += 1
+            else other += 1
+          }
+          MediaTransform(id, resized.length.toLong, hex, vowel, space, other)
+        }
+      }
+  }
 }

@@ -85,6 +85,23 @@ object LlmQueries2 extends QueryModule {
           .select("vec_a", "vec_b", "sim").orderBy("vec_a", "vec_b")
       }),
 
+    // Multimodal resize + feature-extract: stride-4 byte subsampling (the
+    // pixel-subsample stand-in) hashed, plus byte-class counts — all real
+    // executor-side byte work in one mapPartitions batch.
+    Q("multimodal_transform",
+      Some("SELECT doc_id, " +
+        "CAST((length(text) + 3) // 4 AS BIGINT) AS resized_len, " +
+        "md5(array_to_string(list_apply(range(1, length(text) + 1, 4), " +
+        "i -> substr(text, CAST(i AS INT), 1)), '')) AS resized_md5, " +
+        "CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS n_vowel, " +
+        "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space, " +
+        "CAST(length(replace(text, ' ', '')) " +
+        "- length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS n_other " +
+        "FROM documents ORDER BY doc_id"),
+      (s, dir) =>
+        graft.functions.Multimodal.transform(s, tbl(s, dir, "documents"))
+          .toDF().orderBy("doc_id")),
+
     // BPE-ish token counting: whitespace words sub-chunked to <=4 chars
     // (an aggregate higher-order fn — no UDF, stays in codegen).
     Q("text_tokens_bpe",
