@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.ConfigJson
+
+class ConfigJsonSpec extends AnyFunSuite {
+
+  private val a1 =
+    """{
+      |  "_id": "678a5c74ee789f0826b9466a",
+      |  "datasourceName": "priority_companyA",
+      |  "uri": "https://host/odata/Priority/tabmob.ini/usdemo/",
+      |  "accountID": "03445d66",
+      |  "systemTimezone": "Israel",
+      |  "sourceSystem": "priority",
+      |  "entities": [
+      |    { "EntityID": "ORDERS", "filterFlag": true, "filterField": "CURDATE",
+      |      "expand": ["ORDERITEMS"],
+      |      "lastRun": "2024-06-12 21:53:35",
+      |      "dataStartDate": "2020-05-30 00:00:00" },
+      |    { "entityID": "CTYPE", "filterFlag": false, "filterField": "",
+      |      "expand": [], "lastRun": "2024-06-12 21:53:40",
+      |      "datarStartDate": "2020-05-30 00:00:00" }
+      |  ]
+      |}""".stripMargin
+
+  test("A1 config parses; both EntityID/entityID and dataStartDate/datarStartDate accepted") {
+    val cfg = ConfigJson.parse(a1)
+    assert(cfg.accountId == "03445d66")
+    assert(cfg.entities.map(_.entityId) == Seq("ORDERS", "CTYPE"))
+    assert(cfg.entities.head.expand == Seq("ORDERITEMS"))
+    assert(cfg.entities.head.filterFlag)
+    assert(cfg.entities(1).dataStartDate.contains("2020-05-30 00:00:00")) // typo'd key
+    assert(cfg.flatEntities == Seq("ORDERS", "ORDERITEMS", "CTYPE"))
+  }
+
+  test("incremental flag is a strict boolean, unlike the reference's substring test") {
+    assert(ConfigJson.parseIncremental("true"))
+    assert(ConfigJson.parseIncremental("TRUE"))
+    assert(!ConfigJson.parseIncremental("false"))
+    assert(!ConfigJson.parseIncremental("")) // reference: "" was TRUE (in 'true')
+    assertThrows[RuntimeException](ConfigJson.parseIncremental("ru")) // ditto
+    assertThrows[RuntimeException](ConfigJson.parseIncremental("yes"))
+  }
+}
