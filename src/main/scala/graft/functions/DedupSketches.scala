@@ -27,15 +27,18 @@ object DedupSketches {
   val NumBands: Int = NumHashes / BandRows
 
   /** (doc_id, shingle) — distinct word n-grams per document. Documents
-    * shorter than n tokens produce no shingles (dropped, both engines). */
+    * shorter than n tokens produce no shingles (dropped, both engines).
+    * Set semantics come from per-doc `array_distinct` BEFORE the explode —
+    * map-side, no shuffle — equivalent to a global DISTINCT on
+    * (doc_id, shingle) since shingles never cross documents. */
   def shingles(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
-        s"CASE WHEN size(toks) >= $n THEN transform(sequence(0, size(toks) - $n), " +
+        s"array_distinct(CASE WHEN size(toks) >= $n THEN " +
+          s"transform(sequence(0, size(toks) - $n), " +
           s"i -> ${(0 until n).map(k => s"toks[i + $k]").mkString("concat(", ", ' ', ", ")")}) " +
-          "ELSE array() END")).as("shingle"))
-      .distinct()
+          "ELSE array() END)")).as("shingle"))
 
   /** DuckDB twin of `shingles` as a CTE body over `documents`. */
   def shinglesSql(n: Int): String = {
