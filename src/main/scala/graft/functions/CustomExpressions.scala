@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -22,6 +23,12 @@ object CustomExpressions {
   case class RollingHash(child: Expression) extends UnaryExpression {
 
     override def dataType: DataType = LongType
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash expects STRING, got ${other.sql}")
+    }
 
     protected override def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[UTF8String].getBytes
@@ -60,6 +67,14 @@ object CustomExpressions {
       extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"expects (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got (${l.sql}, ${r.sql})")
+      }
 
     protected override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -107,6 +122,14 @@ object CustomExpressions {
       extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"expects (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got (${l.sql}, ${r.sql})")
+      }
 
     protected override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -159,12 +182,25 @@ object CustomExpressions {
 
   // ---- SQL registration ---------------------------------------------------
 
+  private def arity(name: String, n: Int)(exprs: Seq[Expression]): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+
   /** Make the functions callable from spark.sql on an existing session. */
   def registerTemp(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+      "rolling_hash",
+      exprs => { arity("rolling_hash", 1)(exprs); RollingHash(exprs.head) },
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      "cosine_sim",
+      exprs => { arity("cosine_sim", 2)(exprs); CosineSimilarity(exprs(0), exprs(1)) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "squared_distance",
+      exprs => { arity("squared_distance", 2)(exprs); SquaredDistance(exprs(0), exprs(1)) },
+      "built-in")
   }
 }
 
@@ -181,5 +217,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CustomExpressions.CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CustomExpressions.CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("squared_distance"),
+      new ExpressionInfo(classOf[CustomExpressions.SquaredDistance].getName, "squared_distance"),
+      (exprs: Seq[Expression]) => CustomExpressions.SquaredDistance(exprs(0), exprs(1))))
   }
 }

@@ -23,8 +23,10 @@ object ConfigJson {
 
   def parse(json: String): ExtractionConfig = {
     val root = mapper.readTree(json)
+    // explicit JSON null must become None, not the string "null"
     def str(n: JsonNode, keys: String*): Option[String] =
-      keys.iterator.map(n.get).collectFirst { case v if v != null => v.asText }
+      keys.iterator.map(n.get)
+        .collectFirst { case v if v != null && !v.isNull => v.asText }
 
     val entities = Option(root.get("entities")).toSeq
       .flatMap(_.elements().asScala)

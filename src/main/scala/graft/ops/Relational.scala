@@ -172,6 +172,10 @@ object Relational {
       "left")
     val w = Window.partitionBy(col(s"l.$leftId"))
       .orderBy(col(s"r.$rightTs").desc_nulls_last, col(s"r.$rightTieBreak").desc_nulls_last)
-    joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn")
+      // drop the right side's copy of the key (equal on matches, null on
+      // misses) so the result has unambiguous columns and stays composable
+      .drop(col(s"r.$key"))
   }
 }

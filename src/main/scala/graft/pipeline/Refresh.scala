@@ -15,24 +15,33 @@ import graft.ops.Relational._
   * makes the retry idempotent (the exactly-once gap in the reference).
   */
 final class StateStore(path: String) {
+  import com.fasterxml.jackson.databind.ObjectMapper
+  import scala.jdk.CollectionConverters._
+
+  private val mapper = new ObjectMapper()
 
   def get(entity: String): Option[String] = read().get(entity)
 
   def advance(entity: String, ts: String): Unit = {
     val m = read() + (entity -> ts)
-    val json = m.toSeq.sorted
-      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
-    Files.write(Paths.get(path), json.getBytes("UTF-8"),
+    val node = mapper.createObjectNode()
+    m.toSeq.sorted.foreach { case (k, v) => node.put(k, v) }
+    // write-temp-then-atomic-move: a crash mid-write can never leave a
+    // truncated state file (which would silently re-extract everything)
+    val tmp = Paths.get(path + ".tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(node),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def read(): Map[String, String] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) Map.empty
     else {
-      val s = new String(Files.readAllBytes(p), "UTF-8").trim
-      """"([^"]+)": "([^"]+)"""".r.findAllMatchIn(s)
-        .map(m => m.group(1) -> m.group(2)).toMap
+      val root = mapper.readTree(Files.readAllBytes(p))
+      root.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
     }
   }
 }
@@ -43,6 +52,16 @@ final case class EntityReport(
     recordsWritten: Long,
     status: String)
 
+/** Watermark-advance policy (SURVEY §7.3): `EventTimeMax` advances to the
+  * max observed event time (no late-data loss; the default), `WallClock`
+  * reproduces the reference's advance-to-now behavior
+  * (priorityDataSource.py:605) for byte-compatible migrations. */
+sealed trait WatermarkAdvance
+object WatermarkAdvance {
+  case object EventTimeMax extends WatermarkAdvance
+  case object WallClock extends WatermarkAdvance
+}
+
 /** Batch refresh lifecycle — SURVEY §3.1 re-expressed as per-entity Spark
   * plans: watermark filter → parent/child subform split → lowercase →
   * lineage stamp → sink write (Append if incremental, Overwrite if full) →
@@ -51,9 +70,13 @@ final case class EntityReport(
   */
 object Refresh {
 
+  final case class EntityResult(
+      reports: Seq[EntityReport],
+      maxEventTime: Option[String])
+
   /** One entity: returns a report per written table (parent + one per
-    * subform). `subforms` maps nested array-of-struct column → child table
-    * name. */
+    * subform) plus the max observed event time for the watermark advance.
+    * `subforms` maps nested array-of-struct column → child table name. */
   def refreshEntity(
       entity: EntityConfig,
       incremental: Boolean,
@@ -62,7 +85,7 @@ object Refresh {
       parentPk: Seq[String],
       sinkDir: String,
       runId: String,
-      runTs: String): Seq[EntityReport] = {
+      runTs: String): EntityResult = {
 
     val filtered = watermarkFilter(entity, incremental)(source)
     val stage = (df: DataFrame) =>
@@ -81,13 +104,28 @@ object Refresh {
         childTable, n, "success")
     }
 
-    EntityReport(entity.entityId.toLowerCase, parentTable, parentN, "success") +:
-      childReports
+    val maxEventTime =
+      if (entity.filterFlag && entity.filterField.nonEmpty)
+        filtered
+          .agg(org.apache.spark.sql.functions.date_format(
+            org.apache.spark.sql.functions.max(
+              org.apache.spark.sql.functions.col(entity.filterField)),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("m"))
+          .collect().headOption.flatMap(r => Option(r.getString(0)))
+      else None
+
+    EntityResult(
+      EntityReport(entity.entityId.toLowerCase, parentTable, parentN, "success") +:
+        childReports,
+      maxEventTime)
   }
 
   /** All entities with per-entity failure isolation and write-then-advance
-    * watermark ordering. `sources` resolves an entity id to its (possibly
-    * nested) DataFrame. */
+    * watermark ordering: the watermark moves only AFTER a successful load,
+    * and (under EventTimeMax) only to the max event time actually observed —
+    * never past data that hasn't been read (the reference's wall-clock
+    * advance loses rows committed between fetch and advance). `sources`
+    * resolves an entity id to its (possibly nested) DataFrame. */
   def refreshAll(
       config: ExtractionConfig,
       incremental: Boolean,
@@ -97,13 +135,19 @@ object Refresh {
       sinkDir: String,
       state: StateStore,
       runId: String,
-      runTs: String): Seq[EntityReport] =
+      runTs: String,
+      advance: WatermarkAdvance = WatermarkAdvance.EventTimeMax): Seq[EntityReport] =
     config.entities.flatMap { e =>
       Try(refreshEntity(e, incremental, sources(e.entityId), subformsOf(e.entityId),
         pkOf(e.entityId), sinkDir, runId, runTs)) match {
-        case Success(reports) =>
-          state.advance(e.entityId, runTs) // after successful load only
-          reports
+        case Success(result) =>
+          val newMark = advance match {
+            case WatermarkAdvance.WallClock => Some(runTs)
+            case WatermarkAdvance.EventTimeMax => result.maxEventTime
+            // no rows / no filter field -> leave lastRun untouched
+          }
+          newMark.foreach(state.advance(e.entityId, _)) // after load only
+          result.reports
         case Failure(ex) =>
           Seq(EntityReport(e.entityId.toLowerCase,
             s"stg_${e.entityId.toLowerCase}", 0L, s"error: ${ex.getMessage}"))
@@ -116,15 +160,13 @@ object Refresh {
   * typed DDL at sqlDwh.py:320-390). */
 object Sinks {
 
-  /** Write, then report rows written this run by re-reading the sink
-    * (the run-report count, O23). */
+  /** Write, then report rows written this run (the run-report count, O23).
+    * The count comes from evaluating the staged plan once more — O(rows
+    * written this run), unlike counting the whole sink, which grows without
+    * bound as an incremental table accumulates. */
   def writeParquet(df: DataFrame, path: String, mode: SaveMode): Long = {
-    val before =
-      if (mode == SaveMode.Append && Files.exists(Paths.get(path)))
-        df.sparkSession.read.parquet(path).count()
-      else 0L
     df.write.mode(mode).parquet(path)
-    df.sparkSession.read.parquet(path).count() - before
+    df.count()
   }
 
   def writeCsv(df: DataFrame, path: String): Unit =

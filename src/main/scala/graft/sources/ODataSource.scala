@@ -144,11 +144,33 @@ final class ODataPageReader(page: ODataPage) extends PartitionReader[InternalRow
       case (StructField(_, StringType, _, _), v) => UTF8String.fromString(v.toString)
       case (StructField(_, TimestampType, _, _), v: java.sql.Timestamp) =>
         DateTimeUtils.fromJavaTimestamp(v)
+      case (StructField(_, TimestampType, _, _), v: java.time.Instant) =>
+        DateTimeUtils.instantToMicros(v)
       case (StructField(_, TimestampNTZType, _, _), v: java.time.LocalDateTime) =>
         DateTimeUtils.localDateTimeToMicros(v)
-      case (_, v) => v
+      case (StructField(_, DateType, _, _), v: java.sql.Date) =>
+        DateTimeUtils.fromJavaDate(v)
+      case (StructField(_, DateType, _, _), v: java.time.LocalDate) =>
+        DateTimeUtils.localDateToDays(v)
+      case (StructField(_, dt: DecimalType, _, _), v: java.math.BigDecimal) =>
+        org.apache.spark.sql.types.Decimal(v, dt.precision, dt.scale)
+      case (f, v) if isPassthrough(f.dataType, v) => v
+      case (f, v) =>
+        sys.error(s"odata reader: unsupported ${f.dataType} value ${v.getClass}")
     }
     new GenericInternalRow(vals.toArray[Any])
+  }
+
+  private def isPassthrough(dt: DataType, v: Any): Boolean = (dt, v) match {
+    case (LongType, _: java.lang.Long) => true
+    case (IntegerType, _: java.lang.Integer) => true
+    case (DoubleType, _: java.lang.Double) => true
+    case (FloatType, _: java.lang.Float) => true
+    case (BooleanType, _: java.lang.Boolean) => true
+    case (ShortType, _: java.lang.Short) => true
+    case (ByteType, _: java.lang.Byte) => true
+    case (BinaryType, _: Array[Byte]) => true
+    case _ => false
   }
 }
 

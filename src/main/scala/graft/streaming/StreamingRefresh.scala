@@ -32,13 +32,29 @@ object StreamingRefresh {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** Stateful upsert sink: per micro-batch, keep-latest by key then
-    * idempotently overwrite the keyed partition (a MERGE stand-in for the
-    * parquet harness; production target is Delta MERGE / JDBC txn). */
+  /** Stateful upsert sink: per micro-batch, merge the batch into the keyed
+    * sink with keep-latest semantics (a MERGE stand-in for the parquet
+    * harness; production target is Delta MERGE / JDBC txn). The merged
+    * result is written to a temp dir and atomically swapped in, so a failed
+    * batch leaves the previous sink intact, and a retried batchId re-merges
+    * to the identical state — idempotent both across batches (a key's newer
+    * version replaces the old row) and across retries.
+    */
   def upsertBatch(keyCols: Seq[String], orderCol: String, outDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
-    val deduped = graft.ops.Relational.dedupLatestByPk(keyCols, orderCol)(batch)
-    deduped.write.mode("append").parquet(outDir)
+    val spark = batch.sparkSession
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = // an existing-but-empty dir has no schema to read
+      if (fs.exists(out) && fs.listStatus(out).nonEmpty)
+        Some(spark.read.parquet(outDir))
+      else None
+    val merged = graft.ops.Relational.dedupLatestByPk(keyCols, orderCol)(
+      existing.map(batch.unionByName(_)).getOrElse(batch))
+    val tmp = new org.apache.hadoop.fs.Path(outDir + s"_tmp_batch$batchId")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(out)) fs.delete(out, true)
+    fs.rename(tmp, out)
   }
 
   /** Run a streaming refresh to completion over currently-available data

@@ -58,7 +58,8 @@ class BootstrapSpec extends AnyFunSuite {
     assert(report.loadReports.map(_.status).forall(_ == "success"))
     val orders = report.loadReports.find(_.tableName == "stg_orders").get
     assert(orders.recordsWritten == H.tbl(spark, sf, "orders").count())
-    assert(state.get("ORDERS").contains("2026-01-01 00:00:00"))
+    // unfiltered entity: no watermark field, so nothing to advance
+    assert(state.get("ORDERS").isEmpty)
     assert(CatalogOps.tableExists(spark, "acc_bootacc", "stg_orders"))
 
     // reset: drop-all then full rebuild (idempotent end state)
@@ -69,6 +70,6 @@ class BootstrapSpec extends AnyFunSuite {
       sinkDir = dir, state = state, runId = "RUN2", runTs = "2026-01-02 00:00:00")
     assert(dropMsg == "All 2 tables dropped.")
     assert(report2.tablesDeployed.values.forall(_ == "success"))
-    assert(state.get("ORDERS").contains("2026-01-02 00:00:00"))
+    assert(state.get("ORDERS").isEmpty)
   }
 }

@@ -35,6 +35,14 @@ class ConfigJsonSpec extends AnyFunSuite {
     assert(cfg.flatEntities == Seq("ORDERS", "ORDERITEMS", "CTYPE"))
   }
 
+  test("explicit JSON null parses as None, not the string \"null\"") {
+    val cfg = ConfigJson.parse(
+      """{"entities": [{"EntityID": "X", "filterFlag": true,
+        |"filterField": "ts", "lastRun": null, "dataStartDate": null}]}""".stripMargin)
+    assert(cfg.entities.head.lastRun.isEmpty)
+    assert(cfg.entities.head.dataStartDate.isEmpty)
+  }
+
   test("incremental flag is a strict boolean, unlike the reference's substring test") {
     assert(ConfigJson.parseIncremental("true"))
     assert(ConfigJson.parseIncremental("TRUE"))

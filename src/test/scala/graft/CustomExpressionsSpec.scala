@@ -60,7 +60,19 @@ class CustomExpressionsSpec extends AnyFunSuite {
     assert(both.filter(col("fused") =!= col("unrolled")).count() == 0)
   }
 
-  test("GraftExtensions registers both functions without error") {
+  test("SQL surface rejects wrong input types at analysis, wrong arity at parse") {
+    import spark.implicits._
+    CE.registerTemp(spark)
+    Seq((1L, "x")).toDF("id", "t").createOrReplaceTempView("tc_in")
+    val typeErr = intercept[Exception](
+      spark.sql("SELECT rolling_hash(id) FROM tc_in").collect())
+    assert(typeErr.getMessage.contains("rolling_hash expects STRING"), typeErr.getMessage)
+    val arityErr = intercept[Exception](
+      spark.sql("SELECT cosine_sim(array(1.0)) FROM tc_in").collect())
+    assert(arityErr.getMessage.contains("expects 2 argument"), arityErr.getMessage)
+  }
+
+  test("GraftExtensions registers all three functions without error") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // throws on malformed injection
   }

@@ -45,7 +45,8 @@ class PipelineSpec extends AnyFunSuite {
       runId = "RUN", runTs = "2026-01-01 00:00:00")
     assert(reports.map(_.status).count(_ == "success") == 1)
     assert(reports.exists(_.status.startsWith("error")))
-    assert(st.get("ORDERS").contains("2026-01-01 00:00:00"))
+    // unfiltered entity under EventTimeMax: no watermark to advance
+    assert(st.get("ORDERS").isEmpty)
     assert(st.get("BROKEN").isEmpty) // write-then-advance: no advance on failure
     val staged = spark.read.parquet(s"$dir/stg_orders")
     assert(staged.count() == H.tbl(spark, sf, "orders").count())
@@ -64,6 +65,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/stg_orders").count() == 20) // 10 + appended 10
     run(incr = false)
     assert(spark.read.parquet(s"$dir/stg_orders").count() == 10) // overwritten
+  }
+
+  test("watermark advance: EventTimeMax uses max observed event time, WallClock uses runTs") {
+    import graft.pipeline.WatermarkAdvance
+    val e = EntityConfig("ORDERS", filterFlag = true, "o_orderdate", Seq.empty,
+      lastRun = Some("1990-01-01 00:00:00"), dataStartDate = Some("1990-01-01 00:00:00"))
+    def run(advance: WatermarkAdvance, dir: String, st: StateStore) =
+      Refresh.refreshAll(cfg(e), incremental = true,
+        _ => H.tbl(spark, sf, "orders"), _ => Map.empty, _ => Seq("o_orderkey"),
+        dir, st, "RUN", "2026-01-01 00:00:00", advance)
+
+    val d1 = Files.createTempDirectory("wm1").toString
+    val st1 = new StateStore(s"$d1/state.json")
+    run(WatermarkAdvance.EventTimeMax, d1, st1)
+    val maxDate = H.tbl(spark, sf, "orders")
+      .agg(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.max("o_orderdate"),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS")).collect()(0).getString(0)
+    assert(st1.get("ORDERS").contains(maxDate)) // never past observed data
+
+    val d2 = Files.createTempDirectory("wm2").toString
+    val st2 = new StateStore(s"$d2/state.json")
+    run(WatermarkAdvance.WallClock, d2, st2)
+    assert(st2.get("ORDERS").contains("2026-01-01 00:00:00")) // reference mode
   }
 
   test("jdbc writer options carry typed columns and batching") {

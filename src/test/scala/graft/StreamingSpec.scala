@@ -97,5 +97,20 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     q2.awaitTermination(60000)
     assert(spark.read.parquet(out).count() == 2)
+
+    // a LATER micro-batch updating an existing key must upsert, not append:
+    // new source file -> new batch under the same checkpoint
+    Seq(Ev(2, t("2024-01-01 00:09:00"), 2, "view", 99.0))
+      .toDF().write.mode("append").parquet(src)
+    val q3 = stream.writeStream
+      .foreachBatch(StreamingRefresh.upsertBatch(Seq("event_id"), "ts", out) _)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination(60000)
+    val after = spark.read.parquet(out)
+    assert(after.count() == 2) // still one row per key
+    val v2 = after.filter(col("event_id") === 2).select("value").collect()(0).getDouble(0)
+    assert(v2 == 99.0) // cross-batch key update replaced the old version
   }
 }
