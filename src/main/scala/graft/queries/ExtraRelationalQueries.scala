@@ -88,6 +88,31 @@ object ExtraRelationalQueries extends QueryModule {
           "FROM orders_sq ORDER BY o_orderkey")
       }),
 
+    // Array/struct collection functions over a built nested column.
+    Q("scalar_collections",
+      Some("SELECT doc_id, toks[1] AS first_tok, " +
+        "toks[len(toks)] AS last_tok, " +
+        "CAST(list_contains(toks, 'spark') AS INTEGER) AS has_spark, " +
+        "CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS data_pos, " +
+        "array_to_string(list_sort(toks[1:3]), '|') AS head3_sorted, " +
+        "{'id': doc_id, 'n': len(toks)}.n AS packed_n " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) " +
+        "ORDER BY doc_id"),
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"),
+            element_at(col("toks"), 1).as("first_tok"),
+            element_at(col("toks"), -1).as("last_tok"),
+            array_contains(col("toks"), "spark").cast("int").as("has_spark"),
+            // Spark's array_position returns 0 when absent; DuckDB's
+            // list_position returns NULL -> coalesced in the oracle
+            array_position(col("toks"), "data").cast("long").as("data_pos"),
+            array_join(sort_array(slice(col("toks"), 1, 3)), "|").as("head3_sorted"),
+            struct(col("doc_id").as("id"), size(col("toks")).as("n"))
+              .getField("n").cast("long").as("packed_n"))
+          .orderBy("doc_id")),
+
     // CSV source+sink round-trip: write typed rows to CSV, read them back
     // with an explicit schema (never inference — O8 discipline).
     Q("source_csv_roundtrip",
