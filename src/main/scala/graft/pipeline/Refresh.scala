@@ -183,4 +183,24 @@ object Sinks {
       "batchsize" -> "10000",
       "isolationLevel" -> "READ_COMMITTED",
       "rewriteBatchedStatements" -> "true")
+
+  /** Partitioned JDBC *scan* options (readback of what the pipeline wrote,
+    * SURVEY §2.2): stride the table over `numPartitions` ranges of a numeric
+    * key so the read parallelizes instead of single-streaming the JDBC
+    * cursor. */
+  def jdbcScanOptions(
+      url: String,
+      table: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int = 32): Map[String, String] =
+    Map(
+      "url" -> url,
+      "dbtable" -> table,
+      "partitionColumn" -> partitionColumn,
+      "lowerBound" -> lowerBound.toString,
+      "upperBound" -> upperBound.toString,
+      "numPartitions" -> numPartitions.toString,
+      "fetchsize" -> "10000")
 }

@@ -50,6 +50,21 @@ class ODataSourceSpec extends AnyFunSuite {
     assert(paged.rdd.getNumPartitions >= 3, paged.rdd.getNumPartitions.toString)
   }
 
+  test("reader converts decimal and date columns (not just strings/timestamps)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("odata_dec").toString + "/t"
+    spark.sql("SELECT 1L AS id, CAST(12.345 AS DECIMAL(10,3)) AS amount, " +
+        "DATE '2024-06-01' AS d " +
+        "UNION ALL SELECT 2L, CAST(0.001 AS DECIMAL(10,3)), DATE '2024-06-02'")
+      .write.mode("overwrite").parquet(dir)
+    ODataTestServer.register(spark, "typed", dir)
+    val got = spark.read.format("graft.sources.ODataSource")
+      .option("entity", "typed").load()
+      .orderBy("id").collect()
+    assert(got(0).getDecimal(1).toPlainString == "12.345")
+    assert(got(1).getDate(2).toString == "2024-06-02")
+  }
+
   test("unsupported predicates stay residual and results remain correct") {
     val df = load().filter(col("c_name").contains("42")) // StringContains: not pushed
     val expected = H.tbl(spark, sf, "customer")

@@ -95,6 +95,9 @@ class PipelineSpec extends AnyFunSuite {
     val opts = Sinks.jdbcOptions(Fixtures.ordersMeta, "jdbc:sqlserver://h;db=x", "stg_orders")
     assert(opts("createTableColumnTypes").contains("ordname VARCHAR(255)"))
     assert(opts("batchsize") == "10000")
+    val scan = Sinks.jdbcScanOptions("jdbc:sqlserver://h;db=x", "stg_orders",
+      "ord", 0L, 1000000L)
+    assert(scan("numPartitions") == "32" && scan("partitionColumn") == "ord")
   }
 
   test("csv debug sink writes readable rows (O15)") {
