@@ -102,6 +102,29 @@ object LlmQueries2 extends QueryModule {
         graft.functions.Multimodal.transform(s, tbl(s, dir, "documents"))
           .toDF().orderBy("doc_id")),
 
+    // Fuzzy matching: edit distance over bucketed pairs (prefix-limited so
+    // the DP cost is bounded per pair; candidates from the same lang+source
+    // bucketing as the n-gram pipeline, never all-pairs).
+    Q("text_edit_distance",
+      Some("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS BIGINT) AS edit_dist " +
+        "FROM documents a JOIN documents b ON a.lang = b.lang " +
+        "AND a.source = b.source AND a.doc_id < b.doc_id " +
+        "ORDER BY doc_a, doc_b"),
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val a = docs.select(col("doc_id").as("doc_a"),
+          substring(col("text"), 1, 60).as("head_a"), col("lang"), col("source"))
+        val b = docs.select(col("doc_id").as("doc_b"),
+          substring(col("text"), 1, 60).as("head_b"),
+          col("lang").as("lang_b"), col("source").as("source_b"))
+        a.join(b, col("lang") === col("lang_b") &&
+            col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("head_a"), col("head_b")).cast("long").as("edit_dist"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
     // BPE-ish token counting: whitespace words sub-chunked to <=4 chars
     // (an aggregate higher-order fn — no UDF, stays in codegen).
     Q("text_tokens_bpe",
