@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -64,15 +65,53 @@ final class ODataTable(entity: String, schema0: StructType, pageSize: Int)
     new ODataScanBuilder(entity, schema0, pageSize)
 }
 
+/** Aggregates the service can compute itself (OData `$apply=aggregate`). */
+sealed trait ODataAgg
+object ODataAgg {
+  case object CountAll extends ODataAgg
+  final case class MinOf(col: String) extends ODataAgg
+  final case class MaxOf(col: String) extends ODataAgg
+}
+
 final class ODataScanBuilder(entity: String, full: StructType, pageSize: Int)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
   private var limit: Option[Int] = None
+  private var aggs: Option[Seq[ODataAgg]] = None
+
+  private def translateAggs(agg: Aggregation): Option[Seq[ODataAgg]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(ODataAgg.CountAll)
+      case m: Min => m.column match {
+        case n: NamedReference if n.fieldNames.length == 1 =>
+          Some(ODataAgg.MinOf(n.fieldNames.head))
+        case _ => None
+      }
+      case m: Max => m.column match {
+        case n: NamedReference if n.fieldNames.length == 1 =>
+          Some(ODataAgg.MaxOf(n.fieldNames.head))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) Some(specs.flatten) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAggs(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAggs(agg) match {
+      case some @ Some(_) => aggs = some; true
+      case None => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rejected) = filters.partition(ODataTestServer.supportsFilter)
@@ -86,7 +125,43 @@ final class ODataScanBuilder(entity: String, full: StructType, pageSize: Int)
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
-  override def build(): Scan = new ODataScan(entity, required, pushed, limit, pageSize)
+  override def build(): Scan = aggs match {
+    case Some(specs) =>
+      new ODataAggScan(entity, full, pushed, specs)
+    case None =>
+      new ODataScan(entity, required, pushed, limit, pageSize)
+  }
+}
+
+/** Completely-pushed aggregation: the "service" answers with a single row
+  * (OData `$apply=aggregate(...)`), so Spark plans no aggregation at all. */
+final class ODataAggScan(
+    entity: String,
+    full: StructType,
+    filters: Array[Filter],
+    specs: Seq[ODataAgg]) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(specs.zipWithIndex.map {
+    case (ODataAgg.CountAll, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (ODataAgg.MinOf(c), i) => StructField(s"agg_$i", full(c).dataType)
+    case (ODataAgg.MaxOf(c), i) => StructField(s"agg_$i", full(c).dataType)
+  })
+
+  override def description(): String =
+    s"ODataAggScan(entity=$entity, $$apply=aggregate(${specs.mkString(", ")}))"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val row = ODataTestServer.aggregate(entity, filters, specs)
+    Array(ODataPage(0, Seq(row), readSchema()))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new ODataPageReader(p.asInstanceOf[ODataPage])
+    }
 }
 
 final class ODataScan(
@@ -197,10 +272,61 @@ object ODataTestServer {
     Option(entities.get(entity))
       .getOrElse(sys.error(s"entity not registered: $entity"))._1
 
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case (x: java.sql.Timestamp, y: java.time.Instant) =>
+      x.toInstant.compareTo(y)
+    case (x: java.time.LocalDateTime, y: java.time.LocalDateTime) =>
+      x.compareTo(y)
+    case (x: java.time.LocalDateTime, y: java.sql.Timestamp) =>
+      x.compareTo(y.toLocalDateTime)
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: UTF8String, y) => cmp(x.toString, y)
+    case (x, y: UTF8String) => cmp(x, y.toString)
+    case _ => sys.error(s"incomparable: $a vs $b")
+  }
+
+  private def evalFilter(f: Filter, row: Seq[Any], idx: Map[String, Int]): Boolean = {
+    def value(col: String): Any = row(idx(col))
+    f match {
+      case EqualTo(c, v) => value(c) != null && cmp(value(c), v) == 0
+      case GreaterThan(c, v) => value(c) != null && cmp(value(c), v) > 0
+      case GreaterThanOrEqual(c, v) => value(c) != null && cmp(value(c), v) >= 0
+      case LessThan(c, v) => value(c) != null && cmp(value(c), v) < 0
+      case LessThanOrEqual(c, v) => value(c) != null && cmp(value(c), v) <= 0
+      case IsNotNull(c) => value(c) != null
+      case other => sys.error(s"unsupported pushed filter: $other")
+    }
+  }
+
   def supportsFilter(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
          _: LessThan | _: LessThanOrEqual | _: IsNotNull => true
     case _ => false
+  }
+
+  /** Evaluate a completely-pushed aggregation (OData `$apply=aggregate`). */
+  def aggregate(
+      entity: String,
+      filters: Array[Filter],
+      specs: Seq[ODataAgg]): Seq[Any] = {
+    val (schema, rows) = entities.get(entity)
+    lastRequest = s"GET /$entity?$$apply=aggregate(" +
+      specs.mkString(", ") + ")" +
+      (if (filters.nonEmpty) s"&$$filter=${filters.mkString(" and ")}" else "")
+    val idx = schema.fieldNames.zipWithIndex.toMap
+    val kept = rows.filter(r => filters.forall(evalFilter(_, r, idx)))
+    specs.map {
+      case ODataAgg.CountAll => kept.size.toLong
+      case ODataAgg.MinOf(c) =>
+        val vs = kept.map(_(idx(c))).filter(_ != null)
+        if (vs.isEmpty) null else vs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+      case ODataAgg.MaxOf(c) =>
+        val vs = kept.map(_(idx(c))).filter(_ != null)
+        if (vs.isEmpty) null else vs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+    }
   }
 
   /** Evaluate $filter/$select/$top and page the result. */
@@ -217,37 +343,9 @@ object ODataTestServer {
       limit.map(n => s"&$$top=$n").getOrElse("")
 
     val idx = schema.fieldNames.zipWithIndex.toMap
-    def value(row: Seq[Any], col: String): Any = row(idx(col))
-
-    def cmp(a: Any, b: Any): Int = (a, b) match {
-      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
-      case (x: java.sql.Timestamp, y: java.time.Instant) =>
-        x.toInstant.compareTo(y)
-      case (x: java.time.LocalDateTime, y: java.time.LocalDateTime) =>
-        x.compareTo(y)
-      case (x: java.time.LocalDateTime, y: java.sql.Timestamp) =>
-        x.compareTo(y.toLocalDateTime)
-      case (x: Number, y: Number) =>
-        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-      case (x: String, y: String) => x.compareTo(y)
-      case (x: UTF8String, y) => cmp(x.toString, y)
-      case (x, y: UTF8String) => cmp(x, y.toString)
-      case _ => sys.error(s"incomparable: $a vs $b")
-    }
-
-    def eval(f: Filter, row: Seq[Any]): Boolean = f match {
-      case EqualTo(c, v) => value(row, c) != null && cmp(value(row, c), v) == 0
-      case GreaterThan(c, v) => value(row, c) != null && cmp(value(row, c), v) > 0
-      case GreaterThanOrEqual(c, v) => value(row, c) != null && cmp(value(row, c), v) >= 0
-      case LessThan(c, v) => value(row, c) != null && cmp(value(row, c), v) < 0
-      case LessThanOrEqual(c, v) => value(row, c) != null && cmp(value(row, c), v) <= 0
-      case IsNotNull(c) => value(row, c) != null
-      case other => sys.error(s"unsupported pushed filter: $other")
-    }
-
     val proj = required.fieldNames.map(idx).toSeq
     val filtered = rows.iterator
-      .filter(r => filters.forall(eval(_, r)))
+      .filter(r => filters.forall(evalFilter(_, r, idx)))
       .map(r => proj.map(r))
     val limited = limit.map(n => filtered.take(n)).getOrElse(filtered).toSeq
     limited.grouped(pageSize).toSeq match {

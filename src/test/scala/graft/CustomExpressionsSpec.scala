@@ -72,6 +72,15 @@ class CustomExpressionsSpec extends AnyFunSuite {
     assert(arityErr.getMessage.contains("expects 2 argument"), arityErr.getMessage)
   }
 
+  test("plain Scala udf() surface works too (the non-codegen fallback path)") {
+    import spark.implicits._
+    val double_it = udf((x: Long) => x * 2)
+    spark.udf.register("double_it", double_it)
+    val viaCol = Seq(21L).toDF("x").select(double_it(col("x"))).collect()(0).getLong(0)
+    val viaSql = spark.sql("SELECT double_it(21)").collect()(0).getLong(0)
+    assert(viaCol == 42L && viaSql == 42L)
+  }
+
   test("GraftExtensions registers all three functions without error") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // throws on malformed injection

@@ -50,6 +50,28 @@ class ODataSourceSpec extends AnyFunSuite {
     assert(paged.rdd.getNumPartitions >= 3, paged.rdd.getNumPartitions.toString)
   }
 
+  test("aggregate pushdown: count/min/max answered by the service ($apply=aggregate)") {
+    val df = load()
+    val agg = df.agg(count(lit(1)).as("n"), min(col("c_acctbal")).as("lo"),
+      max(col("c_acctbal")).as("hi"))
+    val row = agg.collect()(0)
+    assert(ODataTestServer.lastRequest.contains("$apply=aggregate("),
+      ODataTestServer.lastRequest)
+    val direct = H.tbl(spark, sf, "customer")
+      .agg(count(lit(1)), min(col("c_acctbal")), max(col("c_acctbal"))).collect()(0)
+    assert(row.getLong(0) == direct.getLong(0))
+    assert(row.getDouble(1) == direct.getDouble(1))
+    assert(row.getDouble(2) == direct.getDouble(2))
+    // filtered aggregate: filter is pushed along with the aggregation
+    val n = load().filter(col("c_acctbal") >= 1000.0).agg(count(lit(1))).collect()(0).getLong(0)
+    assert(n == H.tbl(spark, sf, "customer").filter(col("c_acctbal") >= 1000.0).count())
+    assert(ODataTestServer.lastRequest.contains("$filter="))
+
+    // grouped aggregation is NOT claimed: Spark must plan its own agg
+    val grouped = load().groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+    assert(grouped.count() == 25)
+  }
+
   test("reader converts decimal and date columns (not just strings/timestamps)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("odata_dec").toString + "/t"
