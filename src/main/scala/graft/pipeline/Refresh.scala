@@ -172,6 +172,28 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** Bounded file sizes for long-lived staging tables: at 100 TB an
+    * unbounded append sink degenerates into either giant or tiny files;
+    * maxRecordsPerFile caps the former, a pre-write coalesce the latter. */
+  def writeParquetSized(
+      df: DataFrame,
+      path: String,
+      mode: SaveMode,
+      maxRecordsPerFile: Long = 5000000L,
+      numFiles: Option[Int] = None): Unit = {
+    val shaped = numFiles.map(df.coalesce).getOrElse(df)
+    shaped.write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(path)
+  }
+
+  /** Stat-clustered write: sort within partitions on the filter columns so
+    * parquet row-group min/max stats become selective (query-time row-group
+    * skipping — the poor man's Z-order for a single sort key). */
+  def writeClustered(df: DataFrame, path: String, sortCols: Seq[String]): Unit =
+    df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Spark JDBC writer options for a typed Azure SQL load: explicit column
     * types (PKs VARCHAR(255), audit columns) and batched rewrites. Not
     * executed in the harness (no database); exercised by unit tests. */

@@ -46,6 +46,31 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("sized sink bounds records per file; clustered sink sorts within files") {
+    import org.apache.spark.sql.SaveMode
+    import graft.pipeline.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("sized").toString
+    val ev = H.events(spark, sf)
+
+    Sinks.writeParquetSized(ev, s"$dir/sized", SaveMode.Overwrite,
+      maxRecordsPerFile = 100L)
+    val files = new java.io.File(s"$dir/sized").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 100, f.getName)
+    }
+
+    Sinks.writeClustered(ev, s"$dir/clustered", Seq("ts"))
+    val cfiles = new java.io.File(s"$dir/clustered").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    cfiles.foreach { f =>
+      val ts = spark.read.parquet(f.getPath).select("ts").collect()
+        .map(_.getTimestamp(0).getTime)
+      assert(ts.sameElements(ts.sorted), s"${f.getName} not clustered")
+    }
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("part_sink").toString + "/events"
     val ev = H.events(spark, sf)
