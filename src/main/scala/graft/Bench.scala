@@ -22,10 +22,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm-up: scheduler, parquet footers, codegen + shuffle machinery.
+    // Best-effort per table: a missing table is the queries' problem to
+    // report, not a reason to abort the whole benchmark.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "customer", "documents", "embeddings")
-      .foreach(t => H.tbl(spark, sfDir, t).count())
-    H.events(spark, sfDir).count()
+      .foreach(t => scala.util.Try(H.tbl(spark, sfDir, t).count()))
+    scala.util.Try(H.events(spark, sfDir).count())
 
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

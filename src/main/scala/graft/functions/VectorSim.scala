@@ -36,13 +36,8 @@ object VectorSim {
   def cosineSql(a: String, an: String, b: String, bn: String): String =
     s"(${dotSql(a, b)}) / (sqrt($an) * sqrt($bn))"
 
-  /** Σ (a[i]-b[i])² — squared L2 distance, left-assoc (IVF assignment). */
-  def ssd(a: String, b: String): Column =
-    (1 to Dim).map { i =>
-      val d = element_at(col(a), i) - element_at(col(b), i)
-      d * d
-    }.reduce(_ + _)
-
+  /** Σ (a[i]-b[i])² oracle form — the Spark side uses the fused
+    * CustomExpressions.squared_distance (bit-identical by construction). */
   def ssdSql(a: String, b: String): String =
     (1 to Dim).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])").mkString(" + ")
 

@@ -75,7 +75,13 @@ object Refresh {
       maxEventTime: Option[String])
 
   /** One entity: returns a report per written table (parent + one per
-    * subform) plus the max observed event time for the watermark advance.
+    * subform) plus the watermark advance target. Run counts AND the max
+    * event time are derived from the WRITTEN SINK filtered to this run's
+    * lineage id — one consistent snapshot, so a live source changing
+    * between actions can neither skew the report nor advance the watermark
+    * past rows that were never persisted. The advance target is
+    * max(observed)+1µs: everything <= max is in the sink, so the next
+    * `>= lastRun` incremental doesn't re-extract the boundary rows forever.
     * `subforms` maps nested array-of-struct column → child table name. */
   def refreshEntity(
       entity: EntityConfig,
@@ -85,34 +91,41 @@ object Refresh {
       parentPk: Seq[String],
       sinkDir: String,
       runId: String,
-      runTs: String): EntityResult = {
+      runTs: String,
+      needEventTimeMax: Boolean = true): EntityResult = {
 
     val filtered = watermarkFilter(entity, incremental)(source)
     val stage = (df: DataFrame) =>
       stampLineage(runId, runTs)(lowercaseAll(df))
     val mode = if (incremental) SaveMode.Append else SaveMode.Overwrite
+    val spark = source.sparkSession
+
+    def thisRun(table: String): DataFrame =
+      spark.read.parquet(s"$sinkDir/$table")
+        .filter(org.apache.spark.sql.functions.col("extractionid") === runId)
 
     val parent = stage(parentProjection(subforms.keys.toSeq)(filtered))
     val parentTable = s"stg_${entity.entityId.toLowerCase}"
-    val parentN = Sinks.writeParquet(parent, s"$sinkDir/$parentTable", mode)
+    Sinks.writeParquet(parent, s"$sinkDir/$parentTable", mode)
+    val parentN = thisRun(parentTable).count()
 
     val childReports = subforms.toSeq.map { case (colName, childName) =>
       val child = stage(explodeSubform(colName, parentPk)(filtered))
       val childTable = s"stg_${childName.toLowerCase}"
-      val n = Sinks.writeParquet(child, s"$sinkDir/$childTable", mode)
+      Sinks.writeParquet(child, s"$sinkDir/$childTable", mode)
       EntityReport(s"${entity.entityId}_${childName}_SUBFORM".toLowerCase,
-        childTable, n, "success")
+        childTable, thisRun(childTable).count(), "success")
     }
 
     val maxEventTime =
-      if (entity.filterFlag && entity.filterField.nonEmpty)
-        filtered
-          .agg(org.apache.spark.sql.functions.date_format(
-            org.apache.spark.sql.functions.max(
-              org.apache.spark.sql.functions.col(entity.filterField)),
+      if (needEventTimeMax && entity.filterFlag && entity.filterField.nonEmpty) {
+        import org.apache.spark.sql.functions._
+        thisRun(parentTable)
+          .agg(date_format(
+            max(col(entity.filterField.toLowerCase)) + expr("INTERVAL 1 MICROSECOND"),
             "yyyy-MM-dd HH:mm:ss.SSSSSS").as("m"))
           .collect().headOption.flatMap(r => Option(r.getString(0)))
-      else None
+      } else None
 
     EntityResult(
       EntityReport(entity.entityId.toLowerCase, parentTable, parentN, "success") +:
@@ -137,9 +150,14 @@ object Refresh {
       runId: String,
       runTs: String,
       advance: WatermarkAdvance = WatermarkAdvance.EventTimeMax): Seq[EntityReport] =
-    config.entities.flatMap { e =>
+    config.entities.flatMap { e0 =>
+      // the state store is the live watermark; the config's lastRun is only
+      // the initial seed (the reference reads-and-advances the same Mongo
+      // doc — here the loop closes through StateStore)
+      val e = e0.copy(lastRun = state.get(e0.entityId).orElse(e0.lastRun))
       Try(refreshEntity(e, incremental, sources(e.entityId), subformsOf(e.entityId),
-        pkOf(e.entityId), sinkDir, runId, runTs)) match {
+        pkOf(e.entityId), sinkDir, runId, runTs,
+        needEventTimeMax = advance == WatermarkAdvance.EventTimeMax)) match {
         case Success(result) =>
           val newMark = advance match {
             case WatermarkAdvance.WallClock => Some(runTs)
@@ -160,14 +178,11 @@ object Refresh {
   * typed DDL at sqlDwh.py:320-390). */
 object Sinks {
 
-  /** Write, then report rows written this run (the run-report count, O23).
-    * The count comes from evaluating the staged plan once more — O(rows
-    * written this run), unlike counting the whole sink, which grows without
-    * bound as an incremental table accumulates. */
-  def writeParquet(df: DataFrame, path: String, mode: SaveMode): Long = {
+  /** Plain parquet write; run-report counts come from re-reading the sink
+    * filtered by lineage id (see Refresh.refreshEntity) so they reflect what
+    * was actually persisted. */
+  def writeParquet(df: DataFrame, path: String, mode: SaveMode): Unit =
     df.write.mode(mode).parquet(path)
-    df.count()
-  }
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

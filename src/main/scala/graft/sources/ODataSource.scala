@@ -40,8 +40,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class ODataSource extends TableProvider {
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ODataTestServer.schemaOf(options.get("entity"))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val entity = options.get("entity")
+    require(entity != null, "graft.sources.ODataSource requires .option(\"entity\", <name>)")
+    ODataTestServer.schemaOf(entity)
+  }
 
   override def getTable(
       schema: StructType,
@@ -114,7 +117,10 @@ final class ODataScanBuilder(entity: String, full: StructType, pageSize: Int)
     }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, rejected) = filters.partition(ODataTestServer.supportsFilter)
+    val (supported, rejected) = filters.partition(f =>
+      ODataTestServer.supportsFilter(f) &&
+        f.references.forall(c => full.fields.find(_.name == c)
+          .exists(sf => ODataTestServer.comparableType(sf.dataType))))
     pushed = supported
     rejected // residual filters Spark must evaluate itself
   }
@@ -272,6 +278,21 @@ object ODataTestServer {
     Option(entities.get(entity))
       .getOrElse(sys.error(s"entity not registered: $entity"))._1
 
+  /** Column types whose pushed-filter comparison the service implements;
+    * filters on anything else stay residual (Spark evaluates them). */
+  def comparableType(dt: DataType): Boolean = dt match {
+    case StringType | TimestampType | TimestampNTZType | DateType |
+         BooleanType | _: DecimalType => true
+    case _: NumericType => true
+    case _ => false
+  }
+
+  private def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
     case (x: java.sql.Timestamp, y: java.time.Instant) =>
@@ -280,6 +301,18 @@ object ODataTestServer {
       x.compareTo(y)
     case (x: java.time.LocalDateTime, y: java.sql.Timestamp) =>
       x.compareTo(y.toLocalDateTime)
+    case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+    case (x: java.sql.Date, y: java.time.LocalDate) =>
+      x.toLocalDate.compareTo(y)
+    case (x: java.time.LocalDate, y: java.time.LocalDate) => x.compareTo(y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: Number, y: Number) if isIntegral(x) && isIntegral(y) =>
+      java.lang.Long.compare(x.longValue(), y.longValue()) // exact past 2^53
+    case (x: java.math.BigDecimal, y: Number) =>
+      x.compareTo(new java.math.BigDecimal(y.toString))
+    case (x: Number, y: java.math.BigDecimal) =>
+      new java.math.BigDecimal(x.toString).compareTo(y)
     case (x: Number, y: Number) =>
       java.lang.Double.compare(x.doubleValue(), y.doubleValue())
     case (x: String, y: String) => x.compareTo(y)

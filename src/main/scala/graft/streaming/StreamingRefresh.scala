@@ -44,7 +44,13 @@ object StreamingRefresh {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val out = new org.apache.hadoop.fs.Path(outDir)
+    val bak = new org.apache.hadoop.fs.Path(outDir + "_bak")
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // recovery: a crash between the two renames below leaves the previous
+    // sink at _bak with out missing — restore before proceeding
+    if (!fs.exists(out) && fs.exists(bak)) fs.rename(bak, out)
+
     val existing = // an existing-but-empty dir has no schema to read
       if (fs.exists(out) && fs.listStatus(out).nonEmpty)
         Some(spark.read.parquet(outDir))
@@ -52,9 +58,14 @@ object StreamingRefresh {
     val merged = graft.ops.Relational.dedupLatestByPk(keyCols, orderCol)(
       existing.map(batch.unionByName(_)).getOrElse(batch))
     val tmp = new org.apache.hadoop.fs.Path(outDir + s"_tmp_batch$batchId")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale retry leftover
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(out)) fs.delete(out, true)
+    // swap via backup-rename: at no point is the previous data deleted
+    // before the new data is in place
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(out)) fs.rename(out, bak)
     fs.rename(tmp, out)
+    if (fs.exists(bak)) fs.delete(bak, true)
   }
 
   /** Run a streaming refresh to completion over currently-available data

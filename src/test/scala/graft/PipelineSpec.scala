@@ -71,19 +71,26 @@ class PipelineSpec extends AnyFunSuite {
     import graft.pipeline.WatermarkAdvance
     val e = EntityConfig("ORDERS", filterFlag = true, "o_orderdate", Seq.empty,
       lastRun = Some("1990-01-01 00:00:00"), dataStartDate = Some("1990-01-01 00:00:00"))
-    def run(advance: WatermarkAdvance, dir: String, st: StateStore) =
+    def run(advance: WatermarkAdvance, dir: String, st: StateStore,
+        runId: String = java.util.UUID.randomUUID().toString) =
       Refresh.refreshAll(cfg(e), incremental = true,
         _ => H.tbl(spark, sf, "orders"), _ => Map.empty, _ => Seq("o_orderkey"),
-        dir, st, "RUN", "2026-01-01 00:00:00", advance)
+        dir, st, runId, "2026-01-01 00:00:00", advance)
 
     val d1 = Files.createTempDirectory("wm1").toString
     val st1 = new StateStore(s"$d1/state.json")
-    run(WatermarkAdvance.EventTimeMax, d1, st1)
-    val maxDate = H.tbl(spark, sf, "orders")
-      .agg(org.apache.spark.sql.functions.date_format(
-        org.apache.spark.sql.functions.max("o_orderdate"),
-        "yyyy-MM-dd HH:mm:ss.SSSSSS")).collect()(0).getString(0)
-    assert(st1.get("ORDERS").contains(maxDate)) // never past observed data
+    val first = run(WatermarkAdvance.EventTimeMax, d1, st1)
+    assert(first.head.recordsWritten == H.tbl(spark, sf, "orders").count())
+    val maxPlus = H.tbl(spark, sf, "orders")
+      .selectExpr("date_format(max(o_orderdate) + INTERVAL 1 MICROSECOND, " +
+        "'yyyy-MM-dd HH:mm:ss.SSSSSS')").collect()(0).getString(0)
+    assert(st1.get("ORDERS").contains(maxPlus)) // observed max + 1µs
+
+    // steady state: a second incremental run with no new data writes
+    // NOTHING (the >= bound no longer re-extracts the boundary rows)
+    val second = run(WatermarkAdvance.EventTimeMax, d1, st1)
+    assert(second.head.recordsWritten == 0, second.head.toString)
+    assert(st1.get("ORDERS").contains(maxPlus)) // watermark unchanged
 
     val d2 = Files.createTempDirectory("wm2").toString
     val st2 = new StateStore(s"$d2/state.json")
