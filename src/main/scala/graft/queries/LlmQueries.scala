@@ -221,8 +221,8 @@ object LlmQueries extends QueryModule {
     Q("text_langid",
       Some {
         val toks = "string_split(text, ' ')"
-        val scores = TA.stopwords
-          .map { case (lang, words) => s"${TA.hitCountSql(toks, words)} AS s_$lang" }
+        val scores = TA.stopwords.map(_._1)
+          .map { lang => s"${TA.langScoreSql(toks, "text", lang)} AS s_$lang" }
           .mkString(", ")
         "SELECT doc_id, lang, s_en, s_es, s_fr, s_de, " +
           "CASE WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en' " +
@@ -235,8 +235,9 @@ object LlmQueries extends QueryModule {
       },
       (s, dir) => {
         val d = tbl(s, dir, "documents").withColumn("toks", TA.tokens(col("text")))
-        val scored = TA.langScores(col("toks")).foldLeft(d) {
-          case (df, (lang, c)) => df.withColumn(s"s_$lang", c)
+        val scored = TA.stopwords.map(_._1).foldLeft(d) {
+          case (df, lang) =>
+            df.withColumn(s"s_$lang", TA.langScore(col("toks"), col("text"), lang))
         }
         val pred = when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_de")), "en")
           .when(col("s_es") >= greatest(col("s_fr"), col("s_de")), "es")

@@ -46,6 +46,17 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ANALYZE TABLE collects row-count statistics for the cost-based optimizer") {
+    val orders = H.tbl(spark, sf, "orders")
+    orders.write.mode("overwrite").saveAsTable("orders_stats")
+    spark.sql("ANALYZE TABLE orders_stats COMPUTE STATISTICS")
+    val described = spark.sql("DESCRIBE TABLE EXTENDED orders_stats")
+      .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("; ")
+    assert(described.contains(s"${orders.count()} rows"), described)
+    // CBO can now size this relation instead of guessing from file bytes
+    spark.sql("DROP TABLE orders_stats")
+  }
+
   test("sized sink bounds records per file; clustered sink sorts within files") {
     import org.apache.spark.sql.SaveMode
     import graft.pipeline.Sinks
