@@ -61,6 +61,48 @@ object RelationalQueries extends QueryModule {
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")),
 
+    // TPC-H Q6: the pure filter-and-sum scan (pushdown + single agg).
+    Q("q6_revenue_change",
+      Some("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_lines FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"),
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+          .agg(sum(dec2(col("l_extendedprice")) * dec2s(col("l_discount")))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q18 shape: large-volume orders via HAVING, joined back to
+    // orders + customer.
+    Q("q18_big_orders",
+      Some("SELECT c_name, o_orderkey, " +
+        s"strftime(o_orderdate, '$F0') AS o_orderdate, o_totalprice, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice " +
+        "HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 120 " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+      (s, dir) => {
+        val big = tbl(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(dec2(col("l_quantity"))).as("total_qty_dec"))
+          .filter(col("total_qty_dec") > 120)
+        tbl(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"),
+            fmtTsSec(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"),
+            col("total_qty_dec").cast("double").as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+      }),
+
     Q("agg_distinct",
       Some("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, " +
         "count(*) AS n_orders, " +
