@@ -18,6 +18,39 @@ class StatefulStreamingSpec extends AnyFunSuite {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
+  test("stream-stream join: purchases enriched with prior clicks inside the time bound") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Click]
+
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = purchases.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("amount"))
+    // time-bounded equi join: click within 30min before the purchase
+    val joined = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      clicks.addData(Click(1, t("2024-01-01 10:00:00"), 0.0),
+        Click(2, t("2024-01-01 09:00:00"), 0.0)) // too old for user 2's purchase
+      purchases.addData(Click(1, t("2024-01-01 10:10:00"), 50.0),
+        Click(2, t("2024-01-01 10:10:00"), 70.0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select("p_user", "amount").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((1L, 50.0))) // user 2's click was outside the bound
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps per-key state across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
