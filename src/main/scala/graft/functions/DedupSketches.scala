@@ -80,6 +80,15 @@ object DedupSketches {
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString(" UNION ALL ")
 
+  /** DuckDB twin of `candidatePairs` over a `bands` CTE. (DuckDB has no
+    * higher-order pair expansion, so the twin is the equivalent bucket
+    * self-join — fine for the oracle at sf0.01; the Spark side is the
+    * single-aggregation shape.) */
+  def candidatePairsSql: String =
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key " +
+      "AND a.doc_id < b.doc_id"
+
   /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket.
     * One aggregation per bucket + in-bucket pair expansion — no self-join,
     * so the signature subtree is computed once, not twice. LSH bucket sizes

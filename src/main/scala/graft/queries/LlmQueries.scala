@@ -38,9 +38,7 @@ object LlmQueries extends QueryModule {
     // bucket-join candidates → exact-Jaccard verify ≥ 0.5.
     Q("dedup_minhash_lsh",
       Some {
-        val cand = "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-          "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key " +
-          "AND a.doc_id < b.doc_id"
+        val cand = DS.candidatePairsSql
         s"WITH sh AS (${DS.shinglesSql(3)}), " +
           s"sig AS (${DS.minhashSignatureSql}), " +
           s"bands AS (${DS.lshBandsSql}), " +
@@ -72,35 +70,35 @@ object LlmQueries extends QueryModule {
       Some(DS.simhashSql),
       (s, dir) => DS.simhash(tbl(s, dir, "documents")).orderBy("doc_id")),
 
-    // Exact word-2-gram Jaccard for all same-(lang, source) bucket pairs.
+    // Exact word-2-gram Jaccard, candidate-driven: the pair set comes from
+    // MinHash-band buckets over the SAME 2-gram shingles (one shingle pass
+    // feeds both candidate generation and exact verification). Unlike
+    // dedup_minhash_lsh this reports the exact Jaccard of every candidate,
+    // unthresholded. 100 TB shape: never an all-pairs bucket join — pair
+    // count follows LSH bucket co-residency, not |bucket|².
     Q("dedup_ngram_jaccard",
       Some {
-        "WITH sh AS (" + DS.shinglesSql(2) + "), " +
-          "counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
-          "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-          "FROM documents a JOIN documents b ON a.lang = b.lang " +
-          "AND a.source = b.source AND a.doc_id < b.doc_id), " +
-          "inter AS (SELECT doc_a, doc_b, count(*) AS ni FROM pairs " +
+        s"WITH sh AS (${DS.shinglesSql(2)}), " +
+          s"sig AS (${DS.minhashSignatureSql}), " +
+          s"bands AS (${DS.lshBandsSql}), " +
+          s"cand AS (${DS.candidatePairsSql}), " +
+          "counts AS (SELECT doc_id, n FROM sig), " +
+          "inter AS (SELECT doc_a, doc_b, count(*) AS ni FROM cand " +
           "JOIN sh sa ON sa.doc_id = doc_a " +
           "JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle " +
           "GROUP BY doc_a, doc_b) " +
-          "SELECT p.doc_a, p.doc_b, CAST(coalesce(ni, 0) AS DOUBLE) / " +
+          "SELECT c.doc_a, c.doc_b, CAST(coalesce(ni, 0) AS DOUBLE) / " +
           "CAST(ca.n + cb.n - coalesce(ni, 0) AS DOUBLE) AS jaccard " +
-          "FROM pairs p JOIN counts ca ON ca.doc_id = p.doc_a " +
-          "JOIN counts cb ON cb.doc_id = p.doc_b " +
-          "LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b " +
-          "ORDER BY p.doc_a, p.doc_b"
+          "FROM cand c JOIN counts ca ON ca.doc_id = c.doc_a " +
+          "JOIN counts cb ON cb.doc_id = c.doc_b " +
+          "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b " +
+          "ORDER BY c.doc_a, c.doc_b"
       },
       (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-        val sh = DS.shingles(docs, 2)
-        val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("source"))
-        val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-          col("source").as("source_b"))
-        val pairs = a.join(b, col("lang") === col("lang_b") &&
-            col("source") === col("source_b") && col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
-        DS.verifiedJaccard(pairs, sh)
+        val sh = DS.shingles(tbl(s, dir, "documents"), 2).cache()
+        val sig = DS.minhashSignature(sh).cache()
+        val cand = DS.candidatePairs(DS.lshBands(sig))
+        DS.verifiedJaccard(cand, sh, Some(sig.select(col("doc_id"), col("n"))))
           .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
       }),
 

@@ -102,24 +102,38 @@ object LlmQueries2 extends QueryModule {
         graft.functions.Multimodal.transform(s, tbl(s, dir, "documents"))
           .toDF().orderBy("doc_id")),
 
-    // Fuzzy matching: edit distance over bucketed pairs (prefix-limited so
-    // the DP cost is bounded per pair; candidates from the same lang+source
-    // bucketing as the n-gram pipeline, never all-pairs).
+    // Fuzzy matching: edit distance over CANDIDATE pairs only. Candidates
+    // come from MinHash-band buckets (3-gram shingles, the near-dup
+    // generator) narrowed by a ±40-char length band — both prefilters are
+    // cheap and scale-linear, so the per-pair DP (bounded to a 60-char
+    // prefix) runs on O(candidates), never O(|bucket|²).
     Q("text_edit_distance",
-      Some("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS BIGINT) AS edit_dist " +
-        "FROM documents a JOIN documents b ON a.lang = b.lang " +
-        "AND a.source = b.source AND a.doc_id < b.doc_id " +
-        "ORDER BY doc_a, doc_b"),
+      Some {
+        import graft.functions.{DedupSketches => DS}
+        s"WITH sh AS (${DS.shinglesSql(3)}), " +
+          s"sig AS (${DS.minhashSignatureSql}), " +
+          s"bands AS (${DS.lshBandsSql}), " +
+          s"cand AS (${DS.candidatePairsSql}) " +
+          "SELECT c.doc_a, c.doc_b, " +
+          "CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS BIGINT) AS edit_dist " +
+          "FROM cand c JOIN documents a ON a.doc_id = c.doc_a " +
+          "JOIN documents b ON b.doc_id = c.doc_b " +
+          "WHERE abs(length(a.text) - length(b.text)) <= 40 " +
+          "ORDER BY doc_a, doc_b"
+      },
       (s, dir) => {
+        import graft.functions.{DedupSketches => DS}
         val docs = tbl(s, dir, "documents")
+        val cand = DS.candidatePairs(DS.lshBands(
+          DS.minhashSignature(DS.shingles(docs, 3))))
         val a = docs.select(col("doc_id").as("doc_a"),
-          substring(col("text"), 1, 60).as("head_a"), col("lang"), col("source"))
+          substring(col("text"), 1, 60).as("head_a"),
+          length(col("text")).as("len_a"))
         val b = docs.select(col("doc_id").as("doc_b"),
           substring(col("text"), 1, 60).as("head_b"),
-          col("lang").as("lang_b"), col("source").as("source_b"))
-        a.join(b, col("lang") === col("lang_b") &&
-            col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+          length(col("text")).as("len_b"))
+        cand.join(a, "doc_a").join(b, "doc_b")
+          .filter(abs(col("len_a") - col("len_b")) <= 40)
           .select(col("doc_a"), col("doc_b"),
             levenshtein(col("head_a"), col("head_b")).cast("long").as("edit_dist"))
           .orderBy("doc_a", "doc_b")
