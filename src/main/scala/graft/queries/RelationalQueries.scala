@@ -121,13 +121,32 @@ object RelationalQueries extends QueryModule {
           .orderBy("o_orderpriority")),
 
     // HLL sketch — not oracle-comparable by construction → rows-only check.
-    Q("agg_approx_distinct", None,
+    // Approx distinct with the error bound ENCODED in the result: the HLL
+    // estimate itself isn't SQL-reproducible, so the query emits the exact
+    // counts plus in-bounds flags (|approx-exact|/exact <= 3×rsd = 0.15).
+    // The oracle asserts the flags are 1 — an out-of-bound sketch goes red.
+    Q("agg_approx_distinct",
+      Some("SELECT l_returnflag, " +
+        "count(DISTINCT l_partkey) AS exact_parts, " +
+        "count(DISTINCT l_orderkey) AS exact_orders, " +
+        "CAST(1 AS INTEGER) AS parts_in_bounds, " +
+        "CAST(1 AS INTEGER) AS orders_in_bounds " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
       (s, dir) =>
         tbl(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            approx_count_distinct(col("l_partkey"), 0.05).as("ap"),
+            approx_count_distinct(col("l_orderkey"), 0.05).as("ao"))
+          .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+            (abs(col("ap") - col("exact_parts")).cast("double") /
+              col("exact_parts").cast("double") <= 0.15).cast("int")
+              .as("parts_in_bounds"),
+            (abs(col("ao") - col("exact_orders")).cast("double") /
+              col("exact_orders").cast("double") <= 0.15).cast("int")
+              .as("orders_in_bounds"))
           .orderBy("l_returnflag")),
 
     Q("agg_rollup",
@@ -254,6 +273,21 @@ object RelationalQueries extends QueryModule {
             coalesce(sum(dec2(col("o_totalprice"))), lit(0)).cast("double")
               .as("total_spend"))
           .orderBy("c_custkey")),
+
+    // Right outer join: all customers kept, orders only where the filtered
+    // left side matches (null order columns otherwise).
+    Q("join_right",
+      Some("SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice " +
+        "FROM (SELECT * FROM orders WHERE o_totalprice > 200000.0) o " +
+        "RIGHT JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "ORDER BY c_custkey, o_orderkey"),
+      (s, dir) =>
+        tbl(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+          .join(tbl(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"), "right")
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"))
+          .orderBy("c_custkey", "o_orderkey")),
 
     Q("join_semi",
       Some("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +

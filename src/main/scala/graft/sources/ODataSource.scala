@@ -2,12 +2,10 @@ package graft.sources
 
 import java.util.concurrent.ConcurrentHashMap
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.catalyst.util.{DateTimeUtils, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
@@ -19,18 +17,19 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 connector with the reference's OData pushdown surface:
   * `$filter` (SupportsPushDownFilters), `$select`
-  * (SupportsPushDownRequiredColumns) and `$top` (SupportsPushDownLimit) —
-  * the rewrites the reference hand-rolls into request URLs
-  * (resources/priorityDataSource.py:685,697-703,709-710) become Catalyst
-  * pushdowns into this scan.
+  * (SupportsPushDownRequiredColumns), `$top` (SupportsPushDownLimit) and
+  * `$expand` (nested array-of-struct subform columns served inside the
+  * parent entity, resources/priorityDataSource.py:697-703) — the rewrites
+  * the reference hand-rolls into request URLs become Catalyst pushdowns
+  * into this scan.
   *
-  * The remote service is simulated by [[ODataTestServer]]: entities are
-  * registered driver-side (as a bounded ERP REST endpoint would respond) and
-  * served in pages — one InputPartition per page, the shape a real
-  * `$skiptoken`-paging connector has (the reference notably does NOT page:
-  * SURVEY §4.2). The server evaluates pushed predicates/projections/limits
-  * itself, so what Spark doesn't push, Spark re-applies — both halves are
-  * observable in tests.
+  * The remote service is simulated by [[ODataTestServer]]; scan partitions
+  * carry PAGE REFERENCES, not rows — each reader fetches its own page from
+  * the service (the shape a real `$skiptoken`-paging connector has: the
+  * executor performs the page GET, so neither the driver's task binaries
+  * nor the plan carry data). The server evaluates pushed predicates /
+  * projections / limits itself; what Spark doesn't push, Spark re-applies —
+  * both halves are observable in tests.
   *
   * Usage:
   * {{{
@@ -126,8 +125,12 @@ final class ODataScanBuilder(entity: String, full: StructType, pageSize: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Top-level pruning only: a requested subform column (`$expand`) is
+    * always served as its FULL struct — OData expands whole navigation
+    * properties, it does not project inside them. Spark re-projects any
+    * nested fields it pruned. */
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required = StructType(requiredSchema.fieldNames.map(full(_)))
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
@@ -160,13 +163,15 @@ final class ODataAggScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val row = ODataTestServer.aggregate(entity, filters, specs)
-    Array(ODataPage(0, Seq(row), readSchema()))
+    Array(ODataRows(Seq(row), readSchema()))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new ODataPageReader(p.asInstanceOf[ODataPage])
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val rows = p.asInstanceOf[ODataRows]
+        new ODataRowsReader(rows.rows.iterator, rows.schema)
+      }
     }
 }
 
@@ -180,37 +185,54 @@ final class ODataScan(
   override def readSchema(): StructType = required
 
   override def description(): String = {
+    val (sub, flat) = required.fields.partition(f =>
+      ODataTestServer.isSubform(f.dataType))
+    val e = if (sub.isEmpty) "" else
+      s" $$expand=${sub.map(_.name).mkString(",")}"
     val f = if (filters.isEmpty) "" else
       " $filter=" + filters.map(_.toString).mkString(" and ")
     val t = limit.map(n => s" $$top=$n").getOrElse("")
-    s"ODataScan(entity=$entity, $$select=${required.fieldNames.mkString(",")}$f$t)"
+    s"ODataScan(entity=$entity, $$select=${flat.map(_.name).mkString(",")}$e$f$t)"
   }
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // The "HTTP fetch": the server answers the pushed query in pages.
-    val pages = ODataTestServer.query(entity, required, filters, limit, pageSize)
-    pages.zipWithIndex
-      .map { case (rows, i) => ODataPage(i, rows, required): InputPartition }
+    // The "HTTP preflight": ask the service how many pages answer the
+    // pushed query; each partition then fetches its own page executor-side.
+    val nPages = ODataTestServer.preflight(entity, required, filters, limit, pageSize)
+    (0 until nPages)
+      .map(i => ODataPageRef(entity, required, filters, limit, i, pageSize): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new ODataPageReader(p.asInstanceOf[ODataPage])
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val ref = p.asInstanceOf[ODataPageRef]
+        new ODataRowsReader(ODataTestServer.fetchPage(ref), ref.required)
+      }
     }
 }
 
-/** One page of the simulated response, shipped to the executor. */
-final case class ODataPage(
-    pageNo: Int,
-    rows: Seq[Seq[Any]],
-    schema: StructType) extends InputPartition
+/** Literal rows shipped in the partition — only for the 1-row `$apply`
+  * aggregate response. */
+final case class ODataRows(rows: Seq[Seq[Any]], schema: StructType)
+    extends InputPartition
 
-final class ODataPageReader(page: ODataPage) extends PartitionReader[InternalRow] {
-  private val it = page.rows.iterator
+/** A page REFERENCE: the executor-side reader performs the page fetch (the
+  * `$skiptoken=pageNo*pageSize` GET of a real connector), so partitions and
+  * task binaries never carry entity data. */
+final case class ODataPageRef(
+    entity: String,
+    required: StructType,
+    filters: Array[Filter],
+    limit: Option[Int],
+    pageNo: Int,
+    pageSize: Int) extends InputPartition
+
+final class ODataRowsReader(it: Iterator[Seq[Any]], schema: StructType)
+    extends PartitionReader[InternalRow] {
   private var current: InternalRow = _
 
   override def next(): Boolean =
@@ -219,27 +241,35 @@ final class ODataPageReader(page: ODataPage) extends PartitionReader[InternalRow
   override def get(): InternalRow = current
   override def close(): Unit = ()
 
-  private def toInternal(row: Seq[Any]): InternalRow = {
-    val vals = page.schema.fields.zip(row).map {
-      case (_, null) => null
-      case (StructField(_, StringType, _, _), v) => UTF8String.fromString(v.toString)
-      case (StructField(_, TimestampType, _, _), v: java.sql.Timestamp) =>
-        DateTimeUtils.fromJavaTimestamp(v)
-      case (StructField(_, TimestampType, _, _), v: java.time.Instant) =>
-        DateTimeUtils.instantToMicros(v)
-      case (StructField(_, TimestampNTZType, _, _), v: java.time.LocalDateTime) =>
-        DateTimeUtils.localDateTimeToMicros(v)
-      case (StructField(_, DateType, _, _), v: java.sql.Date) =>
-        DateTimeUtils.fromJavaDate(v)
-      case (StructField(_, DateType, _, _), v: java.time.LocalDate) =>
-        DateTimeUtils.localDateToDays(v)
-      case (StructField(_, dt: DecimalType, _, _), v: java.math.BigDecimal) =>
-        org.apache.spark.sql.types.Decimal(v, dt.precision, dt.scale)
-      case (f, v) if isPassthrough(f.dataType, v) => v
-      case (f, v) =>
-        sys.error(s"odata reader: unsupported ${f.dataType} value ${v.getClass}")
-    }
-    new GenericInternalRow(vals.toArray[Any])
+  private def toInternal(row: Seq[Any]): InternalRow =
+    new GenericInternalRow(
+      schema.fields.zip(row).map { case (f, v) => convert(f.dataType, v) }
+        .toArray[Any])
+
+  /** External JVM value → Catalyst internal value, recursing through the
+    * `$expand` array-of-struct payloads. */
+  private def convert(dt: DataType, v: Any): Any = (dt, v) match {
+    case (_, null) => null
+    case (StringType, v) => UTF8String.fromString(v.toString)
+    case (TimestampType, v: java.sql.Timestamp) =>
+      DateTimeUtils.fromJavaTimestamp(v)
+    case (TimestampType, v: java.time.Instant) =>
+      DateTimeUtils.instantToMicros(v)
+    case (TimestampNTZType, v: java.time.LocalDateTime) =>
+      DateTimeUtils.localDateTimeToMicros(v)
+    case (DateType, v: java.sql.Date) => DateTimeUtils.fromJavaDate(v)
+    case (DateType, v: java.time.LocalDate) => DateTimeUtils.localDateToDays(v)
+    case (dt: DecimalType, v: java.math.BigDecimal) =>
+      org.apache.spark.sql.types.Decimal(v, dt.precision, dt.scale)
+    case (ArrayType(et, _), v: scala.collection.Seq[_]) =>
+      new GenericArrayData(v.map(convert(et, _)).toArray[Any])
+    case (st: StructType, v: Row) =>
+      new GenericInternalRow(
+        st.fields.zipWithIndex
+          .map { case (f, i) => convert(f.dataType, v.get(i)) }.toArray[Any])
+    case (dt, v) if isPassthrough(dt, v) => v
+    case (dt, v) =>
+      sys.error(s"odata reader: unsupported $dt value ${v.getClass}")
   }
 
   private def isPassthrough(dt: DataType, v: Any): Boolean = (dt, v) match {
@@ -257,29 +287,71 @@ final class ODataPageReader(page: ODataPage) extends PartitionReader[InternalRow
 
 /** The simulated Priority OData service: entity registry + query evaluator.
   * A real connector swaps this object for HTTP GETs with `$filter/$select/
-  * $top/$skiptoken` query strings; everything else stays. */
+  * $expand/$top/$skiptoken` query strings; everything else stays.
+  *
+  * SIMULATION BOUNDARY: the registry holds the tenant's dataset in THIS
+  * JVM's memory — it stands in for the remote ERP database, so its size is
+  * bounded by the harness box exactly as a demo tenant is bounded by its
+  * DB. Registration is LAZY (nothing materializes until a scan's preflight,
+  * driver-side at plan time) and scan partitions carry only page refs, so
+  * the connector itself — plan, task binaries, readers — never ships the
+  * dataset; a production deployment replaces [[fetchPage]]/[[preflight]]
+  * with paged HTTP and inherits the same executor-side fetch shape. */
 object ODataTestServer {
 
-  private val entities = new ConcurrentHashMap[String, (StructType, Seq[Seq[Any]])]()
+  /** Lazily-materialized entity: schema is known at registration (logical
+    * plan only); rows collect on first preflight — never at register time. */
+  private final class Entry(val schema: StructType, df: DataFrame) {
+    lazy val rows: IndexedSeq[Seq[Any]] =
+      df.collect().iterator.map(r => (0 until r.length).map(r.get).toVector)
+        .toVector
+  }
+
+  private val entities = new ConcurrentHashMap[String, Entry]()
 
   /** What the last scan asked of the "service" — observable in tests. */
   @volatile var lastRequest: String = ""
 
-  /** Register an entity from a parquet table (driver-side, the bounded
-    * response a demo ERP tenant returns). */
+  /** Register an entity from a parquet table. Schema-only at call time; the
+    * "tenant data" materializes on the first scan's preflight. */
   def register(spark: SparkSession, entity: String, path: String): Unit = {
     val df = spark.read.parquet(path)
-    val rows = df.collect().map(r => (0 until r.length)
-      .map(i => r.get(i)).toSeq).toSeq
-    entities.put(entity, (df.schema, rows))
+    entities.put(entity, new Entry(df.schema, df))
   }
 
-  def schemaOf(entity: String): StructType =
+  /** Register a parent entity WITH an expandable child subform — the
+    * reference's `$expand` navigation property
+    * (resources/priorityDataSource.py:697-703): child rows arrive nested
+    * inside the parent response as an array-of-struct column. Modeled from
+    * flat parquet tables via [[graft.ops.Relational.nestChild]]. */
+  def registerExpanded(
+      spark: SparkSession,
+      entity: String,
+      parentPath: String,
+      childPath: String,
+      parentKey: String,
+      childKey: String,
+      subformName: String,
+      sortCols: Seq[String]): Unit = {
+    val nested = graft.ops.Relational.nestChild(
+      spark.read.parquet(parentPath), spark.read.parquet(childPath),
+      parentKey, childKey, subformName, sortCols)
+    entities.put(entity, new Entry(nested.schema, nested))
+  }
+
+  private def entry(entity: String): Entry =
     Option(entities.get(entity))
-      .getOrElse(sys.error(s"entity not registered: $entity"))._1
+      .getOrElse(sys.error(s"entity not registered: $entity"))
+
+  def schemaOf(entity: String): StructType = entry(entity).schema
+
+  def isSubform(dt: DataType): Boolean = dt match {
+    case ArrayType(_: StructType, _) => true
+    case _ => false
+  }
 
   /** Column types whose pushed-filter comparison the service implements;
-    * filters on anything else stay residual (Spark evaluates them). */
+    * filters on anything else (incl. subform arrays) stay residual. */
   def comparableType(dt: DataType): Boolean = dt match {
     case StringType | TimestampType | TimestampNTZType | DateType |
          BooleanType | _: DecimalType => true
@@ -345,12 +417,12 @@ object ODataTestServer {
       entity: String,
       filters: Array[Filter],
       specs: Seq[ODataAgg]): Seq[Any] = {
-    val (schema, rows) = entities.get(entity)
+    val e = entry(entity)
     lastRequest = s"GET /$entity?$$apply=aggregate(" +
       specs.mkString(", ") + ")" +
       (if (filters.nonEmpty) s"&$$filter=${filters.mkString(" and ")}" else "")
-    val idx = schema.fieldNames.zipWithIndex.toMap
-    val kept = rows.filter(r => filters.forall(evalFilter(_, r, idx)))
+    val idx = e.schema.fieldNames.zipWithIndex.toMap
+    val kept = e.rows.filter(r => filters.forall(evalFilter(_, r, idx)))
     specs.map {
       case ODataAgg.CountAll => kept.size.toLong
       case ODataAgg.MinOf(c) =>
@@ -362,28 +434,37 @@ object ODataTestServer {
     }
   }
 
-  /** Evaluate $filter/$select/$top and page the result. */
-  def query(
+  /** Count the pages answering a pushed query (driver-side, at plan time —
+    * this is also where lazy registration materializes). Records the
+    * request URL, `$expand` included, for observability. */
+  def preflight(
       entity: String,
       required: StructType,
       filters: Array[Filter],
       limit: Option[Int],
-      pageSize: Int): Seq[Seq[Seq[Any]]] = {
-
-    val (schema, rows) = entities.get(entity)
-    lastRequest = s"GET /$entity?$$select=${required.fieldNames.mkString(",")}" +
+      pageSize: Int): Int = {
+    val e = entry(entity)
+    val (sub, flat) = required.fields.partition(f => isSubform(f.dataType))
+    lastRequest = s"GET /$entity?$$select=${flat.map(_.name).mkString(",")}" +
+      (if (sub.nonEmpty) s"&$$expand=${sub.map(_.name).mkString(",")}" else "") +
       (if (filters.nonEmpty) s"&$$filter=${filters.mkString(" and ")}" else "") +
       limit.map(n => s"&$$top=$n").getOrElse("")
+    val idx = e.schema.fieldNames.zipWithIndex.toMap
+    val matched = e.rows.count(r => filters.forall(evalFilter(_, r, idx)))
+    val n = limit.fold(matched)(math.min(_, matched))
+    ((n + pageSize - 1) / pageSize).max(0)
+  }
 
-    val idx = schema.fieldNames.zipWithIndex.toMap
-    val proj = required.fieldNames.map(idx).toSeq
-    val filtered = rows.iterator
-      .filter(r => filters.forall(evalFilter(_, r, idx)))
+  /** Serve ONE page of a pushed query — called from the executor-side
+    * reader (the page GET of a real connector). */
+  def fetchPage(ref: ODataPageRef): Iterator[Seq[Any]] = {
+    val e = entry(ref.entity)
+    val idx = e.schema.fieldNames.zipWithIndex.toMap
+    val proj = ref.required.fieldNames.map(idx).toSeq
+    val filtered = e.rows.iterator
+      .filter(r => ref.filters.forall(evalFilter(_, r, idx)))
       .map(r => proj.map(r))
-    val limited = limit.map(n => filtered.take(n)).getOrElse(filtered).toSeq
-    limited.grouped(pageSize).toSeq match {
-      case Seq() => Seq(Seq.empty)
-      case pages => pages
-    }
+    val limited = ref.limit.map(n => filtered.take(n)).getOrElse(filtered)
+    limited.slice(ref.pageNo * ref.pageSize, (ref.pageNo + 1) * ref.pageSize)
   }
 }

@@ -87,6 +87,54 @@ class ODataSourceSpec extends AnyFunSuite {
     assert(got(1).getDate(2).toString == "2024-06-02")
   }
 
+  test("$expand serves nested subform columns and prunes them when unused") {
+    ODataTestServer.registerExpanded(spark, "orders_x",
+      s"$sf/orders.parquet", s"$sf/lineitem.parquet",
+      parentKey = "o_orderkey", childKey = "l_orderkey",
+      subformName = "lineitems_subform", sortCols = Seq("l_linenumber"))
+    val scan = spark.read.format("graft.sources.ODataSource")
+      .option("entity", "orders_x").option("pageSize", "200").load()
+
+    // expanded read: nested children match the flat child table
+    val exploded = graft.ops.Relational
+      .explodeSubform("lineitems_subform", Seq("o_orderkey"))(scan)
+    assert(exploded.count() == H.tbl(spark, sf, "lineitem").count())
+    assert(ODataTestServer.lastRequest.contains("$expand=lineitems_subform"),
+      ODataTestServer.lastRequest)
+
+    // nested values are correct, not just counted
+    // (l_linenumber is not unique per order in the synthetic data, so sort
+    // on the full tuple for a stable comparison)
+    val viaExpand = exploded
+      .select("o_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("o_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .collect().toSeq
+    val direct = H.tbl(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"))
+      .orderBy("o_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .collect().toSeq
+    assert(viaExpand == direct)
+
+    // parent-only projection drops the $expand from the request
+    scan.select("o_orderkey", "o_totalprice").collect()
+    assert(!ODataTestServer.lastRequest.contains("$expand"),
+      ODataTestServer.lastRequest)
+  }
+
+  test("scan partitions carry page refs, not rows") {
+    ODataTestServer.register(spark, "customer", s"$sf/customer.parquet")
+    val df = spark.read.format("graft.sources.ODataSource")
+      .option("entity", "customer").option("pageSize", "40").load()
+    val parts = df.queryExecution.executedPlan.collectLeaves().flatMap {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.partitions.flatten
+      case _ => Nil
+    }
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.isInstanceOf[graft.sources.ODataPageRef]), parts.map(_.getClass).toString)
+  }
+
   test("unsupported predicates stay residual and results remain correct") {
     val df = load().filter(col("c_name").contains("42")) // StringContains: not pushed
     val expected = H.tbl(spark, sf, "customer")
