@@ -79,7 +79,10 @@ object Refresh {
     * event time are derived from the WRITTEN SINK filtered to this run's
     * lineage id — one consistent snapshot, so a live source changing
     * between actions can neither skew the report nor advance the watermark
-    * past rows that were never persisted. The advance target is
+    * past rows that were never persisted. The sink is PARTITIONED by
+    * `extractionid`, so those reads prune to the run's own files — on a
+    * long-lived staging table the report costs one run-partition scan, not
+    * a full-table scan per entity per run. The advance target is
     * max(observed)+1µs: everything <= max is in the sink, so the next
     * `>= lastRun` incremental doesn't re-extract the boundary rows forever.
     * `subforms` maps nested array-of-struct column → child table name. */
@@ -106,13 +109,15 @@ object Refresh {
 
     val parent = stage(parentProjection(subforms.keys.toSeq)(filtered))
     val parentTable = s"stg_${entity.entityId.toLowerCase}"
-    Sinks.writeParquet(parent, s"$sinkDir/$parentTable", mode)
+    Sinks.writeParquet(parent, s"$sinkDir/$parentTable", mode,
+      partitionCols = Seq("extractionid"))
     val parentN = thisRun(parentTable).count()
 
     val childReports = subforms.toSeq.map { case (colName, childName) =>
       val child = stage(explodeSubform(colName, parentPk)(filtered))
       val childTable = s"stg_${childName.toLowerCase}"
-      Sinks.writeParquet(child, s"$sinkDir/$childTable", mode)
+      Sinks.writeParquet(child, s"$sinkDir/$childTable", mode,
+        partitionCols = Seq("extractionid"))
       EntityReport(s"${entity.entityId}_${childName}_SUBFORM".toLowerCase,
         childTable, thisRun(childTable).count(), "success")
     }
@@ -178,11 +183,20 @@ object Refresh {
   * typed DDL at sqlDwh.py:320-390). */
 object Sinks {
 
-  /** Plain parquet write; run-report counts come from re-reading the sink
-    * filtered by lineage id (see Refresh.refreshEntity) so they reflect what
-    * was actually persisted. */
-  def writeParquet(df: DataFrame, path: String, mode: SaveMode): Unit =
-    df.write.mode(mode).parquet(path)
+  /** Parquet write, optionally hive-partitioned. Run-report counts come
+    * from re-reading the sink filtered by lineage id (see
+    * Refresh.refreshEntity) so they reflect what was actually persisted;
+    * partitioning staged tables by `extractionid` makes that filter a
+    * partition-pruned read of the run's own files. */
+  def writeParquet(
+      df: DataFrame,
+      path: String,
+      mode: SaveMode,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
@@ -209,14 +223,21 @@ object Sinks {
     df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
-  /** Spark JDBC writer options for a typed Azure SQL load: explicit column
-    * types (PKs VARCHAR(255), audit columns) and batched rewrites. Not
-    * executed in the harness (no database); exercised by unit tests. */
-  def jdbcOptions(meta: graft.model.EntityMeta, url: String, table: String): Map[String, String] =
+  /** Spark JDBC writer options for a typed warehouse load: explicit column
+    * types (PKs VARCHAR(255), audit columns) and batched rewrites. The
+    * production target is Azure SQL (reference: to_sql at
+    * priorityDataSource.py:891-896); `dialect = "derby"` renders the same
+    * metadata for the embedded Derby the test harness executes against
+    * (JdbcRoundTripSpec). */
+  def jdbcOptions(
+      meta: graft.model.EntityMeta,
+      url: String,
+      table: String,
+      dialect: String = "azuresql"): Map[String, String] =
     Map(
       "url" -> url,
       "dbtable" -> table,
-      "createTableColumnTypes" -> graft.types.EdmTypes.createTableColumnTypes(meta),
+      "createTableColumnTypes" -> graft.types.EdmTypes.createTableColumnTypes(meta, dialect),
       "batchsize" -> "10000",
       "isolationLevel" -> "READ_COMMITTED",
       "rewriteBatchedStatements" -> "true")

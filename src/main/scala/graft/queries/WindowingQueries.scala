@@ -73,5 +73,47 @@ object WindowingQueries extends QueryModule {
             fmtTs(col("session_window.start")).as("s_start"),
             fmtTs(col("session_window.end")).as("s_end"),
             col("n"), col("sum_value"))
-          .orderBy("user_id", "s_start")))
+          .orderBy("user_id", "s_start")),
+
+    // REAL streaming execution, oracle-verified: events replayed as three
+    // deterministic parquet micro-batches (one file per trigger) through
+    // foreachBatch keep-latest upsert (StreamingRefresh.upsertBatch). The
+    // final sink state — latest event per user by event_id — is independent
+    // of batch order (per-key max is associative), which is what makes a
+    // multi-batch streaming run SQL-checkable.
+    Q("stream_upsert_final",
+      Some("SELECT user_id, event_id, event_type, " +
+        s"strftime(ts, '$F6') AS ts, value FROM events " +
+        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1 " +
+        "ORDER BY user_id"),
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.streaming.StreamingRefresh
+        val ev = H.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+        val tmp = Files.createTempDirectory("graft_upsert").toString
+        val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        // three micro-batch files (disjoint by event_id, all keys collide)
+        (0 until 3).foreach { i =>
+          ev.filter(pmod(col("event_id"), lit(3)) === i)
+            .coalesce(1).write.parquet(s"$tmp/stage$i")
+          val part = Files.list(java.nio.file.Paths.get(s"$tmp/stage$i"))
+            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          Files.createDirectories(java.nio.file.Paths.get(in))
+          Files.move(part, java.nio.file.Paths.get(s"$in/batch$i.parquet"))
+        }
+        val q = StreamingRefresh
+          .fileStream(s, ev.schema, in, maxFilesPerTrigger = Some(1))
+          .writeStream
+          .foreachBatch(
+            StreamingRefresh.upsertBatch(Seq("user_id"), "event_id", sink) _)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            fmtTs(col("ts")).as("ts"), col("value"))
+          .orderBy("user_id")
+      }))
 }

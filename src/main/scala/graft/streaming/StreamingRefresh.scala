@@ -14,9 +14,18 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingRefresh {
 
-  /** File-source stream over a directory of parquet micro-batches. */
-  def fileStream(spark: SparkSession, schema: StructType, path: String): DataFrame =
-    spark.readStream.schema(schema).parquet(path)
+  /** File-source stream over a directory of parquet micro-batches.
+    * `maxFilesPerTrigger = Some(1)` forces one micro-batch per file — the
+    * deterministic multi-batch replay shape used by the upsert harness. */
+  def fileStream(
+      spark: SparkSession,
+      schema: StructType,
+      path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    r.parquet(path)
+  }
 
   /** Watermarked tumbling-window aggregate; late rows beyond `lateness` are
     * dropped by the engine (the policy the reference's wall-clock watermark

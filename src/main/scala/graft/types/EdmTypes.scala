@@ -79,9 +79,24 @@ object EdmTypes {
       (cols ++ pk).mkString("(", ", ", ")")
   }
 
+  /** The warehouse types are authored in the Azure SQL dialect (reference
+    * target); render them for another ANSI target. `derby` is the embedded
+    * stand-in the harness can actually execute against. */
+  def renderType(azureSql: String, dialect: String): String = dialect match {
+    case "derby" => azureSql match {
+      case "DATETIME" | "DATETIMEOFFSET" => "TIMESTAMP"
+      case "VARCHAR" => "VARCHAR(4000)" // Derby requires an explicit length
+      case "NUMERIC" => "NUMERIC(31,3)" // Derby max precision is 31
+      case other => other
+    }
+    case _ => azureSql
+  }
+
   /** Spark JDBC writer `createTableColumnTypes` option value. */
-  def createTableColumnTypes(meta: EntityMeta): String =
+  def createTableColumnTypes(meta: EntityMeta, dialect: String = "azuresql"): String =
     (meta.fields.map { f =>
-      s"${f.fieldName.toLowerCase} ${targetFor(meta.sourceSystem, f).azureSql}"
-    } ++ auditColumns.map { case (n, sqlT, _) => s"$n $sqlT" }).mkString(", ")
+      s"${f.fieldName.toLowerCase} ${renderType(targetFor(meta.sourceSystem, f).azureSql, dialect)}"
+    } ++ auditColumns.map { case (n, sqlT, _) =>
+      s"$n ${renderType(sqlT, dialect)}"
+    }).mkString(", ")
 }

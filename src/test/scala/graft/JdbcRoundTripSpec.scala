@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Fixtures
+import graft.pipeline.Sinks
+
+/** Executes the JDBC sink/scan option maps against a REAL database — the
+  * embedded Derby that ships with Spark — instead of only rendering them:
+  * typed CREATE TABLE via createTableColumnTypes, batched write, then a
+  * range-partitioned JDBC scan back. This is the executable half of the
+  * reference's `to_sql` path (resources/priorityDataSource.py:891-896);
+  * only the dialect differs from the Azure SQL production target.
+  */
+class JdbcRoundTripSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  test("typed jdbc write + range-partitioned jdbc scan round-trip (embedded Derby)") {
+    val home = Files.createTempDirectory("derby").toString
+    System.setProperty("derby.system.home", home) // keeps derby.log out of the repo
+    val url = s"jdbc:derby:$home/db;create=true"
+
+    // rows shaped like Fixtures.ordersMeta (ordname PK, curdate, qprice, ord
+    // + the two audit columns)
+    val df = H.tbl(spark, sf, "orders").limit(50)
+      .select(
+        col("o_orderkey").cast("string").as("ordname"),
+        col("o_orderdate").cast("timestamp").as("curdate"),
+        col("o_totalprice").cast("decimal(31,3)").as("qprice"),
+        col("o_custkey").cast("long").as("ord"))
+      .withColumn("extractionid", lit("00000000-0000-4000-8000-000000000000"))
+      .withColumn("extractiontimestamputc", to_timestamp(lit("2026-01-01 00:00:00")))
+
+    val writeOpts = Sinks.jdbcOptions(Fixtures.ordersMeta, url, "stg_orders",
+      dialect = "derby") + ("driver" -> DerbyDriver)
+    assert(writeOpts("createTableColumnTypes").contains("ordname VARCHAR(255)"))
+    assert(writeOpts("createTableColumnTypes").contains("extractiontimestamputc TIMESTAMP"))
+    df.write.format("jdbc").options(writeOpts).mode(SaveMode.Overwrite).save()
+
+    // partitioned scan: the read strides `ord` over 4 ranges
+    val bounds = df.agg(min(col("ord")), max(col("ord"))).collect()(0)
+    val scanOpts = Sinks.jdbcScanOptions(url, "stg_orders", "ord",
+      bounds.getLong(0), bounds.getLong(1) + 1, numPartitions = 4) +
+      ("driver" -> DerbyDriver)
+    val back = spark.read.format("jdbc").options(scanOpts).load()
+    assert(back.rdd.getNumPartitions == 4, back.rdd.getNumPartitions.toString)
+    assert(back.count() == 50)
+
+    // values survive the round-trip (PK + money + timestamp)
+    val sent = df.select(col("ordname"), col("qprice"), col("curdate"))
+      .orderBy("ordname").collect().toSeq
+    val got = back.select(col("ordname"), col("qprice").cast("decimal(31,3)"),
+        col("curdate")).orderBy("ordname").collect().toSeq
+    assert(got == sent)
+
+    // predicate pushdown: the filter reaches the JDBC source
+    val filtered = back.filter(col("ord") > bounds.getLong(0))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("ord"), plan)
+    assert(filtered.count() == df.filter(col("ord") > bounds.getLong(0)).count())
+  }
+}

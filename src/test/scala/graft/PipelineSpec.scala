@@ -98,6 +98,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(st2.get("ORDERS").contains("2026-01-01 00:00:00")) // reference mode
   }
 
+  test("staging sink partitions by run id: report counts prune to the run's files") {
+    val dir = Files.createTempDirectory("prune").toString
+    val st = new StateStore(s"$dir/state.json")
+    val e = EntityConfig("ORDERS", filterFlag = false, "", Seq.empty, None, None)
+    def run(runId: String) = Refresh.refreshAll(
+      cfg(e), incremental = true, _ => H.tbl(spark, sf, "orders").limit(10),
+      _ => Map.empty, _ => Seq("o_orderkey"), dir, st, runId, "2026-01-01 00:00:00")
+    run("RUN1"); run("RUN2")
+
+    // hive-style run partitions on disk
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/stg_orders/extractionid=RUN1")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/stg_orders/extractionid=RUN2")))
+
+    // a lineage-id filter is a partition PRUNE, not a data filter
+    val scan = spark.read.parquet(s"$dir/stg_orders")
+      .filter(col("extractionid") === "RUN2")
+    assert(scan.count() == 10)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("extractionid"), plan)
+  }
+
   test("jdbc writer options carry typed columns and batching") {
     val opts = Sinks.jdbcOptions(Fixtures.ordersMeta, "jdbc:sqlserver://h;db=x", "stg_orders")
     assert(opts("createTableColumnTypes").contains("ordname VARCHAR(255)"))
