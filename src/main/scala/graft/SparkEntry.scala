@@ -20,7 +20,8 @@ object SparkEntry {
     qm.ExpressionQueries,
     qm.ExtraRelationalQueries,
     qm.LlmQueries2,
-    qm.AnalyticQueries)
+    qm.AnalyticQueries,
+    qm.TpchMoreQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -105,6 +105,56 @@ object DedupSketches {
           "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
 
+  /** Connected components over an undirected pair list — the GROUP step of
+    * dedup: verified near-dup pairs cluster into components and the min
+    * doc_id becomes the canonical document.
+    *
+    * Hash-to-min with POINTER DOUBLING: each round (a) pulls the min label
+    * across edges, then (b) jumps to the label's own label
+    * (`label ← label(label)`), halving chain depth — convergence in
+    * O(log diameter) rounds, so even a pathological 1M-long similarity
+    * chain settles in ~20 rounds. Every round is three partial-aggregated
+    * equi-join shuffles on cached inputs; the only driver-side work is a
+    * boolean convergence probe — no data ever collects.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    // localCheckpoint (eager) each round: materializes the new labels AND
+    // truncates lineage — without it, the per-round plan chains back
+    // through every previous round and iteration cost explodes.
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr_label"))
+      val stepped = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("mid"))
+      // pointer doubling: follow my label to ITS label (labels are always
+      // node ids, so the lookup is a self-join on the stepped frame). The
+      // `changed` flag rides along so convergence is a scan of the already
+      // checkpointed frame, not an extra join job.
+      val next = stepped
+        .join(stepped.select(col("node").as("mid"), col("mid").as("jump")),
+          Seq("mid"), "left")
+        .select(col("node"),
+          coalesce(col("jump"), col("mid")).as("label"),
+          (coalesce(col("jump"), col("mid")) < col("old")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select("node", "label")
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact Jaccard for candidate pairs, computed candidate-driven.
     * `countsOpt`: pre-computed (doc_id, n) shingle-set sizes (e.g. from the
     * signature pass); derived from `sh` when absent. */

@@ -88,6 +88,28 @@ object AnalyticQueries extends QueryModule {
           .orderBy("p_id")
       }),
 
+    // Skew-safe salted equi-join: the hot-key escape hatch
+    // (Relational.saltedJoin) produces results IDENTICAL to the plain join —
+    // verified here against the plain-join oracle. Salting spreads each
+    // key's rows over `factor` sub-keys; only the shuffle layout changes.
+    Q("join_salted",
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, dir) => {
+        val dim = tbl(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey"))
+        graft.ops.Relational
+          .saltedJoin(tbl(s, dir, "orders"), dim, "o_custkey", factor = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total_spend"))
+          .orderBy("o_orderpriority")
+      }),
+
     // Calendar gap-fill: a generated day spine × event-type dim, left-joined
     // to daily aggregates, missing days zero-filled.
     Q("stream_gapfill",

@@ -139,6 +139,50 @@ object LlmQueries2 extends QueryModule {
           .orderBy("doc_a", "doc_b")
       }),
 
+    // Dedup GROUP resolution: verified near-dup pairs (MinHash candidates,
+    // exact Jaccard >= 0.5) clustered into connected components; the min
+    // doc_id is the canonical survivor. This is the step that turns pair
+    // lists into an actionable keep/drop decision. Oracle: DuckDB recursive
+    // CTE computing min-reachable-id over the same edge set.
+    Q("dedup_groups",
+      Some {
+        import graft.functions.{DedupSketches => DS}
+        s"WITH RECURSIVE sh AS (${DS.shinglesSql(3)}), " +
+          s"sig AS (${DS.minhashSignatureSql}), " +
+          s"bands AS (${DS.lshBandsSql}), " +
+          s"cand AS (${DS.candidatePairsSql}), " +
+          "counts AS (SELECT doc_id, n FROM sig), " +
+          "inter AS (SELECT doc_a, doc_b, count(*) AS ni FROM cand " +
+          "JOIN sh sa ON sa.doc_id = doc_a " +
+          "JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle " +
+          "GROUP BY doc_a, doc_b), " +
+          "pairs AS (SELECT c.doc_a, c.doc_b FROM cand c " +
+          "JOIN counts ca ON ca.doc_id = c.doc_a " +
+          "JOIN counts cb ON cb.doc_id = c.doc_b " +
+          "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b " +
+          "WHERE CAST(coalesce(ni, 0) AS DOUBLE) / " +
+          "CAST(ca.n + cb.n - coalesce(ni, 0) AS DOUBLE) >= 0.5), " +
+          "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+          "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+          "reach AS (SELECT src AS node, src AS root FROM edges " +
+          "UNION SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node) " +
+          "SELECT node AS doc_id, min(root) AS canonical_id, " +
+          "CAST(node = min(root) AS INTEGER) AS is_canonical " +
+          "FROM reach GROUP BY node ORDER BY doc_id"
+      },
+      (s, dir) => {
+        import graft.functions.{DedupSketches => DS}
+        val sh = DS.shingles(tbl(s, dir, "documents"), 3).cache()
+        val sig = DS.minhashSignature(sh).cache()
+        val cand = DS.candidatePairs(DS.lshBands(sig))
+        val pairs = DS.verifiedJaccard(cand, sh, Some(sig.select(col("doc_id"), col("n"))))
+          .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+        DS.connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("label").as("canonical_id"),
+            (col("node") === col("label")).cast("int").as("is_canonical"))
+          .orderBy("doc_id")
+      }),
+
     // BPE-ish token counting: whitespace words sub-chunked to <=4 chars
     // (an aggregate higher-order fn — no UDF, stays in codegen).
     Q("text_tokens_bpe",

@@ -79,6 +79,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(fps(0) == fps(1)) // case + whitespace normalized
   }
 
+  test("connected components: chains collapse to min label, singleton pairs separate") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{DedupSketches => DS}
+    val spark0 = spark
+    import spark0.implicits._
+    // chain 1-2-3-4-5 (diameter 4, exercises pointer doubling), pair 10-11,
+    // pair 20-21 — three components
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = DS.connectedComponents(pairs)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("multimodal stub decode: deterministic metadata from real bytes") {
     val m = Multimodal.decodeMeta(7L, "hello world, a fake png payload!".getBytes("UTF-8"))
     assert(m.byte_len == 32L)
