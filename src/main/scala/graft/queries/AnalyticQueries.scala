@@ -62,6 +62,38 @@ object AnalyticQueries extends QueryModule {
           .orderBy("event_type")
       }),
 
+    // Approx percentile with the error bound ENCODED (same pattern as
+    // agg_approx_distinct): the GK-sketch median itself isn't
+    // SQL-reproducible, so the query emits the exact discrete p45/p55
+    // envelope (window-position selection, engine-exact) plus a flag that
+    // the approx median landed inside it. The oracle asserts the flag.
+    Q("agg_approx_percentile",
+      Some("WITH r AS (SELECT event_type, value, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM events) " +
+        "SELECT event_type, " +
+        "max(CASE WHEN rn = CAST(ceil(n * 0.45) AS BIGINT) THEN value END) AS p45, " +
+        "max(CASE WHEN rn = CAST(ceil(n * 0.55) AS BIGINT) THEN value END) AS p55, " +
+        "CAST(1 AS INTEGER) AS median_in_bounds " +
+        "FROM r GROUP BY event_type ORDER BY event_type"),
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        val wc = Window.partitionBy("event_type")
+        H.events(s, dir)
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wc))
+          .groupBy("event_type")
+          .agg(
+            max(when(col("rn") === ceil(col("n") * 0.45).cast("long"), col("value"))).as("p45"),
+            max(when(col("rn") === ceil(col("n") * 0.55).cast("long"), col("value"))).as("p55"),
+            percentile_approx(col("value"), lit(0.5), lit(100)).as("am"))
+          .select(col("event_type"), col("p45"), col("p55"),
+            (col("am") >= col("p45") && col("am") <= col("p55")).cast("int")
+              .as("median_in_bounds"))
+          .orderBy("event_type")
+      }),
+
     // Large×large time-range join via binning: clicks within ±1h of each
     // purchase, counted — an equi-join on time buckets plus an exact
     // predicate, never a cross product (graft.ops.Relational.proximityJoin).

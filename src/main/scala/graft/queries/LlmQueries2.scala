@@ -183,6 +183,45 @@ object LlmQueries2 extends QueryModule {
           .orderBy("doc_id")
       }),
 
+    // tf-idf top terms per document with a RATIONAL idf (N/df instead of
+    // log(N/df)): every factor is an integer-derived double division, so the
+    // scores hash bit-identically across engines (log() is only 1-ulp
+    // accurate and would drift). Same ranking behavior for top-k purposes.
+    // Scale shape: two partial-agg shuffles (doc-term, term) + a broadcast
+    // scalar N — no all-pairs anything.
+    Q("text_tfidf",
+      Some("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "s AS (SELECT tf.doc_id, tf.term, " +
+        "(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) * " +
+        "(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS score " +
+        "FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n) " +
+        "SELECT doc_id, term, score, CAST(row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk " +
+        "FROM s QUALIFY rnk <= 3 ORDER BY doc_id, rnk"),
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val tok = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        tf.join(dl, "doc_id").join(df, "term").crossJoin(broadcast(n))
+          .withColumn("score",
+            (col("tf").cast("double") / col("dl").cast("double")) *
+              (col("n").cast("double") / col("df").cast("double")))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "term", "score", "rnk")
+          .orderBy("doc_id", "rnk")
+      }),
+
     // BPE-ish token counting: whitespace words sub-chunked to <=4 chars
     // (an aggregate higher-order fn — no UDF, stays in codegen).
     Q("text_tokens_bpe",

@@ -15,6 +15,23 @@ object WindowingQueries extends QueryModule {
   private val F6 = "%Y-%m-%d %H:%M:%S.%f"
   private val F0 = "%Y-%m-%d %H:%M:%S"
 
+  /** Split `df` into `n` deterministic parquet files under `inDir` (one
+    * micro-batch per file with maxFilesPerTrigger=1) — the replay harness
+    * for executed-streaming queries. Splits by `event_id % n` so every split
+    * is content-defined, not order-defined. */
+  private def replayFiles(df: org.apache.spark.sql.DataFrame,
+      n: Int, tmp: String, inDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    (0 until n).foreach { i =>
+      df.filter(pmod(col("event_id"), lit(n)) === i)
+        .coalesce(1).write.parquet(s"$tmp/stage_${Paths.get(inDir).getFileName}_$i")
+      val part = Files.list(Paths.get(s"$tmp/stage_${Paths.get(inDir).getFileName}_$i"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      Files.createDirectories(Paths.get(inDir))
+      Files.move(part, Paths.get(s"$inDir/batch$i.parquet"))
+    }
+  }
+
   def all: Seq[Q] = Seq(
 
     Q("stream_tumbling",
@@ -94,14 +111,7 @@ object WindowingQueries extends QueryModule {
         val tmp = Files.createTempDirectory("graft_upsert").toString
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         // three micro-batch files (disjoint by event_id, all keys collide)
-        (0 until 3).foreach { i =>
-          ev.filter(pmod(col("event_id"), lit(3)) === i)
-            .coalesce(1).write.parquet(s"$tmp/stage$i")
-          val part = Files.list(java.nio.file.Paths.get(s"$tmp/stage$i"))
-            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-          Files.createDirectories(java.nio.file.Paths.get(in))
-          Files.move(part, java.nio.file.Paths.get(s"$in/batch$i.parquet"))
-        }
+        replayFiles(ev, 3, tmp, in)
         val q = StreamingRefresh
           .fileStream(s, ev.schema, in, maxFilesPerTrigger = Some(1))
           .writeStream
@@ -115,5 +125,67 @@ object WindowingQueries extends QueryModule {
           .select(col("user_id"), col("event_id"), col("event_type"),
             fmtTs(col("ts")).as("ts"), col("value"))
           .orderBy("user_id")
+      }),
+
+    // REAL stream-stream join, oracle-verified: purchase and click streams
+    // replayed as two independent file sources, inner-joined on user within
+    // ±1h event time. The watermark delay exceeds the data span, so no
+    // state is evicted and the appended result is exactly the batch join —
+    // independent of file arrival order, hence SQL-checkable. (Production
+    // tightens the delay to bound state; semantics are identical for
+    // in-watermark data.)
+    Q("stream_join_final",
+      Some("SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id, " +
+        s"strftime(p.ts, '$F6') AS p_ts, strftime(c.ts, '$F6') AS c_ts " +
+        "FROM events p JOIN events c ON p.user_id = c.user_id " +
+        "AND p.event_type = 'purchase' AND c.event_type = 'click' " +
+        "AND p.event_id % 5 = 0 AND c.event_id % 5 = 0 " +
+        "AND c.ts >= p.ts - INTERVAL '1 hour' " +
+        "AND c.ts <= p.ts + INTERVAL '1 hour' " +
+        "ORDER BY p_id, c_id"),
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.streaming.StreamingRefresh
+        // deterministic 1-in-5 subsample: the harness checks join SEMANTICS,
+        // not volume (the batch faces cover volume)
+        val ev = H.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts")
+          .filter(pmod(col("event_id"), lit(5)) === 0)
+        val tmp = Files.createTempDirectory("graft_ssjoin").toString
+        val inP = s"$tmp/purchases"; val inC = s"$tmp/clicks"
+        val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        replayFiles(ev.filter(col("event_type") === "purchase"), 2, tmp, inP)
+        replayFiles(ev.filter(col("event_type") === "click"), 2, tmp, inC)
+        val schema = ev.schema
+        val p = StreamingRefresh.fileStream(s, schema, inP, Some(1))
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "3650 days")
+        val c = StreamingRefresh.fileStream(s, schema, inC, Some(1))
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "3650 days")
+        val joined = p.join(c,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+        // state-store partition count sized to the (small) state volume:
+        // each shuffle partition is a state store instance PER side PER
+        // micro-batch — 32 would be pure per-batch overhead here
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = joined.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("parquet").option("path", sink)
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.read.parquet(sink)
+          .select(col("p_id"), col("c_id"), col("user_id"),
+            fmtTs(col("p_ts")).as("p_ts"), fmtTs(col("c_ts")).as("c_ts"))
+          .orderBy("p_id", "c_id")
       }))
 }
