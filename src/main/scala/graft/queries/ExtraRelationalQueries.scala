@@ -66,6 +66,48 @@ object ExtraRelationalQueries extends QueryModule {
               .getField("k").as("k"))
           .orderBy("event_id")),
 
+    // The explode_outer variant of O11: parents WITHOUT children survive
+    // with null child columns (vs the inner explode that drops them) —
+    // both subform-split semantics, side by side.
+    Q("o11b_explode_outer",
+      Some("SELECT c.c_custkey, o.o_orderkey, o.o_totalprice " +
+        "FROM customer c LEFT JOIN " +
+        "(SELECT * FROM orders WHERE o_totalprice > 400000.0) o " +
+        "ON o.o_custkey = c.c_custkey " +
+        "ORDER BY c_custkey, o_orderkey"),
+      (s, dir) => {
+        import graft.ops.Relational.nestChild
+        val nested = nestChild(
+          parent = tbl(s, dir, "customer"),
+          child = tbl(s, dir, "orders").filter(col("o_totalprice") > 400000.0),
+          parentKey = "c_custkey", childKey = "o_custkey",
+          subformName = "orders_subform", sortCols = Seq("o_orderkey"))
+        nested
+          .select(col("c_custkey"), explode_outer(col("orders_subform")).as("_r"))
+          .select(col("c_custkey"), col("_r.o_orderkey").as("o_orderkey"),
+            col("_r.o_totalprice").as("o_totalprice"))
+          .orderBy("c_custkey", "o_orderkey")
+      }),
+
+    // Higher-order collection functions: filter / exists / transform over
+    // token arrays — the codegen'd no-UDF way to do per-row collection work.
+    Q("scalar_hof",
+      Some("SELECT doc_id, " +
+        "CAST(len(list_filter(toks, t -> length(t) > 3)) AS BIGINT) AS n_long, " +
+        "CAST(len(list_filter(toks, t -> t = 'data')) > 0 AS INTEGER) AS has_data, " +
+        "array_to_string(list_transform(toks[1:3], t -> upper(t)), '|') AS head3_upper " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) " +
+        "ORDER BY doc_id"),
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(filter(col("toks"), t => length(t) > 3)).cast("long").as("n_long"),
+            exists(col("toks"), t => t === "data").cast("int").as("has_data"),
+            array_join(transform(slice(col("toks"), 1, 3), t => upper(t)), "|")
+              .as("head3_upper"))
+          .orderBy("doc_id")),
+
     // Pivot: order counts + exact spend per priority, pivoted on status.
     Q("agg_pivot",
       Some("SELECT o_orderpriority, " +

@@ -207,9 +207,11 @@ object LlmQueries2 extends QueryModule {
         val docs = tbl(s, dir, "documents")
         val tok = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("term"))
-        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        // ONE pass over the exploded corpus; doc length and doc frequency
+        // both derive from the (much smaller) tf aggregate
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).cache()
+        val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n"))
         val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
         tf.join(dl, "doc_id").join(df, "term").crossJoin(broadcast(n))
