@@ -62,6 +62,34 @@ object Fixtures {
         lastRun = Some("2024-06-12 21:53:40"),
         dataStartDate = Some("2020-05-30 00:00:00"))))
 
+  /** EDMX shaped like the Priority `$metadata` the reference walks
+    * (edmx:Edmx → DataServices → Schema → EntityType; FIXTURES.md A3) —
+    * shared by MetadataCatalogSpec and the o08/o20 catalog queries. */
+  val edmx: String =
+    """<?xml version="1.0" encoding="utf-8"?>
+      |<edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
+      |  <edmx:DataServices>
+      |    <Schema Namespace="Priority.OData" xmlns="http://docs.oasis-open.org/odata/ns/edm">
+      |      <EntityType Name="ORDERS">
+      |        <Key><PropertyRef Name="ORDNAME"/></Key>
+      |        <Property Name="ORDNAME" Type="Edm.String" Nullable="false">
+      |          <Annotation Term="Org.OData.Core.V1.Description" String="Order name"/>
+      |        </Property>
+      |        <Property Name="CURDATE" Type="Edm.DateTimeOffset"/>
+      |        <Property Name="QPRICE" Type="Edm.Decimal"/>
+      |        <Property Name="ORD" Type="Edm.Int64"/>
+      |      </EntityType>
+      |      <EntityType Name="ORDERITEMS">
+      |        <Key><PropertyRef Name="ORDNAME"/><PropertyRef Name="LINE"/></Key>
+      |        <Property Name="ORDNAME" Type="Edm.String" Nullable="false"/>
+      |        <Property Name="LINE" Type="Edm.Int64" Nullable="false"/>
+      |        <Property Name="PARTNAME" Type="Edm.String"/>
+      |        <Property Name="PRICE" Type="Edm.Decimal"/>
+      |      </EntityType>
+      |    </Schema>
+      |  </edmx:DataServices>
+      |</edmx:Edmx>""".stripMargin
+
   /** Fixture metadata for ORDERS (FIXTURES.md A2). */
   val ordersMeta: EntityMeta = EntityMeta(
     entityName = "ORDERS",

@@ -109,6 +109,37 @@ object RefOps extends QueryModule {
             fmtTs(from_utc_timestamp(col("ts"), "Asia/Jerusalem")).as("ts_local"))
           .orderBy("event_id")),
 
+    // O8: the $metadata EDMX walk, driver-verified: parse the fixture feed,
+    // emit every (entity, field) with its source type, key flag, and mapped
+    // target types — the full schema-inference output as data.
+    Q("o08_metadata_schema",
+      Some {
+        val rows = for {
+          m <- graft.schema.MetadataXml.parse(Fixtures.edmx, "priority")
+          (f, i) <- m.fields.zipWithIndex
+        } yield {
+          val t = EdmTypes.targetFor(m.sourceSystem, f)
+          s"('${m.entityName}', $i, '${f.fieldName}', '${f.sourceDataType}', " +
+            s"${if (f.keyFlag) 1 else 0}, '${t.spark.sql}', '${t.azureSql}', '${f.desc}')"
+        }
+        "SELECT * FROM (VALUES " + rows.mkString(", ") +
+          ") AS t(entity, ord, field, source_type, key_flag, spark_type, " +
+          "azure_type, description) ORDER BY entity, ord"
+      },
+      (s, dir) => {
+        import s.implicits._
+        (for {
+          m <- graft.schema.MetadataXml.parse(Fixtures.edmx, "priority")
+          (f, i) <- m.fields.zipWithIndex
+        } yield {
+          val t = EdmTypes.targetFor(m.sourceSystem, f)
+          (m.entityName, i, f.fieldName, f.sourceDataType,
+            if (f.keyFlag) 1 else 0, t.spark.sql, t.azureSql, f.desc)
+        }).toDF("entity", "ord", "field", "source_type", "key_flag",
+          "spark_type", "azure_type", "description")
+          .orderBy("entity", "ord")
+      }),
+
     // O8/O9: the (sourceSystem, sourceType) → target-type mapping as data.
     Q("o09_type_mapping",
       Some {
@@ -225,6 +256,46 @@ object RefOps extends QueryModule {
           .agg(fmtTs(max(col("ts"))).as("new_last_run"),
             count(lit(1)).as("n_rows"))
           .orderBy("event_type")),
+
+    // O20/O21/O22: the catalog lifecycle driver-verified — existence probes,
+    // create-iff-absent typed deploy, redeploy short-circuit, drop-all reset
+    // — each step's outcome emitted as data. Self-healing across runs (the
+    // db is dropped first), so the transcript is deterministic.
+    Q("o20_catalog_lifecycle",
+      Some("SELECT * FROM (VALUES " +
+        "(1, 'db_pre_existed', 'false'), " +
+        "(2, 'deploy_stg_orderitems', 'success'), " +
+        "(3, 'deploy_stg_orders', 'success'), " +
+        "(4, 'redeploy_stg_orderitems', 'exists'), " +
+        "(5, 'redeploy_stg_orders', 'exists'), " +
+        "(6, 'orders_exists', 'true'), " +
+        "(7, 'drop_report', 'All 2 tables dropped.'), " +
+        "(8, 'orders_exists_after', 'false')" +
+        ") AS t(ord, step, result) ORDER BY ord"),
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.CatalogOps
+        val db = "graft_o20_lifecycle"
+        s.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+        val metas = graft.schema.MetadataXml.parse(Fixtures.edmx, "priority")
+        val pre = CatalogOps.ensureDatabase(s, db)
+        val d1 = CatalogOps.deployTables(s, db, metas)
+        val d2 = CatalogOps.deployTables(s, db, metas)
+        val ex = CatalogOps.tableExists(s, db, "stg_orders")
+        val report = CatalogOps.dropAll(s, db)
+        val exAfter = CatalogOps.tableExists(s, db, "stg_orders")
+        s.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+        Seq(
+          (1, "db_pre_existed", pre.toString),
+          (2, "deploy_stg_orderitems", d1("stg_orderitems")),
+          (3, "deploy_stg_orders", d1("stg_orders")),
+          (4, "redeploy_stg_orderitems", d2("stg_orderitems")),
+          (5, "redeploy_stg_orders", d2("stg_orders")),
+          (6, "orders_exists", ex.toString),
+          (7, "drop_report", report),
+          (8, "orders_exists_after", exAfter.toString))
+          .toDF("ord", "step", "result").orderBy("ord")
+      }),
 
     // O23: run report — records written per staged table.
     Q("o23_run_report",

@@ -11,32 +11,7 @@ import graft.types.EdmTypes
 class MetadataCatalogSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  /** EDMX shaped like the Priority $metadata the reference walks
-    * (edmx:Edmx → DataServices → Schema → EntityType). */
-  private val edmx =
-    """<?xml version="1.0" encoding="utf-8"?>
-      |<edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
-      |  <edmx:DataServices>
-      |    <Schema Namespace="Priority.OData" xmlns="http://docs.oasis-open.org/odata/ns/edm">
-      |      <EntityType Name="ORDERS">
-      |        <Key><PropertyRef Name="ORDNAME"/></Key>
-      |        <Property Name="ORDNAME" Type="Edm.String" Nullable="false">
-      |          <Annotation Term="Org.OData.Core.V1.Description" String="Order name"/>
-      |        </Property>
-      |        <Property Name="CURDATE" Type="Edm.DateTimeOffset"/>
-      |        <Property Name="QPRICE" Type="Edm.Decimal"/>
-      |        <Property Name="ORD" Type="Edm.Int64"/>
-      |      </EntityType>
-      |      <EntityType Name="ORDERITEMS">
-      |        <Key><PropertyRef Name="ORDNAME"/><PropertyRef Name="LINE"/></Key>
-      |        <Property Name="ORDNAME" Type="Edm.String" Nullable="false"/>
-      |        <Property Name="LINE" Type="Edm.Int64" Nullable="false"/>
-      |        <Property Name="PARTNAME" Type="Edm.String"/>
-      |        <Property Name="PRICE" Type="Edm.Decimal"/>
-      |      </EntityType>
-      |    </Schema>
-      |  </edmx:DataServices>
-      |</edmx:Edmx>""".stripMargin
+  private val edmx = Fixtures.edmx
 
   test("EDMX parse: entities, fields in order, composite keys, descriptions") {
     val metas = MetadataXml.parse(edmx, "priority")
