@@ -90,6 +90,30 @@ object Fixtures {
       |  </edmx:DataServices>
       |</edmx:Edmx>""".stripMargin
 
+  /** The canonical fixture config as the SOURCE JSON (FIXTURES.md A1),
+    * deliberately carrying the reference's key-drift quirks — `EntityID` vs
+    * `entityID`, `dataStartDate` vs `datarStartDate` (readme.md:170,175) —
+    * that `ConfigJson.parse` must absorb. Shared by ConfigJsonSpec and the
+    * o24 round-trip query. */
+  val configJsonA1: String =
+    """{
+      |  "_id": "678a5c74ee789f0826b9466a",
+      |  "datasourceName": "priority_companyA",
+      |  "uri": "https://host/odata/Priority/tabmob.ini/usdemo/",
+      |  "accountID": "03445d66",
+      |  "systemTimezone": "Israel",
+      |  "sourceSystem": "priority",
+      |  "entities": [
+      |    { "EntityID": "ORDERS", "filterFlag": true, "filterField": "CURDATE",
+      |      "expand": ["ORDERITEMS"],
+      |      "lastRun": "2024-06-12 21:53:35",
+      |      "dataStartDate": "2020-05-30 00:00:00" },
+      |    { "entityID": "CTYPE", "filterFlag": false, "filterField": "",
+      |      "expand": [], "lastRun": "2024-06-12 21:53:40",
+      |      "datarStartDate": "2020-05-30 00:00:00" }
+      |  ]
+      |}""".stripMargin
+
   /** Fixture metadata for ORDERS (FIXTURES.md A2). */
   val ordersMeta: EntityMeta = EntityMeta(
     entityName = "ORDERS",

@@ -297,6 +297,33 @@ object RefOps extends QueryModule {
           .toDF("ord", "step", "result").orderBy("ord")
       }),
 
+    // O24: config CRUD round-trip driver-verified — the A1 source JSON
+    // (carrying the reference's EntityID/entityID and dataStartDate/
+    // datarStartDate key drift) parsed to the canonical model and emitted
+    // as data: proof the quirk absorption produces exactly the canonical
+    // config.
+    Q("o24_config_roundtrip",
+      Some("SELECT * FROM (VALUES " +
+        "(0, 'priority_companyA', '03445d66', 'Israel', 'ORDERS', 1, " +
+        "'CURDATE', 'ORDERITEMS', '2024-06-12 21:53:35', '2020-05-30 00:00:00'), " +
+        "(1, 'priority_companyA', '03445d66', 'Israel', 'CTYPE', 0, " +
+        "'', '', '2024-06-12 21:53:40', '2020-05-30 00:00:00')" +
+        ") AS t(ord, datasource, account_id, tz, entity, filter_flag, " +
+        "filter_field, expand_csv, last_run, data_start_date) ORDER BY ord"),
+      (s, dir) => {
+        import s.implicits._
+        val cfg = graft.model.ConfigJson.parse(Fixtures.configJsonA1)
+        cfg.entities.zipWithIndex.map { case (e, i) =>
+          (i, cfg.datasourceName, cfg.accountId, cfg.systemTimezone,
+            e.entityId, if (e.filterFlag) 1 else 0, e.filterField,
+            e.expand.mkString(","), e.lastRun.getOrElse(""),
+            e.dataStartDate.getOrElse(""))
+        }.toDF("ord", "datasource", "account_id", "tz", "entity",
+          "filter_flag", "filter_field", "expand_csv", "last_run",
+          "data_start_date")
+          .orderBy("ord")
+      }),
+
     // O23: run report — records written per staged table.
     Q("o23_run_report",
       Some {

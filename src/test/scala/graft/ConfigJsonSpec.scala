@@ -6,24 +6,7 @@ import graft.model.ConfigJson
 
 class ConfigJsonSpec extends AnyFunSuite {
 
-  private val a1 =
-    """{
-      |  "_id": "678a5c74ee789f0826b9466a",
-      |  "datasourceName": "priority_companyA",
-      |  "uri": "https://host/odata/Priority/tabmob.ini/usdemo/",
-      |  "accountID": "03445d66",
-      |  "systemTimezone": "Israel",
-      |  "sourceSystem": "priority",
-      |  "entities": [
-      |    { "EntityID": "ORDERS", "filterFlag": true, "filterField": "CURDATE",
-      |      "expand": ["ORDERITEMS"],
-      |      "lastRun": "2024-06-12 21:53:35",
-      |      "dataStartDate": "2020-05-30 00:00:00" },
-      |    { "entityID": "CTYPE", "filterFlag": false, "filterField": "",
-      |      "expand": [], "lastRun": "2024-06-12 21:53:40",
-      |      "datarStartDate": "2020-05-30 00:00:00" }
-      |  ]
-      |}""".stripMargin
+  private val a1 = graft.model.Fixtures.configJsonA1
 
   test("A1 config parses; both EntityID/entityID and dataStartDate/datarStartDate accepted") {
     val cfg = ConfigJson.parse(a1)
