@@ -277,6 +277,13 @@ object RefOps extends QueryModule {
         import graft.pipeline.CatalogOps
         val db = "graft_o20_lifecycle"
         s.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+        // physical cleanup: a crashed previous run's managed-table files
+        // aren't in a NEW session's in-memory catalog, and would fail
+        // CREATE TABLE with LOCATION_ALREADY_EXISTS
+        val dbPath = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+        val fs = dbPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(dbPath)) fs.delete(dbPath, true)
         val metas = graft.schema.MetadataXml.parse(Fixtures.edmx, "priority")
         val pre = CatalogOps.ensureDatabase(s, db)
         val d1 = CatalogOps.deployTables(s, db, metas)

@@ -107,6 +107,43 @@ object TpchMoreQueries extends QueryModule {
             sum(dec2(col("l_extendedprice"))).cast("double").as("total"))
       }),
 
+    // Bucketed co-located join: both sides written bucketBy(8) on the join
+    // key, then sort-merge-joined — bucket co-location satisfies the join's
+    // distribution requirement so there is NO Exchange on either side, and
+    // the downstream groupBy on the same key rides the same distribution.
+    // The 100 TB shape for repeated fact-fact joins on a stable key.
+    Q("join_bucketed",
+      Some("SELECT o_custkey, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
+      (s, dir) => {
+        val db = "graft_bucketed"
+        // physical cleanup too: the in-memory catalog of a NEW session has
+        // no record of a previous run's managed tables, so their leftover
+        // warehouse files would otherwise fail saveAsTable with
+        // LOCATION_ALREADY_EXISTS
+        s.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+        val dbPath = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+        val fs = dbPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(dbPath)) fs.delete(dbPath, true)
+        s.sql(s"CREATE DATABASE `$db`")
+        tbl(s, dir, "orders").write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .format("parquet").saveAsTable(s"$db.orders_b")
+        tbl(s, dir, "customer").write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .format("parquet").saveAsTable(s"$db.customer_b")
+        s.table(s"$db.orders_b")
+          .join(s.table(s"$db.customer_b").hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total_spend"))
+          .orderBy("o_custkey")
+      }),
+
     // Q22 pattern: above-average-balance customers with NO orders — a
     // broadcast scalar threshold (exact decimal avg as double) feeding an
     // anti join. The threshold is sum/count, not avg(), so both engines
