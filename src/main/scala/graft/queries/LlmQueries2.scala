@@ -183,6 +183,87 @@ object LlmQueries2 extends QueryModule {
           .orderBy("doc_id")
       }),
 
+    // CAPSTONE: the end-to-end training-set selection a real data pipeline
+    // materializes — every document gets a keep/drop decision composed from
+    // (a) the quality score and (b) near-dup group resolution (non-canonical
+    // members of a verified near-dup component are dropped). One pass
+    // composes the same building blocks the individual queries verify.
+    Q("pipeline_training_select",
+      Some {
+        import graft.functions.{DedupSketches => DS, TextAnalysis => TA}
+        val toks = "string_split(text, ' ')"
+        val hits = TA.hitCountSql(toks, TA.stopwords.head._2)
+        val qscore =
+          s"CAST((CASE WHEN len($toks) BETWEEN 20 AND 200 THEN 1 ELSE 0 END) + " +
+            s"(CASE WHEN CAST($hits AS DOUBLE) / CAST(len($toks) AS DOUBLE) < 0.4 THEN 1 ELSE 0 END) + " +
+            s"(CASE WHEN CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE) > 0.3 " +
+            "THEN 1 ELSE 0 END) AS BIGINT)"
+        s"WITH RECURSIVE sh AS (${DS.shinglesSql(3)}), " +
+          s"sig AS (${DS.minhashSignatureSql}), " +
+          s"bands AS (${DS.lshBandsSql}), " +
+          s"cand AS (${DS.candidatePairsSql}), " +
+          "counts AS (SELECT doc_id, n FROM sig), " +
+          "inter AS (SELECT doc_a, doc_b, count(*) AS ni FROM cand " +
+          "JOIN sh sa ON sa.doc_id = doc_a " +
+          "JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle " +
+          "GROUP BY doc_a, doc_b), " +
+          "pairs AS (SELECT c.doc_a, c.doc_b FROM cand c " +
+          "JOIN counts ca ON ca.doc_id = c.doc_a " +
+          "JOIN counts cb ON cb.doc_id = c.doc_b " +
+          "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b " +
+          "WHERE CAST(coalesce(ni, 0) AS DOUBLE) / " +
+          "CAST(ca.n + cb.n - coalesce(ni, 0) AS DOUBLE) >= 0.5), " +
+          "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+          "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+          "reach AS (SELECT src AS node, src AS root FROM edges " +
+          "UNION SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node), " +
+          "grp AS (SELECT node AS doc_id, min(root) AS canonical_id " +
+          "FROM reach GROUP BY node), " +
+          s"q AS (SELECT doc_id, $qscore AS quality_score FROM documents) " +
+          "SELECT d.doc_id, q.quality_score, " +
+          "coalesce(g.canonical_id, d.doc_id) AS canonical_id, " +
+          "CASE WHEN g.doc_id IS NOT NULL AND g.canonical_id <> d.doc_id " +
+          "THEN 'drop_duplicate' " +
+          "WHEN q.quality_score < 2 THEN 'drop_low_quality' " +
+          "ELSE 'keep' END AS decision " +
+          "FROM documents d JOIN q ON q.doc_id = d.doc_id " +
+          "LEFT JOIN grp g ON g.doc_id = d.doc_id " +
+          "ORDER BY d.doc_id"
+      },
+      (s, dir) => {
+        import graft.functions.{DedupSketches => DS, TextAnalysis => TA}
+        val docs = tbl(s, dir, "documents")
+        val q = docs.withColumn("toks", TA.tokens(col("text")))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("hits", TA.hitCount(col("toks"), TA.stopwords.head._2))
+          .withColumn("stop_ratio",
+            col("hits").cast("double") / col("n_tokens").cast("double"))
+          .withColumn("ttr",
+            size(array_distinct(col("toks"))).cast("double") /
+              col("n_tokens").cast("double"))
+          .select(col("doc_id"),
+            (when(col("n_tokens").between(20, 200), 1).otherwise(0) +
+              when(col("stop_ratio") < 0.4, 1).otherwise(0) +
+              when(col("ttr") > 0.3, 1).otherwise(0)).cast("long")
+              .as("quality_score"))
+        val sh = DS.shingles(docs, 3).cache()
+        val sig = DS.minhashSignature(sh).cache()
+        val pairs = DS.verifiedJaccard(
+            DS.candidatePairs(DS.lshBands(sig)), sh,
+            Some(sig.select(col("doc_id"), col("n"))))
+          .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+        val grp = DS.connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("label").as("canonical_id"))
+        docs.select("doc_id").join(q, "doc_id").join(grp, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("quality_score"),
+            coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
+            when(col("canonical_id").isNotNull &&
+                col("canonical_id") =!= col("doc_id"), "drop_duplicate")
+              .when(col("quality_score") < 2, "drop_low_quality")
+              .otherwise("keep").as("decision"))
+          .orderBy("doc_id")
+      }),
+
     // tf-idf top terms per document with a RATIONAL idf (N/df instead of
     // log(N/df)): every factor is an integer-derived double division, so the
     // scores hash bit-identically across engines (log() is only 1-ulp
