@@ -118,9 +118,13 @@ object DedupSketches {
     * boolean convergence probe — no data ever collects.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs
+    // checkpoint the pair list once: the bidirectional union references it
+    // twice, and its upstream (candidate verification) is a join pipeline
+    // worth not recomputing
+    val p = pairs.localCheckpoint()
+    val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     // localCheckpoint (eager) each round: materializes the new labels AND
     // truncates lineage — without it, the per-round plan chains back
