@@ -107,6 +107,41 @@ object TpchMoreQueries extends QueryModule {
             sum(dec2(col("l_extendedprice"))).cast("double").as("total"))
       }),
 
+    // Q16 pattern: distinct-supplier count after a fact join, with IN-list
+    // and negated-equality predicates pushed into the part scan.
+    Q("q16_supplier_variety",
+      Some("SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_brand <> 'Brand#4' AND p_size IN (1, 5, 10, 15, 20) " +
+        "GROUP BY p_brand, p_size ORDER BY supplier_cnt DESC, p_brand, p_size"),
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .join(broadcast(tbl(s, dir, "part")
+              .filter(col("p_brand") =!= "Brand#4" &&
+                col("p_size").isin(1, 5, 10, 15, 20))),
+            col("p_partkey") === col("l_partkey"))
+          .groupBy("p_brand", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))),
+
+    // Regex scalar surface: extract / count / replace with patterns in the
+    // common dialect subset (no lookaround), identical in both engines.
+    Q("scalar_regex",
+      Some("SELECT doc_id, " +
+        "regexp_extract(text, '([a-z]+ing)', 1) AS first_ing, " +
+        "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers, " +
+        "regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled " +
+        "FROM documents ORDER BY doc_id"),
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_extract(col("text"), "([a-z]+ing)", 1).as("first_ing"),
+            size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long")
+              .as("n_numbers"),
+            regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "_")
+              .as("devoweled"))
+          .orderBy("doc_id")),
+
     // Bucketed co-located join: both sides written bucketBy(8) on the join
     // key, then sort-merge-joined — bucket co-location satisfies the join's
     // distribution requirement so there is NO Exchange on either side, and
