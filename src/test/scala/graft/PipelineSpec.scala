@@ -119,6 +119,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("extractionid"), plan)
   }
 
+  test("full extract path through the DSv2 connector: $expand scan -> split -> staged write") {
+    import graft.sources.ODataTestServer
+    val dir = Files.createTempDirectory("dsv2_refresh").toString
+    val st = new StateStore(s"$dir/state.json")
+    ODataTestServer.registerExpanded(spark, "orders_pipeline",
+      s"$sf/orders.parquet", s"$sf/lineitem.parquet",
+      parentKey = "o_orderkey", childKey = "l_orderkey",
+      subformName = "lineitems_subform", sortCols = Seq("l_linenumber"))
+    val source = spark.read.format("graft.sources.ODataSource")
+      .option("entity", "orders_pipeline").option("pageSize", "500").load()
+    val e = EntityConfig("ORDERS", filterFlag = true, filterField = "o_orderdate",
+      expand = Seq("LINEITEMS"),
+      lastRun = Some("1998-01-01 00:00:00"), dataStartDate = Some("1995-01-01 00:00:00"))
+    val reports = Refresh.refreshAll(
+      cfg(e), incremental = true,
+      sources = _ => source,
+      subformsOf = _ => Map("lineitems_subform" -> "LINEITEMS"),
+      pkOf = _ => Seq("o_orderkey"),
+      sinkDir = dir, state = st,
+      runId = "RUNX", runTs = "2026-01-01 00:00:00")
+    assert(reports.forall(_.status == "success"), reports.toString)
+    // the connector served $expand and the watermark went down as $filter
+    assert(ODataTestServer.lastRequest.contains("$expand=lineitems_subform"),
+      ODataTestServer.lastRequest)
+    assert(ODataTestServer.lastRequest.contains("$filter="), ODataTestServer.lastRequest)
+    // staged parent and child match a direct relational computation
+    val expectedParents = H.tbl(spark, sf, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01 00:00:00"))).count()
+    val expectedChildren = H.tbl(spark, sf, "lineitem")
+      .join(H.tbl(spark, sf, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(spark.read.parquet(s"$dir/stg_orders").count() == expectedParents)
+    assert(spark.read.parquet(s"$dir/stg_lineitems").count() == expectedChildren)
+    // watermark advanced past the max observed o_orderdate
+    assert(st.get("ORDERS").isDefined)
+  }
+
   test("jdbc writer options carry typed columns and batching") {
     val opts = Sinks.jdbcOptions(Fixtures.ordersMeta, "jdbc:sqlserver://h;db=x", "stg_orders")
     assert(opts("createTableColumnTypes").contains("ordname VARCHAR(255)"))
