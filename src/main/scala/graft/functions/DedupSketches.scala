@@ -137,9 +137,12 @@ object DedupSketches {
       val nbr = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr_label"))
+      // cached: the doubling self-join below references it twice, and Spark
+      // does not CSE across join branches
       val stepped = labels.join(nbr, Seq("node"), "left")
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("mid"))
+        .cache()
       // pointer doubling: follow my label to ITS label (labels are always
       // node ids, so the lookup is a self-join on the stepped frame). The
       // `changed` flag rides along so convergence is a scan of the already
@@ -152,10 +155,14 @@ object DedupSketches {
           (coalesce(col("jump"), col("mid")) < col("old")).as("changed"))
         .localCheckpoint()
       converged = next.filter(col("changed")).isEmpty
+      stepped.unpersist()
       labels = next.select("node", "label")
       i += 1
     }
     edges.unpersist()
+    // half-propagated labels would silently mark true duplicates canonical
+    require(converged,
+      s"connectedComponents did not converge after $maxIters rounds")
     labels
   }
 

@@ -109,15 +109,13 @@ object Refresh {
 
     val parent = stage(parentProjection(subforms.keys.toSeq)(filtered))
     val parentTable = s"stg_${entity.entityId.toLowerCase}"
-    Sinks.writeParquet(parent, s"$sinkDir/$parentTable", mode,
-      partitionCols = Seq("extractionid"))
+    Sinks.writeStaged(parent, s"$sinkDir/$parentTable", mode)
     val parentN = thisRun(parentTable).count()
 
     val childReports = subforms.toSeq.map { case (colName, childName) =>
       val child = stage(explodeSubform(colName, parentPk)(filtered))
       val childTable = s"stg_${childName.toLowerCase}"
-      Sinks.writeParquet(child, s"$sinkDir/$childTable", mode,
-        partitionCols = Seq("extractionid"))
+      Sinks.writeStaged(child, s"$sinkDir/$childTable", mode)
       EntityReport(s"${entity.entityId}_${childName}_SUBFORM".toLowerCase,
         childTable, thisRun(childTable).count(), "success")
     }
@@ -196,6 +194,23 @@ object Sinks {
     val w = df.write.mode(mode)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
+  }
+
+  /** Staged-table write, partitioned by `extractionid` — with a LEGACY
+    * LAYOUT GUARD: appending partition directories into a directory whose
+    * data files sit at the root (the pre-partitioning layout) would make
+    * the next read fail partition discovery ("conflicting directory
+    * structures"), so an existing flat table keeps its flat layout; only
+    * fresh or already-partitioned tables get run partitions. Layout
+    * consistency within a directory beats the pruning optimization. */
+  def writeStaged(df: DataFrame, path: String, mode: SaveMode): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val legacyFlat = mode == SaveMode.Append && fs.exists(p) &&
+      fs.listStatus(p).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    writeParquet(df, path, mode,
+      partitionCols = if (legacyFlat) Nil else Seq("extractionid"))
   }
 
   def writeCsv(df: DataFrame, path: String): Unit =

@@ -254,7 +254,7 @@ object LlmQueries2 extends QueryModule {
           .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
         val grp = DS.connectedComponents(pairs)
           .select(col("node").as("doc_id"), col("label").as("canonical_id"))
-        docs.select("doc_id").join(q, "doc_id").join(grp, Seq("doc_id"), "left")
+        q.join(grp, Seq("doc_id"), "left")
           .select(col("doc_id"), col("quality_score"),
             coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
             when(col("canonical_id").isNotNull &&

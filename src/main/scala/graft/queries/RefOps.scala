@@ -114,13 +114,14 @@ object RefOps extends QueryModule {
     // target types — the full schema-inference output as data.
     Q("o08_metadata_schema",
       Some {
+        def esc(v: String) = v.replace("'", "''") // SQL-literal escape
         val rows = for {
           m <- graft.schema.MetadataXml.parse(Fixtures.edmx, "priority")
           (f, i) <- m.fields.zipWithIndex
         } yield {
           val t = EdmTypes.targetFor(m.sourceSystem, f)
-          s"('${m.entityName}', $i, '${f.fieldName}', '${f.sourceDataType}', " +
-            s"${if (f.keyFlag) 1 else 0}, '${t.spark.sql}', '${t.azureSql}', '${f.desc}')"
+          s"('${esc(m.entityName)}', $i, '${esc(f.fieldName)}', '${esc(f.sourceDataType)}', " +
+            s"${if (f.keyFlag) 1 else 0}, '${esc(t.spark.sql)}', '${esc(t.azureSql)}', '${esc(f.desc)}')"
         }
         "SELECT * FROM (VALUES " + rows.mkString(", ") +
           ") AS t(entity, ord, field, source_type, key_flag, spark_type, " +

@@ -23,10 +23,13 @@ object WindowingQueries extends QueryModule {
       n: Int, tmp: String, inDir: String): Unit = {
     import java.nio.file.{Files, Paths}
     (0 until n).foreach { i =>
+      val stage = s"$tmp/stage_${Paths.get(inDir).getFileName}_$i"
       df.filter(pmod(col("event_id"), lit(n)) === i)
-        .coalesce(1).write.parquet(s"$tmp/stage_${Paths.get(inDir).getFileName}_$i")
-      val part = Files.list(Paths.get(s"$tmp/stage_${Paths.get(inDir).getFileName}_$i"))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        .coalesce(1).write.parquet(stage)
+      val listing = Files.list(Paths.get(stage))
+      val part =
+        try listing.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
       Files.createDirectories(Paths.get(inDir))
       Files.move(part, Paths.get(s"$inDir/batch$i.parquet"))
     }

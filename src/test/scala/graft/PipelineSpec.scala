@@ -119,6 +119,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("extractionid"), plan)
   }
 
+  test("legacy flat staging dirs keep their layout on append (no mixed-layout corruption)") {
+    val dir = Files.createTempDirectory("legacy").toString
+    val st = new StateStore(s"$dir/state.json")
+    val e = EntityConfig("ORDERS", filterFlag = false, "", Seq.empty, None, None)
+    // simulate a pre-partitioning sink: flat files at the directory root,
+    // extractionid as a plain data column
+    H.tbl(spark, sf, "orders").limit(10)
+      .withColumn("extractionid", lit("OLD"))
+      .withColumn("extractiontimestamputc", to_timestamp(lit("2025-01-01 00:00:00")))
+      .write.parquet(s"$dir/stg_orders")
+    // an incremental refresh appends WITHOUT introducing partition dirs
+    val reports = Refresh.refreshAll(
+      cfg(e), incremental = true, _ => H.tbl(spark, sf, "orders").limit(10),
+      _ => Map.empty, _ => Seq("o_orderkey"), dir, st, "NEW", "2026-01-01 00:00:00")
+    assert(reports.head.status == "success", reports.head.toString)
+    assert(reports.head.recordsWritten == 10)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/stg_orders/extractionid=NEW")))
+    val all = spark.read.parquet(s"$dir/stg_orders")
+    assert(all.count() == 20)
+    assert(all.filter(col("extractionid") === "NEW").count() == 10)
+  }
+
   test("full extract path through the DSv2 connector: $expand scan -> split -> staged write") {
     import graft.sources.ODataTestServer
     val dir = Files.createTempDirectory("dsv2_refresh").toString
