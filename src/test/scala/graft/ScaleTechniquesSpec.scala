@@ -92,4 +92,20 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(read.count() == ev.filter(col("event_type") === "click").count())
     assert(scan.contains("PartitionFilters"), scan) // pruning applied at scan
   }
+
+  test("schema evolution: mergeSchema unions columns across parquet file generations") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString + "/t"
+    // generation 1: (id, a); generation 2 adds column b
+    spark.sql("SELECT 1L AS id, 'x' AS a").write.parquet(s"$dir/g=1")
+    spark.sql("SELECT 2L AS id, 'y' AS a, 10L AS b").write.parquet(s"$dir/g=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "b", "g"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).getAs[Any]("b") == null) // old files: missing column is null
+    assert(rows(1).getAs[Long]("b") == 10L)
+    // without mergeSchema the footer-sampled schema wins — both behaviors
+    // are intentional, the staging tables rely on the default being cheap
+    val unmerged = spark.read.parquet(dir)
+    assert(unmerged.columns.contains("id"))
+  }
 }
