@@ -19,7 +19,7 @@ object CatalogOps {
   }
 
   def tableExists(spark: SparkSession, db: String, table: String): Boolean =
-    spark.catalog.tableExists(db, table)
+    spark.catalog.tableExists(s"`$db`.`$table`")
 
   /** Create typed staging tables from entity metadata (create-iff-absent,
     * like deployExtractionconfigTables). Returns per-table outcome. */
