@@ -27,7 +27,87 @@ object PipelineQueries extends QueryModule {
       filterField = "o_orderdate", expand = Seq("LINEITEMS"),
       lastRun = Some(lastRun), dataStartDate = Some("1995-01-01 00:00:00"))))
 
+  /** EDMX describing the TPC-H-shaped fixture entities (keys match the
+    * parquet columns), so the bootstrap's metadata-driven PK lookup and
+    * typed deploys run against the same frames the refresh loads. */
+  private val tpchEdmx =
+    """<?xml version="1.0" encoding="utf-8"?>
+      |<edmx:Edmx Version="4.0" xmlns:edmx="http://docs.oasis-open.org/odata/ns/edmx">
+      |  <edmx:DataServices>
+      |    <Schema Namespace="Tpch.OData" xmlns="http://docs.oasis-open.org/odata/ns/edm">
+      |      <EntityType Name="ORDERS">
+      |        <Key><PropertyRef Name="O_ORDERKEY"/></Key>
+      |        <Property Name="O_ORDERKEY" Type="Edm.Int64" Nullable="false"/>
+      |        <Property Name="O_ORDERDATE" Type="Edm.DateTimeOffset"/>
+      |        <Property Name="O_TOTALPRICE" Type="Edm.Decimal"/>
+      |      </EntityType>
+      |      <EntityType Name="LINEITEMS">
+      |        <Key><PropertyRef Name="O_ORDERKEY"/><PropertyRef Name="L_LINENUMBER"/></Key>
+      |        <Property Name="O_ORDERKEY" Type="Edm.Int64" Nullable="false"/>
+      |        <Property Name="L_LINENUMBER" Type="Edm.Int64" Nullable="false"/>
+      |        <Property Name="L_QUANTITY" Type="Edm.Decimal"/>
+      |      </EntityType>
+      |    </Schema>
+      |  </edmx:DataServices>
+      |</edmx:Edmx>""".stripMargin
+
   def all: Seq[Q] = Seq(
+
+    // /initialDataLoad (SURVEY §3.2) driver-verified: metadata parse →
+    // ensure database → typed deploys → FULL refresh (watermark at
+    // dataStartDate) → composite transcript, the reference's bootstrap
+    // orchestration end-to-end with each outcome emitted as data.
+    Q("pipeline_initial_load",
+      Some("SELECT * FROM (VALUES (1, 'database', 'acc_testacc'), " +
+        "(2, 'deploy_stg_lineitems', 'success'), " +
+        "(3, 'deploy_stg_orders', 'success')) AS t(ord, step, result) " +
+        "UNION ALL SELECT 4, 'load_stg_orders', CAST(count(*) AS VARCHAR) FROM orders " +
+        "UNION ALL SELECT 5, 'load_stg_lineitems', CAST(count(*) AS VARCHAR) FROM lineitem " +
+        "ORDER BY ord"),
+      (s, dir) => {
+        import graft.pipeline.{Bootstrap, CatalogOps}
+        val bootCfg = ExtractionConfig(
+          datasourceName = "tpch_fixture", uri = "file:///root/testdata",
+          accountId = "testacc", systemTimezone = "UTC",
+          sourceSystem = "priority",
+          entities = Seq(EntityConfig("ORDERS", filterFlag = true,
+            filterField = "o_orderdate", expand = Seq("LINEITEMS"),
+            lastRun = Some(lastRun),
+            dataStartDate = Some("1995-01-01 00:00:00"))))
+        // self-healing catalog state (see o20): drop + physical cleanup
+        val db = s"acc_${bootCfg.accountId}"
+        s.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+        val dbPath = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+        val fs = dbPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(dbPath)) fs.delete(dbPath, true)
+
+        val sinkDir = Files.createTempDirectory("graft_bootstrap").toString
+        val report = Bootstrap.initialDataLoad(
+          s, bootCfg, tpchEdmx,
+          sources = _ => nestChild(
+            parent = tbl(s, dir, "orders"), child = tbl(s, dir, "lineitem"),
+            parentKey = "o_orderkey", childKey = "l_orderkey",
+            subformName = "lineitems_subform", sortCols = Seq("l_linenumber")),
+          subformsOf = _ => Map("lineitems_subform" -> "LINEITEMS"),
+          sinkDir = sinkDir, state = new StateStore(s"$sinkDir/_state.json"),
+          runId = "00000000-0000-4000-8000-000000000001",
+          runTs = "2026-01-01 00:00:00")
+        s.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+
+        val byTable = report.loadReports.map(r => r.tableName -> r).toMap
+        import s.implicits._
+        Seq(
+          (1, "database", report.database),
+          (2, "deploy_stg_lineitems", report.tablesDeployed("stg_lineitems")),
+          (3, "deploy_stg_orders", report.tablesDeployed("stg_orders")),
+          (4, "load_stg_orders",
+            byTable("stg_orders").recordsWritten.toString),
+          (5, "load_stg_lineitems",
+            byTable("stg_lineitems").recordsWritten.toString))
+          .toDF("ord", "step", "result").orderBy("ord")
+      }),
+
     Q("pipeline_refresh_report",
       Some("SELECT 'orders' AS entity_name, 'stg_orders' AS table_name, " +
         "count(*) AS records_written, 'success' AS status FROM orders " +
