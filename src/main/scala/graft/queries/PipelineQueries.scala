@@ -108,6 +108,26 @@ object PipelineQueries extends QueryModule {
           .toDF("ord", "step", "result").orderBy("ord")
       }),
 
+    // /testExtractionconfigEntities (app.py:70-76): the per-entity
+    // connectivity probe — a $top=1 scan of every configured entity through
+    // the DSv2 connector (the reference's check=True request), outcomes as
+    // data. The probe is limit-pushed: the service answers one row.
+    Q("pipeline_probe_entities",
+      Some("SELECT * FROM (VALUES ('customer', 'ok', 1), ('orders', 'ok', 1)) " +
+        "AS t(entity, status, n_rows) ORDER BY entity"),
+      (s, dir) => {
+        import s.implicits._
+        val entities = Seq("customer", "orders")
+        entities.foreach(e =>
+          graft.sources.ODataTestServer.register(s, e, s"$dir/$e.parquet"))
+        entities.map { e =>
+          val n = scala.util.Try(
+            s.read.format("graft.sources.ODataSource")
+              .option("entity", e).load().limit(1).count()).getOrElse(-1L)
+          (e, if (n == 1L) "ok" else "fail", n.toInt)
+        }.toDF("entity", "status", "n_rows").orderBy("entity")
+      }),
+
     Q("pipeline_refresh_report",
       Some("SELECT 'orders' AS entity_name, 'stg_orders' AS table_name, " +
         "count(*) AS records_written, 'success' AS status FROM orders " +
