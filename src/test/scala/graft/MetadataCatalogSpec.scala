@@ -34,7 +34,9 @@ class MetadataCatalogSpec extends AnyFunSuite {
   }
 
   test("catalog lifecycle: ensure db, deploy tables iff absent, reset drops all (O20/O21)") {
-    val db = "acc_testacc"
+    // unique name: "acc_testacc" belongs to the pipeline_initial_load query
+    // (QueriesSmokeSpec may run it concurrently in the shared session)
+    val db = "acc_metacatspec"
     assert(!CatalogOps.ensureDatabase(spark, db)) // created now
     assert(CatalogOps.ensureDatabase(spark, db)) // already exists
 
