@@ -264,6 +264,43 @@ object LlmQueries2 extends QueryModule {
           .orderBy("doc_id")
       }),
 
+    // Benchmark decontamination: flag corpus documents sharing >= 3 distinct
+    // word-3-grams with a "benchmark" set (fixture: doc_id < 5) — the
+    // test-set leakage check every training pipeline runs before a corpus
+    // ships. The benchmark shingle set is small by construction, so the
+    // overlap join broadcasts; corpus-side cost is one shuffle-free probe
+    // plus a per-doc count.
+    Q("text_decontaminate",
+      Some {
+        import graft.functions.{DedupSketches => DS}
+        s"WITH sh AS (${DS.shinglesSql(3)}), " +
+          "bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5), " +
+          "corpus AS (SELECT * FROM sh WHERE doc_id >= 5), " +
+          "ov AS (SELECT doc_id, count(*) AS n_overlap FROM corpus " +
+          "JOIN bench USING (shingle) GROUP BY doc_id) " +
+          "SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap, " +
+          "CAST(coalesce(ov.n_overlap, 0) >= 3 AS INTEGER) AS contaminated " +
+          "FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d " +
+          "LEFT JOIN ov ON ov.doc_id = d.doc_id ORDER BY d.doc_id"
+      },
+      (s, dir) => {
+        import graft.functions.{DedupSketches => DS}
+        val docs = tbl(s, dir, "documents")
+        val sh = DS.shingles(docs, 3)
+        val bench = sh.filter(col("doc_id") < 5)
+          .select("shingle").distinct()
+        val ov = sh.filter(col("doc_id") >= 5)
+          .join(broadcast(bench), "shingle")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        docs.filter(col("doc_id") >= 5).select("doc_id")
+          .join(ov, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            (coalesce(col("n_overlap"), lit(0L)) >= 3).cast("int")
+              .as("contaminated"))
+          .orderBy("doc_id")
+      }),
+
     // tf-idf top terms per document with a RATIONAL idf (N/df instead of
     // log(N/df)): every factor is an integer-derived double division, so the
     // scores hash bit-identically across engines (log() is only 1-ulp
