@@ -76,15 +76,14 @@ object Refresh {
 
   /** One entity: returns a report per written table (parent + one per
     * subform) plus the watermark advance target. Run counts AND the max
-    * event time are derived from the WRITTEN SINK filtered to this run's
-    * lineage id — one consistent snapshot, so a live source changing
-    * between actions can neither skew the report nor advance the watermark
-    * past rows that were never persisted. The sink is PARTITIONED by
-    * `extractionid`, so those reads prune to the run's own files — on a
-    * long-lived staging table the report costs one run-partition scan, not
-    * a full-table scan per entity per run. The advance target is
-    * max(observed)+1µs: everything <= max is in the sink, so the next
-    * `>= lastRun` incremental doesn't re-extract the boundary rows forever.
+    * event time are collected via `Dataset.observe` DURING the sink write —
+    * the metrics describe exactly the rows the write job persisted (same
+    * job, same snapshot), with NO re-read of the staging table at all: on
+    * a long-lived 100 TB sink the report is free. (The sink is still
+    * PARTITIONED by `extractionid`, so later lineage-filtered reads prune
+    * to one run's files.) The advance target is max(observed)+1µs:
+    * everything <= max is in the sink, so the next `>= lastRun`
+    * incremental doesn't re-extract the boundary rows forever.
     * `subforms` maps nested array-of-struct column → child table name. */
   def refreshEntity(
       entity: EntityConfig,
@@ -97,38 +96,45 @@ object Refresh {
       runTs: String,
       needEventTimeMax: Boolean = true): EntityResult = {
 
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+
     val filtered = watermarkFilter(entity, incremental)(source)
     val stage = (df: DataFrame) =>
       stampLineage(runId, runTs)(lowercaseAll(df))
     val mode = if (incremental) SaveMode.Append else SaveMode.Overwrite
-    val spark = source.sparkSession
 
-    def thisRun(table: String): DataFrame =
-      spark.read.parquet(s"$sinkDir/$table")
-        .filter(org.apache.spark.sql.functions.col("extractionid") === runId)
+    val wantMax =
+      needEventTimeMax && entity.filterFlag && entity.filterField.nonEmpty
 
-    val parent = stage(parentProjection(subforms.keys.toSeq)(filtered))
+    val parentObs = Observation()
+    val parent0 = stage(parentProjection(subforms.keys.toSeq)(filtered))
+    val parent =
+      if (wantMax)
+        parent0.observe(parentObs, count(lit(1)).as("rows"),
+          // formatted IN the job (session tz semantics), not driver-side
+          date_format(
+            max(col(entity.filterField.toLowerCase)) + expr("INTERVAL 1 MICROSECOND"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("maxev"))
+      else parent0.observe(parentObs, count(lit(1)).as("rows"))
     val parentTable = s"stg_${entity.entityId.toLowerCase}"
     Sinks.writeStaged(parent, s"$sinkDir/$parentTable", mode)
-    val parentN = thisRun(parentTable).count()
+    val parentMetrics = parentObs.get
+    val parentN = parentMetrics("rows").asInstanceOf[Long]
 
     val childReports = subforms.toSeq.map { case (colName, childName) =>
+      val obs = Observation()
       val child = stage(explodeSubform(colName, parentPk)(filtered))
+        .observe(obs, count(lit(1)).as("rows"))
       val childTable = s"stg_${childName.toLowerCase}"
       Sinks.writeStaged(child, s"$sinkDir/$childTable", mode)
       EntityReport(s"${entity.entityId}_${childName}_SUBFORM".toLowerCase,
-        childTable, thisRun(childTable).count(), "success")
+        childTable, obs.get("rows").asInstanceOf[Long], "success")
     }
 
     val maxEventTime =
-      if (needEventTimeMax && entity.filterFlag && entity.filterField.nonEmpty) {
-        import org.apache.spark.sql.functions._
-        thisRun(parentTable)
-          .agg(date_format(
-            max(col(entity.filterField.toLowerCase)) + expr("INTERVAL 1 MICROSECOND"),
-            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("m"))
-          .collect().headOption.flatMap(r => Option(r.getString(0)))
-      } else None
+      if (wantMax) Option(parentMetrics("maxev")).map(_.asInstanceOf[String])
+      else None
 
     EntityResult(
       EntityReport(entity.entityId.toLowerCase, parentTable, parentN, "success") +:
