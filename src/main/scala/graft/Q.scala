@@ -52,6 +52,29 @@ object H {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Materialize `result` via an eager localCheckpoint, then release the
+    * plan's inputs: `caches` through the CacheManager, `checkpoints` (frames
+    * produced by localCheckpoint) through their RDD blocks. Use at the tail
+    * of a query whose plan leans on .cache()/.localCheckpoint() — the small
+    * checkpointed result is self-contained, so executor storage does not
+    * accumulate across a 100-query benchmark run. */
+  def materialized(result: DataFrame, caches: Seq[DataFrame],
+      checkpoints: Seq[DataFrame] = Nil): DataFrame = {
+    val out = result.localCheckpoint()
+    caches.foreach(_.unpersist(blocking = false))
+    checkpoints.foreach(freeLocalCheckpoint)
+    out
+  }
+
+  /** Free the executor blocks behind an (eager) localCheckpoint frame — a
+    * checkpointed RDD is persisted OUTSIDE the CacheManager, so
+    * Dataset.unpersist() can't reach it; its LogicalRDD leaf can. Safe only
+    * on frames that are dead (nothing unexecuted still reads them). */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4 only
     * reads via spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench and
     * test sessions). Convert nanos → TimestampType (micros) here; integer

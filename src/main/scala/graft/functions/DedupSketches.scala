@@ -128,7 +128,13 @@ object DedupSketches {
       .cache()
     // localCheckpoint (eager) each round: materializes the new labels AND
     // truncates lineage — without it, the per-round plan chains back
-    // through every previous round and iteration cost explodes.
+    // through every previous round and iteration cost explodes. Each
+    // round's blocks are FREED once the next round materializes
+    // (H.freeLocalCheckpoint), so storage holds one generation, not the
+    // whole iteration history. (localCheckpoint trades fault tolerance for
+    // speed — an executor loss mid-iteration fails the job and the caller
+    // reruns; at cluster scale swap in reliable checkpoint() for restart
+    // from the last completed round.)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     var converged = false
@@ -156,10 +162,12 @@ object DedupSketches {
         .localCheckpoint()
       converged = next.filter(col("changed")).isEmpty
       stepped.unpersist()
+      graft.H.freeLocalCheckpoint(labels) // next is materialized; last round's blocks are dead
       labels = next.select("node", "label")
       i += 1
     }
     edges.unpersist()
+    graft.H.freeLocalCheckpoint(p) // nothing reads the pair list once edges is dropped
     // half-propagated labels would silently mark true duplicates canonical
     require(converged,
       s"connectedComponents did not converge after $maxIters rounds")

@@ -219,6 +219,22 @@ object Sinks {
       partitionCols = if (legacyFlat) Nil else Seq("extractionid"))
   }
 
+  /** Read back a staged table with the write-side contract restored.
+    * `extractionid` is hive-partitioned on write, so a bare read would run
+    * partition-value TYPE INFERENCE on it — a run id that parses as a
+    * number or date (e.g. '0123') would come back non-string and corrupted
+    * ('123'). Pinning the column to STRING via an explicit schema makes
+    * partition values parse verbatim from the directory names. (Partition
+    * columns still sort to the end of the schema — that part IS the staged
+    * read-back contract.) */
+  def readStaged(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val inferred = spark.read.parquet(path).schema
+    val pinned = StructType(inferred.map(f =>
+      if (f.name == "extractionid") f.copy(dataType = StringType) else f))
+    spark.read.schema(pinned).parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

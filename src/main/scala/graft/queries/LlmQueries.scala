@@ -60,9 +60,11 @@ object LlmQueries extends QueryModule {
         val sh = DS.shingles(tbl(s, dir, "documents"), 3).cache()
         val sig = DS.minhashSignature(sh).cache()
         val cand = DS.candidatePairs(DS.lshBands(sig))
-        DS.verifiedJaccard(cand, sh, Some(sig.select(col("doc_id"), col("n"))))
-          .filter(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+        graft.H.materialized(
+          DS.verifiedJaccard(cand, sh, Some(sig.select(col("doc_id"), col("n"))))
+            .filter(col("jaccard") >= 0.5)
+            .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b"),
+          caches = Seq(sh, sig))
       }),
 
     // 64-bit SimHash fingerprints (md5-bit convention, oracle-exact).
@@ -98,8 +100,10 @@ object LlmQueries extends QueryModule {
         val sh = DS.shingles(tbl(s, dir, "documents"), 2).cache()
         val sig = DS.minhashSignature(sh).cache()
         val cand = DS.candidatePairs(DS.lshBands(sig))
-        DS.verifiedJaccard(cand, sh, Some(sig.select(col("doc_id"), col("n"))))
-          .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+        graft.H.materialized(
+          DS.verifiedJaccard(cand, sh, Some(sig.select(col("doc_id"), col("n"))))
+            .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b"),
+          caches = Seq(sh, sig))
       }),
 
     // ---- similarity search ----------------------------------------------

@@ -53,11 +53,13 @@ object LlmQueries2 extends QueryModule {
         val c = cells.select(col("vec_id").as("vid"), col("v").as("cv"),
           col("cell").as("cell_c"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
-        c.join(broadcast(q), col("cell") === col("cell_c") && col("vid") =!= col("qid"))
-          .withColumn("sim", CE.cosine_sim(col("qv"), col("cv")))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 3)
-          .select("qid", "vid", "rnk", "sim").orderBy("qid", "rnk")
+        graft.H.materialized(
+          c.join(broadcast(q), col("cell") === col("cell_c") && col("vid") =!= col("qid"))
+            .withColumn("sim", CE.cosine_sim(col("qv"), col("cv")))
+            .withColumn("rnk", row_number().over(w).cast("long"))
+            .filter(col("rnk") <= 3)
+            .select("qid", "vid", "rnk", "sim").orderBy("qid", "rnk"),
+          caches = Seq(cells))
       }),
 
     // Embedding-cosine near-dup: candidates from hyperplane-bucket
@@ -79,10 +81,12 @@ object LlmQueries2 extends QueryModule {
           col("bucket"))
         val b = n.select(col("vec_id").as("vec_b"), col("v").as("bv"),
           col("bucket").as("bucket_b"))
-        a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
-          .withColumn("sim", CE.cosine_sim(col("av"), col("bv")))
-          .filter(col("sim") >= 0.4)
-          .select("vec_a", "vec_b", "sim").orderBy("vec_a", "vec_b")
+        graft.H.materialized(
+          a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+            .withColumn("sim", CE.cosine_sim(col("av"), col("bv")))
+            .filter(col("sim") >= 0.4)
+            .select("vec_a", "vec_b", "sim").orderBy("vec_a", "vec_b"),
+          caches = Seq(n))
       }),
 
     // Multimodal resize + feature-extract: stride-4 byte subsampling (the
@@ -177,10 +181,13 @@ object LlmQueries2 extends QueryModule {
         val cand = DS.candidatePairs(DS.lshBands(sig))
         val pairs = DS.verifiedJaccard(cand, sh, Some(sig.select(col("doc_id"), col("n"))))
           .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
-        DS.connectedComponents(pairs)
-          .select(col("node").as("doc_id"), col("label").as("canonical_id"),
-            (col("node") === col("label")).cast("int").as("is_canonical"))
-          .orderBy("doc_id")
+        val labels = DS.connectedComponents(pairs)
+        graft.H.materialized(
+          labels
+            .select(col("node").as("doc_id"), col("label").as("canonical_id"),
+              (col("node") === col("label")).cast("int").as("is_canonical"))
+            .orderBy("doc_id"),
+          caches = Seq(sh, sig), checkpoints = Seq(labels))
       }),
 
     // CAPSTONE: the end-to-end training-set selection a real data pipeline
@@ -252,16 +259,19 @@ object LlmQueries2 extends QueryModule {
             DS.candidatePairs(DS.lshBands(sig)), sh,
             Some(sig.select(col("doc_id"), col("n"))))
           .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
-        val grp = DS.connectedComponents(pairs)
+        val labels = DS.connectedComponents(pairs)
+        val grp = labels
           .select(col("node").as("doc_id"), col("label").as("canonical_id"))
-        q.join(grp, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("quality_score"),
-            coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
-            when(col("canonical_id").isNotNull &&
-                col("canonical_id") =!= col("doc_id"), "drop_duplicate")
-              .when(col("quality_score") < 2, "drop_low_quality")
-              .otherwise("keep").as("decision"))
-          .orderBy("doc_id")
+        graft.H.materialized(
+          q.join(grp, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("quality_score"),
+              coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
+              when(col("canonical_id").isNotNull &&
+                  col("canonical_id") =!= col("doc_id"), "drop_duplicate")
+                .when(col("quality_score") < 2, "drop_low_quality")
+                .otherwise("keep").as("decision"))
+            .orderBy("doc_id"),
+          caches = Seq(sh, sig), checkpoints = Seq(labels))
       }),
 
     // Benchmark decontamination: flag corpus documents sharing >= 3 distinct
@@ -332,14 +342,16 @@ object LlmQueries2 extends QueryModule {
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n"))
         val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-        tf.join(dl, "doc_id").join(df, "term").crossJoin(broadcast(n))
-          .withColumn("score",
-            (col("tf").cast("double") / col("dl").cast("double")) *
-              (col("n").cast("double") / col("df").cast("double")))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 3)
-          .select("doc_id", "term", "score", "rnk")
-          .orderBy("doc_id", "rnk")
+        graft.H.materialized(
+          tf.join(dl, "doc_id").join(df, "term").crossJoin(broadcast(n))
+            .withColumn("score",
+              (col("tf").cast("double") / col("dl").cast("double")) *
+                (col("n").cast("double") / col("df").cast("double")))
+            .withColumn("rnk", row_number().over(w).cast("long"))
+            .filter(col("rnk") <= 3)
+            .select("doc_id", "term", "score", "rnk")
+            .orderBy("doc_id", "rnk"),
+          caches = Seq(tf))
       }),
 
     // BPE-ish token counting: whitespace words sub-chunked to <=4 chars

@@ -113,18 +113,22 @@ object PipelineQueries extends QueryModule {
     // the DSv2 connector (the reference's check=True request), outcomes as
     // data. The probe is limit-pushed: the service answers one row.
     Q("pipeline_probe_entities",
-      Some("SELECT * FROM (VALUES ('customer', 'ok', 1), ('orders', 'ok', 1)) " +
+      Some("SELECT * FROM (VALUES ('probe_customer', 'ok', 1), ('probe_orders', 'ok', 1)) " +
         "AS t(entity, status, n_rows) ORDER BY entity"),
       (s, dir) => {
         import s.implicits._
-        val entities = Seq("customer", "orders")
-        entities.foreach(e =>
-          graft.sources.ODataTestServer.register(s, e, s"$dir/$e.parquet"))
-        entities.map { e =>
+        // query-unique registry names: generic names ('customer'/'orders')
+        // are shared with other queries and specs in the same session, and
+        // re-registering a name invalidates any scan planned against its
+        // previous generation (ODataTestServer.fetchPage fails stale refs)
+        val entities = Seq("probe_customer" -> "customer", "probe_orders" -> "orders")
+        entities.foreach { case (name, table) =>
+          graft.sources.ODataTestServer.register(s, name, s"$dir/$table.parquet") }
+        entities.map { case (name, _) =>
           val n = scala.util.Try(
             s.read.format("graft.sources.ODataSource")
-              .option("entity", e).load().limit(1).count()).getOrElse(-1L)
-          (e, if (n == 1L) "ok" else "fail", n.toInt)
+              .option("entity", name).load().limit(1).count()).getOrElse(-1L)
+          (name, if (n == 1L) "ok" else "fail", n.toInt)
         }.toDF("entity", "status", "n_rows").orderBy("entity")
       }),
 

@@ -160,11 +160,19 @@ object WindowingQueries extends QueryModule {
         replayFiles(ev.filter(col("event_type") === "purchase"), 2, tmp, inP)
         replayFiles(ev.filter(col("event_type") === "click"), 2, tmp, inC)
         val schema = ev.schema
-        val p = StreamingRefresh.fileStream(s, schema, inP, Some(1))
+        // state-store partition count sized to the (small) state volume:
+        // each shuffle partition is a state store instance PER side PER
+        // micro-batch — 32 would be pure per-batch overhead here. The
+        // override lives in a CHILD SESSION (per-session conf over the
+        // shared SparkContext), so queries planned concurrently in the
+        // main session never observe it and there is no save/restore race.
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val p = StreamingRefresh.fileStream(ss, schema, inP, Some(1))
           .select(col("event_id").as("p_id"), col("user_id"),
             col("ts").as("p_ts"))
           .withWatermark("p_ts", "3650 days")
-        val c = StreamingRefresh.fileStream(s, schema, inC, Some(1))
+        val c = StreamingRefresh.fileStream(ss, schema, inC, Some(1))
           .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
             col("ts").as("c_ts"))
           .withWatermark("c_ts", "3650 days")
@@ -172,20 +180,13 @@ object WindowingQueries extends QueryModule {
           col("user_id") === col("c_user") &&
             col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
             col("c_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
-        // state-store partition count sized to the (small) state volume:
-        // each shuffle partition is a state store instance PER side PER
-        // micro-batch — 32 would be pure per-batch overhead here
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
-          val q = joined.writeStream
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .format("parquet").option("path", sink)
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        val q = joined.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", sink)
+          .start()
+        q.awaitTermination()
         s.read.parquet(sink)
           .select(col("p_id"), col("c_id"), col("user_id"),
             fmtTs(col("p_ts")).as("p_ts"), fmtTs(col("c_ts")).as("c_ts"))

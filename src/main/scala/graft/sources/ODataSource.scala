@@ -200,9 +200,15 @@ final class ODataScan(
   override def planInputPartitions(): Array[InputPartition] = {
     // The "HTTP preflight": ask the service how many pages answer the
     // pushed query; each partition then fetches its own page executor-side.
-    val nPages = ODataTestServer.preflight(entity, required, filters, limit, pageSize)
+    // The registry GENERATION observed here rides along in every page ref:
+    // page boundaries were counted against THIS version of the entity, so a
+    // re-registration between planning and execution must fail the fetch
+    // loudly instead of silently shifting pages (dropped/duplicated rows).
+    val (nPages, gen) =
+      ODataTestServer.preflight(entity, required, filters, limit, pageSize)
     (0 until nPages)
-      .map(i => ODataPageRef(entity, required, filters, limit, i, pageSize): InputPartition)
+      .map(i =>
+        ODataPageRef(entity, required, filters, limit, i, pageSize, gen): InputPartition)
       .toArray
   }
 
@@ -229,7 +235,8 @@ final case class ODataPageRef(
     filters: Array[Filter],
     limit: Option[Int],
     pageNo: Int,
-    pageSize: Int) extends InputPartition
+    pageSize: Int,
+    generation: Long) extends InputPartition
 
 final class ODataRowsReader(it: Iterator[Seq[Any]], schema: StructType)
     extends PartitionReader[InternalRow] {
@@ -300,14 +307,17 @@ final class ODataRowsReader(it: Iterator[Seq[Any]], schema: StructType)
 object ODataTestServer {
 
   /** Lazily-materialized entity: schema is known at registration (logical
-    * plan only); rows collect on first preflight — never at register time. */
-  private final class Entry(val schema: StructType, df: DataFrame) {
+    * plan only); rows collect on first preflight — never at register time.
+    * `gen` identifies this registration: scans planned against one
+    * generation refuse to fetch pages from another (see [[fetchPage]]). */
+  private final class Entry(val schema: StructType, df: DataFrame, val gen: Long) {
     lazy val rows: IndexedSeq[Seq[Any]] =
       df.collect().iterator.map(r => (0 until r.length).map(r.get).toVector)
         .toVector
   }
 
   private val entities = new ConcurrentHashMap[String, Entry]()
+  private val generation = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** What the last scan asked of the "service" — observable in tests. */
   @volatile var lastRequest: String = ""
@@ -316,7 +326,7 @@ object ODataTestServer {
     * "tenant data" materializes on the first scan's preflight. */
   def register(spark: SparkSession, entity: String, path: String): Unit = {
     val df = spark.read.parquet(path)
-    entities.put(entity, new Entry(df.schema, df))
+    entities.put(entity, new Entry(df.schema, df, generation.incrementAndGet()))
   }
 
   /** Register a parent entity WITH an expandable child subform — the
@@ -336,7 +346,7 @@ object ODataTestServer {
     val nested = graft.ops.Relational.nestChild(
       spark.read.parquet(parentPath), spark.read.parquet(childPath),
       parentKey, childKey, subformName, sortCols)
-    entities.put(entity, new Entry(nested.schema, nested))
+    entities.put(entity, new Entry(nested.schema, nested, generation.incrementAndGet()))
   }
 
   private def entry(entity: String): Entry =
@@ -436,13 +446,16 @@ object ODataTestServer {
 
   /** Count the pages answering a pushed query (driver-side, at plan time —
     * this is also where lazy registration materializes). Records the
-    * request URL, `$expand` included, for observability. */
+    * request URL, `$expand` included, for observability. Returns the page
+    * count AND the registry generation the count was taken against — both
+    * read from one Entry reference, so they are mutually consistent even if
+    * a concurrent re-registration races this call. */
   def preflight(
       entity: String,
       required: StructType,
       filters: Array[Filter],
       limit: Option[Int],
-      pageSize: Int): Int = {
+      pageSize: Int): (Int, Long) = {
     val e = entry(entity)
     val (sub, flat) = required.fields.partition(f => isSubform(f.dataType))
     lastRequest = s"GET /$entity?$$select=${flat.map(_.name).mkString(",")}" +
@@ -452,13 +465,20 @@ object ODataTestServer {
     val idx = e.schema.fieldNames.zipWithIndex.toMap
     val matched = e.rows.count(r => filters.forall(evalFilter(_, r, idx)))
     val n = limit.fold(matched)(math.min(_, matched))
-    ((n + pageSize - 1) / pageSize).max(0)
+    (((n + pageSize - 1) / pageSize).max(0), e.gen)
   }
 
   /** Serve ONE page of a pushed query — called from the executor-side
-    * reader (the page GET of a real connector). */
+    * reader (the page GET of a real connector). Fails if the entity was
+    * re-registered after the scan's preflight: the planned page boundaries
+    * no longer describe the registry's rows, and serving them would drop or
+    * duplicate rows silently. */
   def fetchPage(ref: ODataPageRef): Iterator[Seq[Any]] = {
     val e = entry(ref.entity)
+    if (e.gen != ref.generation)
+      sys.error(s"entity '${ref.entity}' was re-registered (generation " +
+        s"${e.gen}) after this scan was planned (generation " +
+        s"${ref.generation}); page boundaries are stale — re-plan the scan")
     val idx = e.schema.fieldNames.zipWithIndex.toMap
     val proj = ref.required.fieldNames.map(idx).toSeq
     val filtered = e.rows.iterator

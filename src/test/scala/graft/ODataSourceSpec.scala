@@ -135,6 +135,22 @@ class ODataSourceSpec extends AnyFunSuite {
     assert(parts.forall(_.isInstanceOf[graft.sources.ODataPageRef]), parts.map(_.getClass).toString)
   }
 
+  test("re-registering an entity after planning fails the fetch instead of shifting pages") {
+    ODataTestServer.register(spark, "gen_probe", s"$sf/customer.parquet")
+    val df = spark.read.format("graft.sources.ODataSource")
+      .option("entity", "gen_probe").option("pageSize", "40").load()
+    assert(df.count() == 150) // same generation: pages serve fine
+    // new registration between planning and execution: page boundaries
+    // counted against the old generation must not silently apply
+    val preSwap = spark.read.format("graft.sources.ODataSource")
+      .option("entity", "gen_probe").option("pageSize", "40").load()
+      .queryExecution.executedPlan.execute()
+    preSwap.partitions // forces planInputPartitions → preflight snapshots the generation
+    ODataTestServer.register(spark, "gen_probe", s"$sf/nation.parquet")
+    val ex = intercept[org.apache.spark.SparkException](preSwap.count())
+    assert(ex.getMessage.contains("re-registered"), ex.getMessage)
+  }
+
   test("unsupported predicates stay residual and results remain correct") {
     val df = load().filter(col("c_name").contains("42")) // StringContains: not pushed
     val expected = H.tbl(spark, sf, "customer")

@@ -119,6 +119,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("extractionid"), plan)
   }
 
+  test("readStaged pins extractionid to string: numeric-looking run ids survive partition-value parsing") {
+    val dir = Files.createTempDirectory("pin").toString
+    val st = new StateStore(s"$dir/state.json")
+    val e = EntityConfig("ORDERS", filterFlag = false, "", Seq.empty, None, None)
+    // '0123' type-infers as the integer 123 on a bare read — value corrupted
+    Refresh.refreshAll(
+      cfg(e), incremental = true, _ => H.tbl(spark, sf, "orders").limit(5),
+      _ => Map.empty, _ => Seq("o_orderkey"), dir, st, "0123", "2026-01-01 00:00:00")
+    val staged = Sinks.readStaged(spark, s"$dir/stg_orders")
+    assert(staged.schema("extractionid").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(staged.select("extractionid").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("0123"))
+  }
+
   test("legacy flat staging dirs keep their layout on append (no mixed-layout corruption)") {
     val dir = Files.createTempDirectory("legacy").toString
     val st = new StateStore(s"$dir/state.json")
