@@ -48,20 +48,38 @@ object DedupSketches {
       "FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))"
   }
 
+  /** md5 digests per signature: each 128-bit digest is CHUNKED into four
+    * 32-bit (8-hex-char) hash values, so 12 hash functions cost 3 md5
+    * evaluations per shingle instead of 12 — the dominant CPU of the
+    * signature pass at corpus scale. Lexicographic min on fixed-width hex
+    * == numeric min, so each chunk is a valid independent min-hash. */
+  val NumDigests: Int = NumHashes / 4
+
   /** MinHash signature + shingle-set size in ONE groupBy pass (the count
     * feeds Jaccard verification; folding it here saves a second aggregation
-    * over the shingle set). */
-  def minhashSignature(sh: DataFrame): DataFrame =
-    sh.groupBy("doc_id").agg(
-      min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
-      (1 until NumHashes).map(i =>
-        min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")) :+
-        count(lit(1)).as("n"): _*)
+    * over the shingle set). The digests are computed once per shingle in a
+    * pre-aggregation projection (not per agg expression), then min-folded
+    * chunk-wise — map-side combine keeps the shuffle at |docs|×n_hashes. */
+  def minhashSignature(sh: DataFrame): DataFrame = {
+    val digested = sh.select(
+      col("doc_id") +:
+        (0 until NumDigests).map(j =>
+          md5(concat(lit(s"$j:"), col("shingle"))).as(s"m$j")): _*)
+    digested.groupBy("doc_id").agg(
+      min(substring(col("m0"), 1, 8)).as("h0"),
+      (1 until NumHashes).map { i =>
+        min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")
+      } :+ count(lit(1)).as("n"): _*)
+  }
 
-  def minhashSignatureSql: String =
+  def minhashSignatureSql: String = {
+    val digests = (0 until NumDigests)
+      .map(j => s"md5('$j:' || shingle) AS m$j").mkString(", ")
     "SELECT doc_id, " + (0 until NumHashes)
-      .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ") +
-      ", count(*) AS n FROM sh GROUP BY doc_id"
+      .map(i => s"min(substr(m${i / 4}, ${(i % 4) * 8 + 1}, 8)) AS h$i")
+      .mkString(", ") +
+      s", count(*) AS n FROM (SELECT doc_id, $digests FROM sh) GROUP BY doc_id"
+  }
 
   /** (doc_id, band, key) — one row per LSH band. */
   def lshBands(sig: DataFrame): DataFrame = {
