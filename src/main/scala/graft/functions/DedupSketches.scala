@@ -153,8 +153,14 @@ object DedupSketches {
     // speed — an executor loss mid-iteration fails the job and the caller
     // reruns; at cluster scale swap in reliable checkpoint() for restart
     // from the last completed round.)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    // seed labels with one fused pull-min (label = min(node, neighbors)):
+    // the groupBy reuses the edge shuffle the loop needs anyway and saves a
+    // full three-join round versus starting from label = node
+    var labels = edges
+      .groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("label"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
