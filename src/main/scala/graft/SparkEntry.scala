@@ -21,7 +21,8 @@ object SparkEntry {
     qm.ExtraRelationalQueries,
     qm.LlmQueries2,
     qm.AnalyticQueries,
-    qm.TpchMoreQueries)
+    qm.TpchMoreQueries,
+    qm.TrainingDataQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

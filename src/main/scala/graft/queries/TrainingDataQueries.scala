@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{H, Q, QueryModule}
+import graft.H.tbl
+
+/** Third wave of training-data-pipeline operators: corpus boilerplate
+  * removal, deterministic train/holdout splitting, context-window packing,
+  * vocabulary statistics, mergeable HLL sketches, SCD2 history build, int8
+  * embedding quantization, plus ORC round-trip and a dynamic-partition-
+  * pruning join.
+  *
+  * All queries follow the determinism rules in `graft.H`: exact decimal
+  * sums, formatted timestamps, total-order final sorts, and float math
+  * expressed identically on both engines.
+  */
+object TrainingDataQueries extends QueryModule {
+
+  /** DuckDB int value of hex digit k (1-based) of string expr `h`. */
+  private def hexDigitSql(h: String, k: Int): String =
+    s"(strpos('0123456789abcdef', substr($h, $k, 1)) - 1)"
+
+  /** DuckDB int value of the first 4 hex chars of `h` (base-16 fold). */
+  private def hex4Sql(h: String): String =
+    (2 to 4).foldLeft(hexDigitSql(h, 1)) { (acc, k) =>
+      s"($acc * 16 + ${hexDigitSql(h, k)})"
+    }
+
+  def all: Seq[Q] = Seq(
+
+    // Boilerplate removal: tokens present in >= 50% of all documents are
+    // corpus boilerplate; strip them from every document, preserving token
+    // order. Scale shape: the document-frequency aggregation is one
+    // map-side-combined shuffle over distinct (doc, token) pairs; the
+    // boilerplate vocabulary is tiny by construction (bounded by tokens
+    // that appear in half the corpus), so it collapses to a single
+    // broadcast row and the removal itself is a shuffle-free map with an
+    // array-lambda filter — no join touches the full corpus.
+    Q("text_boilerplate",
+      Some(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+          "nd AS (SELECT count(*) AS n FROM documents), " +
+          "ex AS (SELECT DISTINCT doc_id, tok FROM " +
+          "(SELECT doc_id, unnest(toks) AS tok FROM t)), " +
+          "dfreq AS (SELECT tok, count(*) AS df FROM ex GROUP BY tok), " +
+          "common AS (SELECT coalesce(list(tok), []) AS c FROM dfreq, nd " +
+          "WHERE df * 2 >= n) " +
+          // coalesce: DuckDB's array_to_string is NULL (not '') on []
+          "SELECT doc_id, " +
+          "coalesce(array_to_string(list_filter(toks, x -> NOT list_contains(c, x)), ' '), '') AS clean_text, " +
+          "CAST(len(toks) - len(list_filter(toks, x -> NOT list_contains(c, x))) AS BIGINT) AS n_removed " +
+          "FROM t, common ORDER BY doc_id"),
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        // distinct-per-doc BEFORE the explode (map-side, no shuffle), same
+        // trick as DedupSketches.shingles
+        val dfreq = t
+          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val common = dfreq
+          .crossJoin(docs.agg(count(lit(1)).as("n")))
+          .filter(col("df") * 2 >= col("n"))
+          .agg(collect_set(col("tok")).as("c")) // one row; empty set => []
+        t.crossJoin(broadcast(common))
+          .withColumn("kept", expr("filter(toks, x -> NOT array_contains(c, x))"))
+          .select(col("doc_id"),
+            concat_ws(" ", col("kept")).as("clean_text"),
+            (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+          .orderBy("doc_id")
+      }),
+
+    // Deterministic stratified train/holdout split: the bucket is a pure
+    // function of doc_id (first 4 hex chars of md5, mod 10), so the split
+    // is reproducible on any cluster size with zero shuffle and no RNG
+    // state; the per-stratum rate differs by language (80/20 for en,
+    // 50/50 elsewhere) — the config-driven shape of curriculum sampling.
+    Q("sample_split",
+      Some {
+        val v = hex4Sql("m")
+        "WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m " +
+          "FROM documents), " +
+          s"b AS (SELECT doc_id, lang, CAST($v % 10 AS BIGINT) AS bucket FROM h) " +
+          "SELECT doc_id, lang, bucket, " +
+          "CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 8 ELSE 5 END) " +
+          "THEN 'train' ELSE 'holdout' END AS split " +
+          "FROM b ORDER BY doc_id"
+      },
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+              .cast("long") % 10).as("bucket"))
+          .withColumn("split",
+            when(col("bucket") <
+                when(col("lang") === "en", 8).otherwise(5), "train")
+              .otherwise("holdout"))
+          .orderBy("doc_id")),
+
+    // Context-window packing: assign each document a (pack_id, begin_pos)
+    // in a contiguous 512-token stream per source — the approximate
+    // sequence-packing step before tokenized examples ship to training.
+    // One shuffle (the per-source sort window); prefix sums never leave
+    // the window operator. Skewed sources would salt the partition key —
+    // the window is per-source, so packing stays correct per stream.
+    Q("pack_contexts",
+      Some(
+        "WITH d AS (SELECT doc_id, source, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+          "c AS (SELECT doc_id, source, n_tokens, " +
+          "CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS begin_pos " +
+          "FROM d) " +
+          "SELECT doc_id, source, n_tokens, begin_pos, " +
+          "begin_pos // 512 AS pack_id FROM c ORDER BY source, doc_id"),
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("begin_pos", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("pack_id", expr("begin_pos div 512"))
+          .orderBy("source", "doc_id")
+      }),
+
+    // Vocabulary statistics: global term and document frequency, top 50 by
+    // term frequency. The aggregation is partial-agg'd (map-side combine on
+    // token), the top-k is TakeOrderedAndProject (no global sort
+    // materializes), and the rank window runs over 50 rows.
+    Q("vocab_topk",
+      Some(
+        "WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+          "FROM documents), " +
+          "st AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df " +
+          "FROM ex GROUP BY tok), " +
+          "top AS (SELECT tok, tf, df FROM st ORDER BY tf DESC, tok LIMIT 50) " +
+          "SELECT tok, tf, df, CAST(row_number() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS rnk " +
+          "FROM top ORDER BY rnk"),
+      (s, dir) => {
+        val st = tbl(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("tf").desc, col("tok")).limit(50)
+        st.withColumn("rnk",
+            row_number().over(Window.orderBy(col("tf").desc, col("tok"))).cast("long"))
+          .orderBy("rnk")
+      }),
+
+    // ORC round-trip: the columnar sibling of the parquet/CSV/JSON sinks —
+    // write a filtered projection as ORC, scan it back, aggregate. Oracle
+    // runs on the original parquet (the round-trip must be lossless).
+    Q("source_orc_roundtrip",
+      Some(
+        "SELECT l_returnflag, count(*) AS n, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
+          "FROM lineitem WHERE l_quantity >= 45 " +
+          "GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        tbl(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 45)
+          .select("l_returnflag", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").orc(s"$tmp/li")
+        s.read.orc(s"$tmp/li")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            H.sumMoney(col("l_quantity")).as("sum_qty"),
+            H.sumMoney(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_returnflag")
+      }),
+
+    // Dynamic partition pruning: the fact table is stored partitioned by
+    // the join key; the dimension filter is on a NON-join attribute, so
+    // static constraint propagation can't prune — only DPP's runtime
+    // subquery can. At 100 TB this is the difference between scanning one
+    // priority partition and scanning the whole fact table. Plan shows
+    // PartitionFilters: [dynamicpruning#...] on the fact scan.
+    Q("join_dpp",
+      Some(
+        "SELECT o_orderpriority, count(*) AS n, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
+          "FROM orders WHERE substr(o_orderpriority, 1, 1) = '1' " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+        val orders = tbl(s, dir, "orders")
+        orders.select("o_orderpriority", "o_totalprice")
+          .write.partitionBy("o_orderpriority").mode("overwrite")
+          .parquet(s"$tmp/fact")
+        // dim carries prio_class as a stored (not derived) column: the
+        // filter below is opaque to constraint propagation, forcing DPP
+        orders.select(col("o_orderpriority"))
+          .distinct()
+          .withColumn("prio_class",
+            substring(col("o_orderpriority"), 1, 1).cast("int"))
+          .write.mode("overwrite").parquet(s"$tmp/dim")
+        val fact = s.read.parquet(s"$tmp/fact")
+        val dim = s.read.parquet(s"$tmp/dim").filter(col("prio_class") === 1)
+        fact.join(dim, "o_orderpriority")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            H.sumMoney(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Mergeable distinct-count sketches: per-shard HLL sketches built
+    // independently (here: orders split by key parity), then UNIONED and
+    // estimated — the re-aggregatable shape that lets 1000 executors build
+    // partial sketches and a coordinator merge them without a global
+    // shuffle of raw keys. Bounded oracle (r02 pattern): emit the exact
+    // count plus an in-bounds flag; the oracle asserts the flag.
+    Q("agg_hll_union",
+      Some("SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd, " +
+        "1 AS in_bounds FROM orders"),
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        val sketches = o
+          .groupBy(pmod(col("o_orderkey"), lit(2)).as("shard"))
+          .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        val est = sketches.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = o.agg(countDistinct(col("o_custkey")).as("exact_nd"))
+        est.crossJoin(exact)
+          .select(col("exact_nd"),
+            (abs(col("est") - col("exact_nd")).cast("double") /
+              col("exact_nd").cast("double") <= 0.05).cast("int").as("in_bounds"))
+      }),
+
+    // SCD2 history build: collapse each user's event stream into
+    // change-interval rows (valid_from/valid_to, version, is_current) —
+    // the warehouse-side shape of the reference's keep-latest upsert when
+    // history must be retained. Both windows share one hash partition on
+    // user_id, so the whole build is a single shuffle.
+    Q("scd2_intervals",
+      Some(
+        "WITH e AS (SELECT user_id, event_type, ts, event_id FROM events " +
+          "WHERE user_id < 200), " +
+          "ch AS (SELECT user_id, event_type, ts, event_id, " +
+          "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev " +
+          "FROM e), " +
+          "f AS (SELECT user_id, event_type, ts, event_id FROM ch " +
+          "WHERE prev IS NULL OR prev <> event_type), " +
+          "v AS (SELECT user_id, event_type, ts, " +
+          "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vto, " +
+          "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version " +
+          "FROM f) " +
+          "SELECT user_id, version, event_type, " +
+          "strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from, " +
+          "strftime(vto, '%Y-%m-%d %H:%M:%S.%f') AS valid_to, " +
+          "CASE WHEN vto IS NULL THEN 1 ELSE 0 END AS is_current " +
+          "FROM v ORDER BY user_id, version"),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val changes = H.events(s, dir)
+          .select("user_id", "event_type", "ts", "event_id")
+          .filter(col("user_id") < 200)
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        changes
+          .withColumn("vto", lead(col("ts"), 1).over(w))
+          .withColumn("version", row_number().over(w).cast("long"))
+          .select(col("user_id"), col("version"), col("event_type"),
+            H.fmtTs(col("ts")).as("valid_from"),
+            H.fmtTs(col("vto")).as("valid_to"),
+            when(col("vto").isNull, 1).otherwise(0).as("is_current"))
+          .orderBy("user_id", "version")
+      }),
+
+    // Int8 scalar quantization of embeddings: per-vector max-abs scaling to
+    // [-127, 127] — the storage/bandwidth step before ANN serving. Pure
+    // per-row map (no shuffle); float→double widening plus half-up
+    // rounding via floor(x + 0.5) is bit-identical across engines.
+    Q("emb_quantize_int8",
+      Some(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "m AS (SELECT vec_id, v, " +
+          "list_aggregate(list_transform(v, x -> abs(x)), 'max') AS maxabs FROM e), " +
+          "q AS (SELECT vec_id, maxabs, " +
+          "CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT)) " +
+          "ELSE list_transform(v, x -> greatest(CAST(-127 AS BIGINT), " +
+          "least(CAST(127 AS BIGINT), CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)))) " +
+          "END AS qv FROM m) " +
+          "SELECT vec_id, maxabs, " +
+          "array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',') AS qvec " +
+          "FROM q ORDER BY vec_id"),
+      (s, dir) =>
+        tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+          .withColumn("qv",
+            when(col("maxabs") === 0,
+              transform(col("v"), _ => lit(0L)))
+              .otherwise(transform(col("v"), x =>
+                greatest(lit(-127L), least(lit(127L),
+                  floor(x * lit(127.0) / col("maxabs") + lit(0.5)))))))
+          .select(col("vec_id"), col("maxabs"),
+            concat_ws(",", transform(col("qv"), _.cast("string"))).as("qvec"))
+          .orderBy("vec_id"))
+  )
+}

@@ -20,12 +20,20 @@ object WindowingQueries extends QueryModule {
     * for executed-streaming queries. Splits by `event_id % n` so every split
     * is content-defined, not order-defined. */
   private def replayFiles(df: org.apache.spark.sql.DataFrame,
-      n: Int, tmp: String, inDir: String): Unit = {
+      n: Int, tmp: String, inDir: String): Unit =
+    writeReplay(
+      (0 until n).map(i => df.filter(pmod(col("event_id"), lit(n)) === i)),
+      tmp, inDir)
+
+  /** Write each frame as one parquet file batch$i under `inDir` — the
+    * general replay harness (batches need not partition one frame; e.g.
+    * duplicate injection replays overlapping subsets). */
+  private def writeReplay(batches: Seq[org.apache.spark.sql.DataFrame],
+      tmp: String, inDir: String): Unit = {
     import java.nio.file.{Files, Paths}
-    (0 until n).foreach { i =>
+    batches.zipWithIndex.foreach { case (b, i) =>
       val stage = s"$tmp/stage_${Paths.get(inDir).getFileName}_$i"
-      df.filter(pmod(col("event_id"), lit(n)) === i)
-        .coalesce(1).write.parquet(stage)
+      b.coalesce(1).write.parquet(stage)
       val listing = Files.list(Paths.get(stage))
       val part =
         try listing.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
@@ -128,6 +136,50 @@ object WindowingQueries extends QueryModule {
           .select(col("user_id"), col("event_id"), col("event_type"),
             fmtTs(col("ts")).as("ts"), col("value"))
           .orderBy("user_id")
+      }),
+
+    // REAL streaming deduplication, oracle-verified: batch 0 carries a
+    // 1-in-5 event subset; batches 1-2 replay overlapping slices of the
+    // SAME rows — duplicates arriving in later micro-batches, which only
+    // cross-batch dropDuplicates state can eliminate. Rows are exact
+    // copies, so the final sink equals the distinct subset regardless of
+    // arrival order — what makes the run SQL-checkable. (Production bounds
+    // the dedup state with dropDuplicatesWithinWatermark; unbounded state
+    // here keeps the oracle exact over the whole replay.)
+    Q("stream_dedup",
+      Some("SELECT event_id, user_id, event_type, " +
+        s"strftime(ts, '$F6') AS ts FROM events " +
+        "WHERE event_id % 5 = 2 ORDER BY event_id"),
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.streaming.StreamingRefresh
+        val ev = H.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts")
+          .filter(pmod(col("event_id"), lit(5)) === 2)
+        val tmp = Files.createTempDirectory("graft_sdedup").toString
+        val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        writeReplay(Seq(ev,
+          ev.filter(pmod(col("event_id"), lit(3)) === 0),
+          ev.filter(pmod(col("event_id"), lit(7)) === 1)), tmp, in)
+        // dedup state is per shuffle partition per batch — child session
+        // sizes it to the data without touching the shared session conf
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = StreamingRefresh
+          .fileStream(ss, ev.schema, in, maxFilesPerTrigger = Some(1))
+          .withWatermark("ts", "3650 days")
+          .dropDuplicates("event_id")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", sink)
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            fmtTs(col("ts")).as("ts"))
+          .orderBy("event_id")
       }),
 
     // REAL stream-stream join, oracle-verified: purchase and click streams
