@@ -299,6 +299,123 @@ object TrainingDataQueries extends QueryModule {
                   floor(x * lit(127.0) / col("maxabs") + lit(0.5)))))))
           .select(col("vec_id"), col("maxabs"),
             concat_ws(",", transform(col("qv"), _.cast("string"))).as("qvec"))
-          .orderBy("vec_id"))
+          .orderBy("vec_id")),
+
+    // Spark 4 VARIANT path extraction: parse once, extract typed paths.
+    // Unlike from_json, VARIANT needs no up-front schema — the shape a
+    // 100 TB semi-structured ingest actually has. Missing paths are NULL
+    // via try_variant_get, not errors.
+    Q("scalar_variant",
+      Some("SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k, " +
+        "CAST(NULL AS VARCHAR) AS missing FROM events ORDER BY event_id"),
+      (s, dir) =>
+        H.events(s, dir)
+          .select(col("event_id"),
+            variant_get(parse_json(col("props")), "$.k", "int").as("k"),
+            try_variant_get(parse_json(col("props")), "$.missing", "string")
+              .as("missing"))
+          .orderBy("event_id")),
+
+    // Incremental aggregate maintenance: an aggregate table built from
+    // already-arrived batches is MERGED with a new batch's partial
+    // aggregate by re-aggregation (sum-of-sums / sum-of-counts) — the
+    // pattern that keeps a 100 TB rollup current without rescanning
+    // history. The oracle asserts merged state == full recompute.
+    Q("pipeline_incremental_agg",
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_incr").toString
+        val o = tbl(s, dir, "orders")
+          .withColumn("batch", pmod(col("o_orderkey"), lit(4)))
+        def part(d: org.apache.spark.sql.DataFrame) =
+          d.groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"), sum(H.dec2(col("o_totalprice"))).as("sp"))
+        // state = batches 0-2 persisted; delta = batch 3 arriving later
+        part(o.filter(col("batch") < 3))
+          .write.mode("overwrite").parquet(s"$tmp/state")
+        s.read.parquet(s"$tmp/state")
+          .unionByName(part(o.filter(col("batch") === 3)))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("n")).as("n"), sum(col("sp")).cast("double").as("sum_price"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Inverted index build: token → document-frequency + sorted postings
+    // list. Distinct-per-doc before the explode keeps the shuffle at
+    // |postings|; at corpus scale the postings of stop-like tokens shard
+    // into (token, block) runs — here the boilerplate vocabulary bounds
+    // them, so per-token lists stay addressable.
+    Q("text_inverted_index",
+      Some(
+        "WITH ex AS (SELECT DISTINCT doc_id, tok FROM " +
+          "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)) " +
+          "SELECT tok, count(*) AS df, " +
+          "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings " +
+          "FROM ex GROUP BY tok ORDER BY tok"),
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("df"),
+            concat_ws(",",
+              transform(sort_array(collect_set(col("doc_id"))), _.cast("string")))
+              .as("postings"))
+          .orderBy("tok")),
+
+    // One-pass table profiling: row count, per-column non-null/distinct
+    // counts and min/max, emitted row-per-column — the data-quality gate a
+    // pipeline runs before promoting a load. ONE scan computes every
+    // metric (multi-distinct via Expand); the oracle recomputes per
+    // column. min/max go through DECIMAL or timestamp formatting so the
+    // rendering is engine-exact.
+    Q("profile_table",
+      Some {
+        def row(c: String, minS: String, maxS: String) =
+          s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+            s"count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct, " +
+            s"$minS AS min_val, $maxS AS max_val FROM lineitem"
+        row("l_quantity",
+          "CAST(CAST(min(l_quantity) AS DECIMAL(12,2)) AS VARCHAR)",
+          "CAST(CAST(max(l_quantity) AS DECIMAL(12,2)) AS VARCHAR)") +
+          " UNION ALL " +
+          row("l_returnflag", "min(l_returnflag)", "max(l_returnflag)") +
+          " UNION ALL " +
+          row("l_shipdate",
+            "strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S')",
+            "strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')") +
+          " ORDER BY col_name"
+      },
+      (s, dir) => {
+        val one = tbl(s, dir, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_quantity")).as("nn_q"),
+          countDistinct(col("l_quantity")).as("nd_q"),
+          H.dec2(min(col("l_quantity"))).cast("string").as("min_q"),
+          H.dec2(max(col("l_quantity"))).cast("string").as("max_q"),
+          count(col("l_returnflag")).as("nn_r"),
+          countDistinct(col("l_returnflag")).as("nd_r"),
+          min(col("l_returnflag")).as("min_r"),
+          max(col("l_returnflag")).as("max_r"),
+          count(col("l_shipdate")).as("nn_s"),
+          countDistinct(col("l_shipdate")).as("nd_s"),
+          H.fmtTsSec(min(col("l_shipdate"))).as("min_s"),
+          H.fmtTsSec(max(col("l_shipdate"))).as("max_s"))
+        one.select(col("n_rows"), explode(array(
+            struct(lit("l_quantity").as("col_name"), col("nn_q").as("n_nonnull"),
+              col("nd_q").as("n_distinct"), col("min_q").as("min_val"),
+              col("max_q").as("max_val")),
+            struct(lit("l_returnflag").as("col_name"), col("nn_r").as("n_nonnull"),
+              col("nd_r").as("n_distinct"), col("min_r").as("min_val"),
+              col("max_r").as("max_val")),
+            struct(lit("l_shipdate").as("col_name"), col("nn_s").as("n_nonnull"),
+              col("nd_s").as("n_distinct"), col("min_s").as("min_val"),
+              col("max_s").as("max_val")))).as("p"))
+          .select(col("p.col_name"), col("n_rows"), col("p.n_nonnull"),
+            col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+          .orderBy("col_name")
+      })
   )
 }
