@@ -93,6 +93,46 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters"), scan) // pruning applied at scan
   }
 
+  test("dynamic partition pruning: fact scan carries a runtime pruning subquery") {
+    val tmp = java.nio.file.Files.createTempDirectory("dpp_spec").toString
+    val orders = H.tbl(spark, sf, "orders")
+    orders.select("o_orderpriority", "o_totalprice")
+      .write.partitionBy("o_orderpriority").mode("overwrite").parquet(s"$tmp/fact")
+    orders.select(col("o_orderpriority")).distinct()
+      .withColumn("prio_class", substring(col("o_orderpriority"), 1, 1).cast("int"))
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val joined = spark.read.parquet(s"$tmp/fact")
+      .join(spark.read.parquet(s"$tmp/dim").filter(col("prio_class") === 1),
+        "o_orderpriority")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    assert(joined.count() ==
+      orders.filter(substring(col("o_orderpriority"), 1, 1) === "1").count())
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    val overrides = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = H.tbl(spark, sf, "lineitem")
+      val sel = H.tbl(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      // the filter creation side injects might_contain on the big probe side
+      assert(plan.contains("might_contain"), plan)
+      assert(joined.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("schema evolution: mergeSchema unions columns across parquet file generations") {
     val dir = java.nio.file.Files.createTempDirectory("evolve").toString + "/t"
     // generation 1: (id, a); generation 2 adds column b
