@@ -164,7 +164,7 @@ object WindowingQueries extends QueryModule {
         // dedup state is per shuffle partition per batch — child session
         // sizes it to the data without touching the shared session conf
         val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
         val q = StreamingRefresh
           .fileStream(ss, ev.schema, in, maxFilesPerTrigger = Some(1))
           .withWatermark("ts", "3650 days")
@@ -219,7 +219,7 @@ object WindowingQueries extends QueryModule {
         // shared SparkContext), so queries planned concurrently in the
         // main session never observe it and there is no save/restore race.
         val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
         val p = StreamingRefresh.fileStream(ss, schema, inP, Some(1))
           .select(col("event_id").as("p_id"), col("user_id"),
             col("ts").as("p_ts"))
