@@ -31,6 +31,26 @@ object ExtraRelationalQueries extends QueryModule {
           .orderBy("o_orderkey")
       }),
 
+    // Top-N through the connector: ORDER BY + LIMIT collapse into
+    // `$orderby=…&$top=n` (SupportsPushDownTopN, completely pushed) — the
+    // service returns the exact sorted prefix and Spark plans NO sort. The
+    // 100 TB point: a "latest 25 orders" probe moves 25 rows, not a scan.
+    Q("o03c_dsv2_topn",
+      Some("SELECT o_orderkey, o_totalprice FROM " +
+        "(SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25) " +
+        "ORDER BY o_orderkey"),
+      (s, dir) => {
+        graft.sources.ODataTestServer.register(
+          s, "orders_topn", s"$dir/orders.parquet")
+        s.read.format("graft.sources.ODataSource")
+          .option("entity", "orders_topn").option("pageSize", "5000").load()
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(25)
+          .orderBy("o_orderkey")
+      }),
+
     // O3 proper: the `$expand` navigation property served BY the connector —
     // child subform rows arrive nested inside the parent entity response
     // (array-of-struct column), then split into the child table via

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{DateTimeUtils, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -80,11 +80,13 @@ final class ODataScanBuilder(entity: String, full: StructType, pageSize: Int)
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
   private var limit: Option[Int] = None
+  private var topSort: Seq[ODataSortKey] = Nil
   private var aggs: Option[Seq[ODataAgg]] = None
 
   private def translateAggs(agg: Aggregation): Option[Seq[ODataAgg]] = {
@@ -134,12 +136,45 @@ final class ODataScanBuilder(entity: String, full: StructType, pageSize: Int)
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
+  /** `ORDER BY … LIMIT n` → OData `$orderby=…&$top=n`, COMPLETELY pushed
+    * (isPartiallyPushed=false): accepted only when the top-N fits one page,
+    * so the single resulting partition serves the exact sorted prefix and
+    * Spark plans no Sort at all. Larger top-Ns or sorts on non-comparable /
+    * nested columns fall back to Spark's own TakeOrderedAndProject over the
+    * paged scan. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val keys = orders.toSeq.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            full.fields.find(_.name == nr.fieldNames.head)
+              .exists(f => ODataTestServer.comparableType(f.dataType)) =>
+          Some(ODataSortKey(nr.fieldNames.head,
+            so.direction() == SortDirection.ASCENDING,
+            so.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (keys.forall(_.isDefined) && keys.nonEmpty && n <= pageSize) {
+      topSort = keys.flatten
+      limit = Some(n)
+      true
+    } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = false
+
   override def build(): Scan = aggs match {
     case Some(specs) =>
       new ODataAggScan(entity, full, pushed, specs)
     case None =>
-      new ODataScan(entity, required, pushed, limit, pageSize)
+      new ODataScan(entity, required, pushed, limit, pageSize, topSort)
   }
+}
+
+/** One `$orderby` key: column, ascending?, nulls-first? */
+final case class ODataSortKey(col: String, asc: Boolean, nullsFirst: Boolean) {
+  override def toString: String =
+    s"$col ${if (asc) "asc" else "desc"}"
 }
 
 /** Completely-pushed aggregation: the "service" answers with a single row
@@ -180,7 +215,8 @@ final class ODataScan(
     required: StructType,
     filters: Array[Filter],
     limit: Option[Int],
-    pageSize: Int) extends Scan with Batch {
+    pageSize: Int,
+    orderBy: Seq[ODataSortKey] = Nil) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -191,8 +227,10 @@ final class ODataScan(
       s" $$expand=${sub.map(_.name).mkString(",")}"
     val f = if (filters.isEmpty) "" else
       " $filter=" + filters.map(_.toString).mkString(" and ")
+    val o = if (orderBy.isEmpty) "" else
+      s" $$orderby=${orderBy.mkString(",")}"
     val t = limit.map(n => s" $$top=$n").getOrElse("")
-    s"ODataScan(entity=$entity, $$select=${flat.map(_.name).mkString(",")}$e$f$t)"
+    s"ODataScan(entity=$entity, $$select=${flat.map(_.name).mkString(",")}$e$f$o$t)"
   }
 
   override def toBatch: Batch = this
@@ -205,10 +243,11 @@ final class ODataScan(
     // re-registration between planning and execution must fail the fetch
     // loudly instead of silently shifting pages (dropped/duplicated rows).
     val (nPages, gen) =
-      ODataTestServer.preflight(entity, required, filters, limit, pageSize)
+      ODataTestServer.preflight(entity, required, filters, limit, pageSize, orderBy)
     (0 until nPages)
       .map(i =>
-        ODataPageRef(entity, required, filters, limit, i, pageSize, gen): InputPartition)
+        ODataPageRef(entity, required, filters, limit, i, pageSize, gen,
+          orderBy): InputPartition)
       .toArray
   }
 
@@ -236,7 +275,8 @@ final case class ODataPageRef(
     limit: Option[Int],
     pageNo: Int,
     pageSize: Int,
-    generation: Long) extends InputPartition
+    generation: Long,
+    orderBy: Seq[ODataSortKey] = Nil) extends InputPartition
 
 final class ODataRowsReader(it: Iterator[Seq[Any]], schema: StructType)
     extends PartitionReader[InternalRow] {
@@ -455,12 +495,14 @@ object ODataTestServer {
       required: StructType,
       filters: Array[Filter],
       limit: Option[Int],
-      pageSize: Int): (Int, Long) = {
+      pageSize: Int,
+      orderBy: Seq[ODataSortKey] = Nil): (Int, Long) = {
     val e = entry(entity)
     val (sub, flat) = required.fields.partition(f => isSubform(f.dataType))
     lastRequest = s"GET /$entity?$$select=${flat.map(_.name).mkString(",")}" +
       (if (sub.nonEmpty) s"&$$expand=${sub.map(_.name).mkString(",")}" else "") +
       (if (filters.nonEmpty) s"&$$filter=${filters.mkString(" and ")}" else "") +
+      (if (orderBy.nonEmpty) s"&$$orderby=${orderBy.mkString(",")}" else "") +
       limit.map(n => s"&$$top=$n").getOrElse("")
     val idx = e.schema.fieldNames.zipWithIndex.toMap
     val matched = e.rows.count(r => filters.forall(evalFilter(_, r, idx)))
@@ -481,10 +523,35 @@ object ODataTestServer {
         s"${ref.generation}); page boundaries are stale — re-plan the scan")
     val idx = e.schema.fieldNames.zipWithIndex.toMap
     val proj = ref.required.fieldNames.map(idx).toSeq
-    val filtered = e.rows.iterator
+    val matched = e.rows.iterator
       .filter(r => ref.filters.forall(evalFilter(_, r, idx)))
-      .map(r => proj.map(r))
-    val limited = ref.limit.map(n => filtered.take(n)).getOrElse(filtered)
+    // $orderby: sort BEFORE $top/$skiptoken — OData applies ordering to the
+    // result set, then pages it
+    val ordered =
+      if (ref.orderBy.isEmpty) matched
+      else matched.toVector.sorted(rowOrdering(ref.orderBy, idx)).iterator
+    val limited = ref.limit.map(n => ordered.take(n)).getOrElse(ordered)
     limited.slice(ref.pageNo * ref.pageSize, (ref.pageNo + 1) * ref.pageSize)
+      .map(r => proj.map(r))
   }
+
+  /** Multi-key row ordering with Spark's null-ordering semantics (nulls
+    * placed per key BEFORE direction is considered). */
+  private def rowOrdering(
+      keys: Seq[ODataSortKey], idx: Map[String, Int]): Ordering[Seq[Any]] =
+    new Ordering[Seq[Any]] {
+      override def compare(a: Seq[Any], b: Seq[Any]): Int = {
+        keys.foreach { k =>
+          val (x, y) = (a(idx(k.col)), b(idx(k.col)))
+          val c = (x, y) match {
+            case (null, null) => 0
+            case (null, _) => if (k.nullsFirst) -1 else 1
+            case (_, null) => if (k.nullsFirst) 1 else -1
+            case _ => if (k.asc) cmp(x, y) else -cmp(x, y)
+          }
+          if (c != 0) return c
+        }
+        0
+      }
+    }
 }

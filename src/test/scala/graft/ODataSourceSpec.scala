@@ -50,6 +50,37 @@ class ODataSourceSpec extends AnyFunSuite {
     assert(paged.rdd.getNumPartitions >= 3, paged.rdd.getNumPartitions.toString)
   }
 
+  test("top-N pushdown: ORDER BY + LIMIT become $orderby&$top with no Spark sort") {
+    val df = load()
+      .select("c_custkey", "c_acctbal")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(5)
+    val rows = df.collect()
+    assert(ODataTestServer.lastRequest.contains("$orderby=c_acctbal desc,c_custkey asc"),
+      ODataTestServer.lastRequest)
+    assert(ODataTestServer.lastRequest.contains("$top=5"), ODataTestServer.lastRequest)
+    // completely pushed: the physical plan contains no sort operator
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("sort"), plan)
+    val expected = H.tbl(spark, sf, "customer")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(5).select("c_custkey", "c_acctbal").collect()
+    assert(rows.map(_.toString).toSeq == expected.map(_.toString).toSeq)
+  }
+
+  test("top-N larger than a page falls back to Spark's own TakeOrdered over the paged scan") {
+    val df = load() // pageSize = 200
+      .select("c_custkey", "c_acctbal")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(201)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val expected = H.tbl(spark, sf, "customer")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(201).select("c_custkey", "c_acctbal").collect()
+    assert(df.collect().map(_.toString).toSeq == expected.map(_.toString).toSeq)
+  }
+
   test("aggregate pushdown: count/min/max answered by the service ($apply=aggregate)") {
     val df = load()
     val agg = df.agg(count(lit(1)).as("n"), min(col("c_acctbal")).as("lo"),
