@@ -416,6 +416,90 @@ object TrainingDataQueries extends QueryModule {
           .select(col("p.col_name"), col("n_rows"), col("p.n_nonnull"),
             col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
           .orderBy("col_name")
+      }),
+
+    // Percentile-based quality selection per stratum: keep the top half of
+    // each language by document length (the per-language percentile cut
+    // every curriculum/quality filter applies). percent_rank is rank
+    // arithmetic over a total order — engine-exact, unlike interpolated
+    // percentile thresholds. One shuffle (the per-lang window).
+    Q("text_quality_select",
+      Some("SELECT doc_id, lang, n_chars, " +
+        "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS pr " +
+        "FROM documents QUALIFY pr <= 0.5 ORDER BY doc_id"),
+      (s, dir) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            percent_rank().over(w).as("pr"))
+          .filter(col("pr") <= 0.5)
+          .orderBy("doc_id")
+      }),
+
+    // Repeated-bigram ratio — the repetition quality signal (high ratio =
+    // looping/boilerplate text). Pure per-row array expressions, zero
+    // shuffle; the ratio is a division of exact integer counts, so the
+    // double is bit-identical across engines.
+    Q("text_repetition",
+      Some(
+        "WITH b AS (SELECT doc_id, list_transform(range(1, len(l)), " +
+          "i -> l[i] || ' ' || l[i + 1]) AS bg FROM " +
+          "(SELECT doc_id, string_split(text, ' ') AS l FROM documents)) " +
+          "SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams, " +
+          "CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct, " +
+          "CASE WHEN len(bg) = 0 THEN 0.0 ELSE " +
+          "1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE) " +
+          "END AS rep_ratio FROM b ORDER BY doc_id"),
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("l"))
+          .withColumn("bg", expr(
+            "CASE WHEN size(l) >= 2 THEN " +
+              "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i + 1])) " +
+              "ELSE array() END"))
+          .select(col("doc_id"),
+            size(col("bg")).cast("long").as("n_bigrams"),
+            size(array_distinct(col("bg"))).cast("long").as("n_distinct"),
+            when(size(col("bg")) === 0, lit(0.0))
+              .otherwise(lit(1.0) -
+                size(array_distinct(col("bg"))).cast("double") /
+                  size(col("bg")).cast("double")).as("rep_ratio"))
+          .orderBy("doc_id")),
+
+    // Per-stratum z-score normalization of a feature — standardization
+    // before mixing corpora. Mean and variance come from EXACT integer
+    // sums (sum, sum of squares), and the double formula is written
+    // identically on both engines, so even the sqrt is bit-exact. The
+    // stats table is tiny (one row per lang) and broadcasts back.
+    Q("text_zscore_by_lang",
+      Some(
+        "WITH st AS (SELECT lang, count(*) AS cnt, " +
+          "CAST(sum(n_chars) AS BIGINT) AS s, " +
+          "CAST(sum(n_chars * n_chars) AS BIGINT) AS sq FROM documents GROUP BY lang), " +
+          "m AS (SELECT lang, cnt, CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean, " +
+          "CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) AS e2 FROM st) " +
+          "SELECT d.doc_id, d.lang, d.n_chars, " +
+          "CASE WHEN e2 - mean * mean > 0 THEN " +
+          "(CAST(d.n_chars AS DOUBLE) - mean) / sqrt(e2 - mean * mean) " +
+          "ELSE 0.0 END AS z " +
+          "FROM documents d JOIN m ON m.lang = d.lang ORDER BY d.doc_id"),
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val st = docs.groupBy("lang").agg(
+          count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("s"),
+          sum(col("n_chars") * col("n_chars")).as("sq"))
+        val m = st.select(col("lang"),
+          (col("s").cast("double") / col("cnt").cast("double")).as("mean"),
+          (col("sq").cast("double") / col("cnt").cast("double")).as("e2"))
+        docs.join(broadcast(m), "lang")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            when(col("e2") - col("mean") * col("mean") > 0,
+              (col("n_chars").cast("double") - col("mean")) /
+                sqrt(col("e2") - col("mean") * col("mean")))
+              .otherwise(lit(0.0)).as("z"))
+          .orderBy("doc_id")
       })
   )
 }
