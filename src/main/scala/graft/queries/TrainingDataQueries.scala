@@ -500,6 +500,32 @@ object TrainingDataQueries extends QueryModule {
                 sqrt(col("e2") - col("mean") * col("mean")))
               .otherwise(lit(0.0)).as("z"))
           .orderBy("doc_id")
+      }),
+
+    // Top-k per group through the bounded-heap TypedImperativeAggregate:
+    // partial k-row heaps merge map-side, so the group's rows never
+    // shuffle — only heaps do (window row_number ships every row). The
+    // oracle is the windowed formulation: both must agree exactly.
+    Q("udaf_topk_heap",
+      Some("SELECT o_orderpriority, CAST(row_number() OVER " +
+        "(PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) " +
+        "AS BIGINT) AS rnk, o_orderkey, o_totalprice FROM orders " +
+        "QUALIFY rnk <= 3 ORDER BY o_orderpriority, rnk"),
+      (s, dir) => {
+        import org.apache.spark.sql.GraftColumnBridge
+        import graft.functions.TopKByValue
+        val topk = GraftColumnBridge.column(
+          TopKByValue(
+            GraftColumnBridge.expression(col("o_orderkey")),
+            GraftColumnBridge.expression(col("o_totalprice")),
+            k = 3).toAggregateExpression())
+        tbl(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(topk.as("tk"))
+          .select(col("o_orderpriority"), posexplode(col("tk")).as(Seq("i", "p")))
+          .select(col("o_orderpriority"), (col("i") + 1).cast("long").as("rnk"),
+            col("p.key").as("o_orderkey"), col("p.value").as("o_totalprice"))
+          .orderBy("o_orderpriority", "rnk")
       })
   )
 }

@@ -118,6 +118,36 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(merged.map(_.toString).toSeq == direct.map(_.toString).toSeq)
   }
 
+  test("TopKByValue heap agg matches window row_number under any partitioning (ties included)") {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKByValue
+    val base = spark.range(0L, 1000L)
+      .select(col("id").as("key"),
+        (col("id") % 3).cast("string").as("grp"),
+        (col("id") % 7).cast("double").as("value")) // heavy ties
+    val expected = base
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("grp").orderBy(col("value").desc, col("key"))))
+      .filter(col("rnk") <= 5)
+      .select("grp", "rnk", "key", "value")
+      .orderBy("grp", "rnk").collect().map(_.toString).toSeq
+    Seq(1, 4, 13).foreach { parts =>
+      val topk = GraftColumnBridge.column(
+        TopKByValue(
+          GraftColumnBridge.expression(col("key")),
+          GraftColumnBridge.expression(col("value")), k = 5)
+          .toAggregateExpression())
+      val got = base.repartition(parts)
+        .groupBy("grp").agg(topk.as("tk"))
+        .select(col("grp"), posexplode(col("tk")).as(Seq("i", "p")))
+        .select(col("grp"), (col("i") + 1).as("rnk"),
+          col("p.key").as("key"), col("p.value").as("value"))
+        .orderBy("grp", "rnk").collect().map(_.toString).toSeq
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
   test("profile_table: counts are consistent (non-null <= rows, distinct <= non-null)") {
     run("profile_table").collect().foreach { r =>
       val (rows, nn, nd) = (r.getLong(1), r.getLong(2), r.getLong(3))
