@@ -526,6 +526,125 @@ object TrainingDataQueries extends QueryModule {
           .select(col("o_orderpriority"), (col("i") + 1).cast("long").as("rnk"),
             col("p.key").as("o_orderkey"), col("p.value").as("o_totalprice"))
           .orderBy("o_orderpriority", "rnk")
+      }),
+
+    // CDC snapshot diff: two keep-latest snapshots (overlapping event
+    // subsets) full-outer-joined on the key → insert/delete/update/
+    // unchanged per key. The shape of every incremental-sync reconciler;
+    // one shuffle per snapshot reduction plus the diff join.
+    Q("pipeline_cdc_diff",
+      Some(
+        "WITH o AS (SELECT user_id, max(event_id) AS o_eid FROM events " +
+          "WHERE event_id % 10 < 7 GROUP BY user_id), " +
+          "n AS (SELECT user_id, max(event_id) AS n_eid FROM events " +
+          "WHERE event_id % 10 >= 3 GROUP BY user_id) " +
+          "SELECT coalesce(o.user_id, n.user_id) AS user_id, o_eid, n_eid, " +
+          "CASE WHEN o.user_id IS NULL THEN 'insert' " +
+          "WHEN n.user_id IS NULL THEN 'delete' " +
+          "WHEN o_eid <> n_eid THEN 'update' ELSE 'unchanged' END AS change_type " +
+          "FROM o FULL JOIN n ON o.user_id = n.user_id ORDER BY user_id"),
+      (s, dir) => {
+        val ev = H.events(s, dir).select("user_id", "event_id")
+        def snap(p: org.apache.spark.sql.Column, out: String) =
+          ev.filter(p).groupBy("user_id").agg(max(col("event_id")).as(out))
+        val o = snap(pmod(col("event_id"), lit(10)) < 7, "o_eid")
+          .withColumnRenamed("user_id", "o_user")
+        val n = snap(pmod(col("event_id"), lit(10)) >= 3, "n_eid")
+          .withColumnRenamed("user_id", "n_user")
+        o.join(n, col("o_user") === col("n_user"), "full_outer")
+          .select(coalesce(col("o_user"), col("n_user")).as("user_id"),
+            col("o_eid"), col("n_eid"),
+            when(col("o_user").isNull, "insert")
+              .when(col("n_user").isNull, "delete")
+              .when(col("o_eid") =!= col("n_eid"), "update")
+              .otherwise("unchanged").as("change_type"))
+          .orderBy("user_id")
+      }),
+
+    // Equi-width histogram: global min/max in one aggregate row broadcast
+    // back; bucket assignment is a pure map. Identical double arithmetic on
+    // both engines keeps boundary rows bit-stable.
+    Q("agg_histogram",
+      Some(
+        "WITH m AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi " +
+          "FROM orders) " +
+          "SELECT least(9, CAST(floor((o_totalprice - lo) * 10.0 / (hi - lo)) " +
+          "AS BIGINT)) AS bucket, " +
+          "count(*) AS n FROM orders, m GROUP BY bucket ORDER BY bucket"),
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        val m = o.agg(min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        o.crossJoin(broadcast(m))
+          .select(least(lit(9L),
+            floor((col("o_totalprice") - col("lo")) * 10.0 /
+              (col("hi") - col("lo")))).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      }),
+
+    // Funnel: per user, first click then first purchase AT/after it —
+    // the conversion sequence analysis an event pipeline serves. Two
+    // aggregations and one range-ish join, all hashed on user_id.
+    Q("events_funnel",
+      Some(
+        "WITH fc AS (SELECT user_id, min(ts) AS first_click FROM events " +
+          "WHERE event_type = 'click' GROUP BY user_id), " +
+          "fp AS (SELECT e.user_id, min(e.ts) AS first_purchase FROM events e " +
+          "JOIN fc ON fc.user_id = e.user_id AND e.ts >= fc.first_click " +
+          "WHERE e.event_type = 'purchase' GROUP BY e.user_id), " +
+          "u AS (SELECT DISTINCT user_id FROM events) " +
+          "SELECT u.user_id, " +
+          "strftime(first_click, '%Y-%m-%d %H:%M:%S.%f') AS first_click, " +
+          "strftime(first_purchase, '%Y-%m-%d %H:%M:%S.%f') AS first_purchase, " +
+          "CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END AS converted " +
+          "FROM u LEFT JOIN fc ON fc.user_id = u.user_id " +
+          "LEFT JOIN fp ON fp.user_id = u.user_id ORDER BY u.user_id"),
+      (s, dir) => {
+        val ev = H.events(s, dir).select("user_id", "event_type", "ts")
+        val fc = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .join(fc.withColumnRenamed("user_id", "fc_user"),
+            col("user_id") === col("fc_user") && col("ts") >= col("first_click"))
+          .groupBy("user_id").agg(min(col("ts")).as("first_purchase"))
+        ev.select("user_id").distinct()
+          .join(fc, Seq("user_id"), "left")
+          .join(fp, Seq("user_id"), "left")
+          .select(col("user_id"),
+            H.fmtTs(col("first_click")).as("first_click"),
+            H.fmtTs(col("first_purchase")).as("first_purchase"),
+            when(col("first_purchase").isNotNull, 1).otherwise(0).as("converted"))
+          .orderBy("user_id")
+      }),
+
+    // Small-file compaction — the maintenance job that keeps a 100 TB lake
+    // scannable: a fragmented write (16 files) is compacted to a bounded
+    // file count with row-identical content; the query emits the audited
+    // file counts and a content-equality flag for the oracle to assert.
+    Q("pipeline_compact",
+      Some("SELECT CAST(16 AS BIGINT) AS files_before, " +
+        "CAST(2 AS BIGINT) AS files_after, " +
+        "count(*) AS n_rows, 1 AS content_match " +
+        "FROM events WHERE event_id % 5 = 4"),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+        val ev = H.events(s, dir).filter(pmod(col("event_id"), lit(5)) === 4)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+        ev.repartition(16).write.mode("overwrite").parquet(s"$tmp/frag")
+        val frag = s.read.parquet(s"$tmp/frag")
+        frag.repartition(2).write.mode("overwrite").parquet(s"$tmp/compact")
+        val compacted = s.read.parquet(s"$tmp/compact")
+        def nFiles(p: String): Long = {
+          val listing = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+          try listing.filter(f => f.toString.endsWith(".parquet")).count()
+          finally listing.close()
+        }
+        val match_ = compacted.exceptAll(ev).isEmpty && ev.exceptAll(compacted).isEmpty
+        val row = Seq((nFiles(s"$tmp/frag"), nFiles(s"$tmp/compact"),
+          compacted.count(), if (match_) 1 else 0))
+        s.createDataFrame(row)
+          .toDF("files_before", "files_after", "n_rows", "content_match")
       })
   )
 }

@@ -10,6 +10,11 @@ import graft.H.{dec2, fmtTs, fmtTsSec}
   * `window`/`session_window` are usable in batch aggregation, which is what
   * makes them DuckDB-verifiable here.
   */
+/** Encoder case classes for the executed flatMapGroupsWithState query. */
+final case class EvSlim(event_id: Long, user_id: Long, value: Double)
+final case class UserAggState(
+    user_id: Long, n: Long, last_event_id: Long, total_cents: Long)
+
 object WindowingQueries extends QueryModule {
 
   private val F6 = "%Y-%m-%d %H:%M:%S.%f"
@@ -135,6 +140,59 @@ object WindowingQueries extends QueryModule {
         s.read.parquet(sink)
           .select(col("user_id"), col("event_id"), col("event_type"),
             fmtTs(col("ts")).as("ts"), col("value"))
+          .orderBy("user_id")
+      }),
+
+    // REAL arbitrary stateful processing, oracle-verified: a per-user
+    // running aggregate (count, last event id, exact cents total) held in
+    // flatMapGroupsWithState across three replayed micro-batches, with
+    // Update-mode emissions keep-latest-merged into the sink. Every state
+    // component is associative+commutative, so the final state is
+    // independent of how the replay splits batches — the property that
+    // makes arbitrary streaming state SQL-checkable.
+    Q("stream_stateful_totals",
+      Some("SELECT user_id, count(*) AS n, max(event_id) AS last_event_id, " +
+        "CAST(sum(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS total_cents " +
+        "FROM events WHERE event_id % 5 = 1 GROUP BY user_id ORDER BY user_id"),
+      (s, dir) => {
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        import graft.streaming.StreamingRefresh
+        val ev = H.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+          .filter(pmod(col("event_id"), lit(5)) === 1)
+        val tmp = Files.createTempDirectory("graft_fmgws").toString
+        val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        replayFiles(ev, 3, tmp, in)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        import ss.implicits._
+        val src = StreamingRefresh
+          .fileStream(ss, ev.schema, in, maxFilesPerTrigger = Some(1))
+          .select(col("event_id"), col("user_id"), col("value"))
+          .as[EvSlim]
+        val totals = src.groupByKey(_.user_id)
+          .flatMapGroupsWithState(
+            OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[EvSlim], state: GroupState[UserAggState]) =>
+              val prev = state.getOption.getOrElse(UserAggState(user, 0L, 0L, 0L))
+              val batch = rows.toSeq
+              val next = UserAggState(user,
+                prev.n + batch.size,
+                (prev.last_event_id +: batch.map(_.event_id)).max,
+                prev.total_cents + batch.map(e => math.round(e.value * 100)).sum)
+              state.update(next)
+              Iterator.single(next)
+          }
+        val q = totals.toDF().writeStream
+          .outputMode("update")
+          .foreachBatch(StreamingRefresh.upsertBatch(Seq("user_id"), "n", sink) _)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .select(col("user_id"), col("n"), col("last_event_id"), col("total_cents"))
           .orderBy("user_id")
       }),
 
