@@ -645,6 +645,66 @@ object TrainingDataQueries extends QueryModule {
           compacted.count(), if (match_) 1 else 0))
         s.createDataFrame(row)
           .toDF("files_before", "files_after", "n_rows", "content_match")
+      }),
+
+    // Spark 4 recursive CTE: flatten the region→nation→supplier hierarchy
+    // into materialized paths — the arbitrary-depth walk a recursive query
+    // engine owes its users (UNION ALL recursion; the walk is a tree, so
+    // no dedup is needed and iteration count = depth).
+    Q("sql_recursive_hierarchy",
+      Some(
+        "WITH RECURSIVE edges AS (" +
+          "SELECT 'region:' || r_name AS parent, 'nation:' || n_name AS child, " +
+          "n_name AS label FROM region JOIN nation ON n_regionkey = r_regionkey " +
+          "UNION ALL " +
+          "SELECT 'nation:' || n_name, 'supplier:' || CAST(s_suppkey AS VARCHAR), " +
+          "s_name FROM nation JOIN supplier ON s_nationkey = n_nationkey), " +
+          "walk(node, path, depth) AS (" +
+          "SELECT 'region:' || r_name, r_name, 1 FROM region " +
+          "UNION ALL " +
+          "SELECT e.child, w.path || '/' || e.label, w.depth + 1 " +
+          "FROM walk w JOIN edges e ON e.parent = w.node) " +
+          "SELECT node, path, CAST(depth AS BIGINT) AS depth FROM walk " +
+          "ORDER BY node, path"),
+      (s, dir) => {
+        tbl(s, dir, "region").createOrReplaceTempView("region_rh")
+        tbl(s, dir, "nation").createOrReplaceTempView("nation_rh")
+        tbl(s, dir, "supplier").createOrReplaceTempView("supplier_rh")
+        s.sql(
+          "WITH RECURSIVE edges AS (" +
+            "SELECT 'region:' || r_name AS parent, 'nation:' || n_name AS child, " +
+            "n_name AS label FROM region_rh JOIN nation_rh ON n_regionkey = r_regionkey " +
+            "UNION ALL " +
+            "SELECT 'nation:' || n_name, 'supplier:' || CAST(s_suppkey AS STRING), " +
+            "s_name FROM nation_rh JOIN supplier_rh ON s_nationkey = n_nationkey), " +
+            "walk(node, path, depth) AS (" +
+            "SELECT 'region:' || r_name, r_name, 1 FROM region_rh " +
+            "UNION ALL " +
+            "SELECT e.child, w.path || '/' || e.label, w.depth + 1 " +
+            "FROM walk w JOIN edges e ON e.parent = w.node) " +
+            "SELECT node, path, CAST(depth AS BIGINT) AS depth FROM walk " +
+            "ORDER BY node, path")
+      }),
+
+    // Correlated LATERAL subquery with per-row LIMIT — top-2 orders per
+    // customer expressed the SQL-native way (the optimizer decorrelates to
+    // a ranked join; no per-row execution survives in the plan).
+    Q("join_lateral",
+      Some(
+        "SELECT c_custkey, o_orderkey, o_totalprice FROM customer c, " +
+          "LATERAL (SELECT o_orderkey, o_totalprice FROM orders " +
+          "WHERE o_custkey = c.c_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) " +
+          "WHERE c_custkey < 300 ORDER BY c_custkey, o_orderkey"),
+      (s, dir) => {
+        tbl(s, dir, "customer").createOrReplaceTempView("customer_lat")
+        tbl(s, dir, "orders").createOrReplaceTempView("orders_lat")
+        s.sql(
+          "SELECT c_custkey, o_orderkey, o_totalprice FROM customer_lat c, " +
+            "LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat " +
+            "WHERE o_custkey = c.c_custkey " +
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) " +
+            "WHERE c_custkey < 300 ORDER BY c_custkey, o_orderkey")
       })
   )
 }
