@@ -705,6 +705,25 @@ object TrainingDataQueries extends QueryModule {
             "WHERE o_custkey = c.c_custkey " +
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) " +
             "WHERE c_custkey < 300 ORDER BY c_custkey, o_orderkey")
-      })
+      }),
+
+    // MapType surface: semi-structured props decoded as map<string,bigint>
+    // (no up-front struct schema), keys enumerated and values fetched via
+    // element_at — the dynamic-keys sibling of o07's typed from_json.
+    Q("scalar_map",
+      Some("SELECT event_id, " +
+        "array_to_string(json_keys(props), ',') AS keys_str, " +
+        "CAST(json_extract(props, '$.k') AS BIGINT) AS k_val " +
+        "FROM events ORDER BY event_id"),
+      (s, dir) =>
+        H.events(s, dir)
+          .select(col("event_id"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
+              .as("m"))
+          .select(col("event_id"),
+            concat_ws(",", array_sort(map_keys(col("m")))).as("keys_str"),
+            element_at(col("m"), "k").as("k_val"))
+          .orderBy("event_id"))
   )
 }

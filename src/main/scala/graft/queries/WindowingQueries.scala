@@ -10,8 +10,12 @@ import graft.H.{dec2, fmtTs, fmtTsSec}
   * `window`/`session_window` are usable in batch aggregation, which is what
   * makes them DuckDB-verifiable here.
   */
-/** Encoder case classes for the executed flatMapGroupsWithState query. */
+/** Encoder case classes for the executed flatMapGroupsWithState query and
+  * the typed cogroup query. */
 final case class EvSlim(event_id: Long, user_id: Long, value: Double)
+final case class UserSides(
+    user_id: Long, n_clicks: Long, n_purchases: Long,
+    click_cents: Long, purchase_cents: Long)
 final case class UserAggState(
     user_id: Long, n: Long, last_event_id: Long, total_cents: Long)
 
@@ -141,6 +145,39 @@ object WindowingQueries extends QueryModule {
           .select(col("user_id"), col("event_id"), col("event_type"),
             fmtTs(col("ts")).as("ts"), col("value"))
           .orderBy("user_id")
+      }),
+
+    // Typed KeyValueGroupedDataset.cogroup — the per-key two-sided typed
+    // surface (the Scala analogue of a grouped-map UDF over two frames):
+    // clicks and purchases cogrouped per user into exact side totals.
+    // Both sides hash-partition on the key once; the per-group closure
+    // sees both iterators. Cents stay integer-exact so the oracle is a
+    // conditional aggregation.
+    Q("typed_cogroup",
+      Some("SELECT user_id, " +
+        "count(*) FILTER (WHERE event_type = 'click') AS n_clicks, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases, " +
+        "CAST(coalesce(sum(CAST(value AS DECIMAL(12,2)) * 100) " +
+        "FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS click_cents, " +
+        "CAST(coalesce(sum(CAST(value AS DECIMAL(12,2)) * 100) " +
+        "FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS purchase_cents " +
+        "FROM events WHERE event_type IN ('click', 'purchase') " +
+        "GROUP BY user_id ORDER BY user_id"),
+      (s, dir) => {
+        import s.implicits._
+        val ev = H.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        def side(t: String) = ev.filter(col("event_type") === t)
+          .select("event_id", "user_id", "value").as[EvSlim]
+          .groupByKey(_.user_id)
+        side("click").cogroup(side("purchase")) {
+          (user: Long, cs: Iterator[EvSlim], ps: Iterator[EvSlim]) =>
+            val (cn, cc) = cs.foldLeft((0L, 0L)) { case ((n, c), e) =>
+              (n + 1, c + math.round(e.value * 100)) }
+            val (pn, pc) = ps.foldLeft((0L, 0L)) { case ((n, c), e) =>
+              (n + 1, c + math.round(e.value * 100)) }
+            Iterator.single(UserSides(user, cn, pn, cc, pc))
+        }.toDF().orderBy("user_id")
       }),
 
     // REAL arbitrary stateful processing, oracle-verified: a per-user
