@@ -724,6 +724,122 @@ object TrainingDataQueries extends QueryModule {
           .select(col("event_id"),
             concat_ws(",", array_sort(map_keys(col("m")))).as("keys_str"),
             element_at(col("m"), "k").as("k_val"))
-          .orderBy("event_id"))
+          .orderBy("event_id")),
+
+    // CAPSTONE 2 — the corpus-prep pipeline end to end: boilerplate
+    // removal → near-dup group resolution (drop non-canonical) → length
+    // gate on the CLEANED text → deterministic split → context packing of
+    // the kept stream. One composed query over the same building blocks
+    // the individual operators verify; decision precedence is
+    // duplicate > short > keep, and packs are per-language prefix sums
+    // over kept docs only.
+    Q("pipeline_corpus_prep",
+      Some {
+        import graft.functions.{DedupSketches => DS}
+        val v = hex4Sql("md5(CAST(t.doc_id AS VARCHAR))")
+        "WITH RECURSIVE t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks " +
+          "FROM documents), " +
+          "nd AS (SELECT count(*) AS n FROM documents), " +
+          "exd AS (SELECT DISTINCT doc_id, tok FROM " +
+          "(SELECT doc_id, unnest(toks) AS tok FROM t)), " +
+          "dfreq AS (SELECT tok, count(*) AS df FROM exd GROUP BY tok), " +
+          "common AS (SELECT coalesce(list(tok), []) AS c FROM dfreq, nd " +
+          "WHERE df * 2 >= n), " +
+          "clean AS (SELECT doc_id, lang, " +
+          "CAST(len(list_filter(toks, x -> NOT list_contains(c, x))) AS BIGINT) " +
+          "AS n_clean FROM t, common), " +
+          s"sh AS (${DS.shinglesSql(3)}), " +
+          s"sig AS (${DS.minhashSignatureSql}), " +
+          s"bands AS (${DS.lshBandsSql}), " +
+          s"cand AS (${DS.candidatePairsSql}), " +
+          "counts AS (SELECT doc_id, n FROM sig), " +
+          "inter AS (SELECT doc_a, doc_b, count(*) AS ni FROM cand " +
+          "JOIN sh sa ON sa.doc_id = doc_a " +
+          "JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle " +
+          "GROUP BY doc_a, doc_b), " +
+          "pairs AS (SELECT c.doc_a, c.doc_b FROM cand c " +
+          "JOIN counts ca ON ca.doc_id = c.doc_a " +
+          "JOIN counts cb ON cb.doc_id = c.doc_b " +
+          "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b " +
+          "WHERE CAST(coalesce(ni, 0) AS DOUBLE) / " +
+          "CAST(ca.n + cb.n - coalesce(ni, 0) AS DOUBLE) >= 0.5), " +
+          "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+          "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+          "reach AS (SELECT src AS node, src AS root FROM edges " +
+          "UNION SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node), " +
+          "grp AS (SELECT node AS doc_id, min(root) AS canonical_id " +
+          "FROM reach GROUP BY node), " +
+          "dec AS (SELECT cl.doc_id, cl.lang, cl.n_clean, " +
+          "CASE WHEN g.doc_id IS NOT NULL AND g.canonical_id <> cl.doc_id " +
+          "THEN 'drop_duplicate' " +
+          "WHEN cl.n_clean < 15 THEN 'drop_short' ELSE 'keep' END AS decision " +
+          "FROM clean cl LEFT JOIN grp g ON g.doc_id = cl.doc_id), " +
+          "spl AS (SELECT d.*, " +
+          s"CAST($v % 10 AS BIGINT) AS bucket FROM dec d " +
+          "JOIN t ON t.doc_id = d.doc_id), " +
+          "packed AS (SELECT doc_id, lang, n_clean, decision, " +
+          "CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 8 ELSE 5 END) " +
+          "THEN 'train' ELSE 'holdout' END AS split, " +
+          "CASE WHEN decision = 'keep' THEN " +
+          "CAST(sum(CASE WHEN decision = 'keep' THEN n_clean ELSE 0 END) OVER " +
+          "(PARTITION BY lang ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_clean AS BIGINT) // 1024 " +
+          "ELSE NULL END AS pack_id FROM spl) " +
+          "SELECT doc_id, lang, n_clean, decision, split, pack_id " +
+          "FROM packed ORDER BY doc_id"
+      },
+      (s, dir) => {
+        import graft.functions.{DedupSketches => DS}
+        val docs = tbl(s, dir, "documents")
+        val t = docs.select(col("doc_id"), col("lang"),
+          split(col("text"), " ").as("toks"))
+        val common = t
+          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(docs.agg(count(lit(1)).as("n")))
+          .filter(col("df") * 2 >= col("n"))
+          .agg(collect_set(col("tok")).as("c"))
+        val clean = t.crossJoin(broadcast(common))
+          .select(col("doc_id"), col("lang"),
+            size(expr("filter(toks, x -> NOT array_contains(c, x))"))
+              .cast("long").as("n_clean"))
+        val sh = DS.shingles(docs, 3).cache()
+        val sig = DS.minhashSignature(sh).cache()
+        val pairs = DS.verifiedJaccard(
+            DS.candidatePairs(DS.lshBands(sig)), sh,
+            Some(sig.select(col("doc_id"), col("n"))))
+          .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+        val labels = DS.connectedComponents(pairs)
+        val grp = labels
+          .select(col("node").as("doc_id"), col("label").as("canonical_id"))
+        val dec = clean.join(grp, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"), col("n_clean"),
+            when(col("canonical_id").isNotNull &&
+                col("canonical_id") =!= col("doc_id"), "drop_duplicate")
+              .when(col("n_clean") < 15, "drop_short")
+              .otherwise("keep").as("decision"))
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val keptTokens =
+          when(col("decision") === "keep", col("n_clean")).otherwise(lit(0L))
+        graft.H.materialized(
+          dec
+            .withColumn("bucket",
+              conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+                .cast("long") % 10)
+            .withColumn("split",
+              when(col("bucket") <
+                  when(col("lang") === "en", 8).otherwise(5), "train")
+                .otherwise("holdout"))
+            .withColumn("begin_tokens",
+              sum(keptTokens).over(w) - keptTokens)
+            .withColumn("pack_id",
+              when(col("decision") === "keep",
+                expr("begin_tokens div 1024")).otherwise(lit(null)))
+            .select(col("doc_id"), col("lang"), col("n_clean"),
+              col("decision"), col("split"), col("pack_id"))
+            .orderBy("doc_id"),
+          caches = Seq(sh, sig), checkpoints = Seq(labels))
+      })
   )
 }
