@@ -726,13 +726,47 @@ object TrainingDataQueries extends QueryModule {
             element_at(col("m"), "k").as("k_val"))
           .orderBy("event_id")),
 
+    // ANSI-safe scalar error handling: try_divide/try_cast return NULL
+    // where strict evaluation would fail a 100 TB job on one bad row.
+    Q("scalar_try",
+      Some("SELECT event_id, " +
+        "CASE WHEN user_id % 3 = 0 THEN NULL " +
+        "ELSE CAST(value AS DOUBLE) / CAST(user_id % 3 AS DOUBLE) END AS safe_div, " +
+        "TRY_CAST(event_type AS BIGINT) AS bad_cast, " +
+        "TRY_CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS good_cast " +
+        "FROM events ORDER BY event_id"),
+      (s, dir) =>
+        H.events(s, dir)
+          .select(col("event_id"),
+            try_divide(col("value"), pmod(col("user_id"), lit(3)).cast("double"))
+              .as("safe_div"),
+            col("event_type").try_cast("bigint").as("bad_cast"),
+            col("user_id").cast("string").try_cast("bigint").as("good_cast"))
+          .orderBy("event_id")),
+
+    // The native Dataset.unpivot API (the stack() generator's typed
+    // sibling): wide per-order measures to long (measure, value) rows.
+    Q("api_unpivot",
+      Some("SELECT o_orderkey, m AS measure, v AS value FROM (" +
+        "SELECT o_orderkey, 'total' AS m, o_totalprice AS v FROM orders " +
+        "UNION ALL SELECT o_orderkey, 'key2', CAST(o_custkey * 2 AS DOUBLE) " +
+        "FROM orders) WHERE o_orderkey < 500 ORDER BY o_orderkey, measure"),
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .filter(col("o_orderkey") < 500)
+          .select(col("o_orderkey"), col("o_totalprice").as("total"),
+            (col("o_custkey") * 2).cast("double").as("key2"))
+          .unpivot(Array(col("o_orderkey")), Array(col("total"), col("key2")),
+            "measure", "value")
+          .orderBy("o_orderkey", "measure")),
+
     // CAPSTONE 2 — the corpus-prep pipeline end to end: boilerplate
-    // removal → near-dup group resolution (drop non-canonical) → length
-    // gate on the CLEANED text → deterministic split → context packing of
-    // the kept stream. One composed query over the same building blocks
-    // the individual operators verify; decision precedence is
-    // duplicate > short > keep, and packs are per-language prefix sums
-    // over kept docs only.
+    // analysis (cleaned length reported) → near-dup group resolution
+    // (drop non-canonical) → length gate → deterministic split → context
+    // packing of the kept stream. One composed query over the same
+    // building blocks the individual operators verify; decision precedence
+    // is duplicate > short > keep, and packs are per-language prefix sums
+    // of kept docs' token budgets.
     Q("pipeline_corpus_prep",
       Some {
         import graft.functions.{DedupSketches => DS}
@@ -745,7 +779,7 @@ object TrainingDataQueries extends QueryModule {
           "dfreq AS (SELECT tok, count(*) AS df FROM exd GROUP BY tok), " +
           "common AS (SELECT coalesce(list(tok), []) AS c FROM dfreq, nd " +
           "WHERE df * 2 >= n), " +
-          "clean AS (SELECT doc_id, lang, " +
+          "clean AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens, " +
           "CAST(len(list_filter(toks, x -> NOT list_contains(c, x))) AS BIGINT) " +
           "AS n_clean FROM t, common), " +
           s"sh AS (${DS.shinglesSql(3)}), " +
@@ -769,23 +803,23 @@ object TrainingDataQueries extends QueryModule {
           "UNION SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node), " +
           "grp AS (SELECT node AS doc_id, min(root) AS canonical_id " +
           "FROM reach GROUP BY node), " +
-          "dec AS (SELECT cl.doc_id, cl.lang, cl.n_clean, " +
+          "dec AS (SELECT cl.doc_id, cl.lang, cl.n_tokens, cl.n_clean, " +
           "CASE WHEN g.doc_id IS NOT NULL AND g.canonical_id <> cl.doc_id " +
           "THEN 'drop_duplicate' " +
-          "WHEN cl.n_clean < 15 THEN 'drop_short' ELSE 'keep' END AS decision " +
+          "WHEN cl.n_tokens < 20 THEN 'drop_short' ELSE 'keep' END AS decision " +
           "FROM clean cl LEFT JOIN grp g ON g.doc_id = cl.doc_id), " +
           "spl AS (SELECT d.*, " +
           s"CAST($v % 10 AS BIGINT) AS bucket FROM dec d " +
           "JOIN t ON t.doc_id = d.doc_id), " +
-          "packed AS (SELECT doc_id, lang, n_clean, decision, " +
+          "packed AS (SELECT doc_id, lang, n_tokens, n_clean, decision, " +
           "CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 8 ELSE 5 END) " +
           "THEN 'train' ELSE 'holdout' END AS split, " +
           "CASE WHEN decision = 'keep' THEN " +
-          "CAST(sum(CASE WHEN decision = 'keep' THEN n_clean ELSE 0 END) OVER " +
+          "CAST(sum(CASE WHEN decision = 'keep' THEN n_tokens ELSE 0 END) OVER " +
           "(PARTITION BY lang ORDER BY doc_id " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_clean AS BIGINT) // 1024 " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) // 1024 " +
           "ELSE NULL END AS pack_id FROM spl) " +
-          "SELECT doc_id, lang, n_clean, decision, split, pack_id " +
+          "SELECT doc_id, lang, n_tokens, n_clean, decision, split, pack_id " +
           "FROM packed ORDER BY doc_id"
       },
       (s, dir) => {
@@ -801,6 +835,7 @@ object TrainingDataQueries extends QueryModule {
           .agg(collect_set(col("tok")).as("c"))
         val clean = t.crossJoin(broadcast(common))
           .select(col("doc_id"), col("lang"),
+            size(col("toks")).cast("long").as("n_tokens"),
             size(expr("filter(toks, x -> NOT array_contains(c, x))"))
               .cast("long").as("n_clean"))
         val sh = DS.shingles(docs, 3).cache()
@@ -813,15 +848,15 @@ object TrainingDataQueries extends QueryModule {
         val grp = labels
           .select(col("node").as("doc_id"), col("label").as("canonical_id"))
         val dec = clean.join(grp, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("lang"), col("n_clean"),
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_clean"),
             when(col("canonical_id").isNotNull &&
                 col("canonical_id") =!= col("doc_id"), "drop_duplicate")
-              .when(col("n_clean") < 15, "drop_short")
+              .when(col("n_tokens") < 20, "drop_short")
               .otherwise("keep").as("decision"))
         val w = Window.partitionBy("lang").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val keptTokens =
-          when(col("decision") === "keep", col("n_clean")).otherwise(lit(0L))
+          when(col("decision") === "keep", col("n_tokens")).otherwise(lit(0L))
         graft.H.materialized(
           dec
             .withColumn("bucket",
@@ -836,7 +871,7 @@ object TrainingDataQueries extends QueryModule {
             .withColumn("pack_id",
               when(col("decision") === "keep",
                 expr("begin_tokens div 1024")).otherwise(lit(null)))
-            .select(col("doc_id"), col("lang"), col("n_clean"),
+            .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_clean"),
               col("decision"), col("split"), col("pack_id"))
             .orderBy("doc_id"),
           caches = Seq(sh, sig), checkpoints = Seq(labels))

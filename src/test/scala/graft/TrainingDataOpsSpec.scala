@@ -148,6 +148,21 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_corpus_prep: dropped docs have no pack; kept packs are contiguous per lang") {
+    val rows = run("pipeline_corpus_prep")
+      .select("lang", "doc_id", "n_tokens", "decision", "pack_id").collect()
+    assert(rows.exists(_.getString(3) == "keep"))
+    rows.filter(_.getString(3) != "keep").foreach(r => assert(r.isNullAt(4)))
+    rows.filter(_.getString(3) == "keep").groupBy(_.getString(0)).foreach {
+      case (lang, rs) =>
+        var begin = 0L
+        rs.sortBy(_.getLong(1)).foreach { r =>
+          assert(r.getLong(4) == begin / 1024, s"$lang doc ${r.getLong(1)}")
+          begin += r.getLong(2)
+        }
+    }
+  }
+
   test("profile_table: counts are consistent (non-null <= rows, distinct <= non-null)") {
     run("profile_table").collect().foreach { r =>
       val (rows, nn, nd) = (r.getLong(1), r.getLong(2), r.getLong(3))
