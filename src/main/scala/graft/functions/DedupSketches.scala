@@ -72,6 +72,14 @@ object DedupSketches {
       } :+ count(lit(1)).as("n"): _*)
   }
 
+  // Measured alternative, rejected: computing the signature ARRAY-NATIVELY
+  // (array_min over transform(sh, x -> md5(...)) per doc — no explode, no
+  // shuffle) is ~5x SLOWER at sf0.1 despite the better shuffle story,
+  // because Spark's higher-order functions evaluate their lambdas
+  // interpreted (CodegenFallback) while the explode+groupBy path keeps md5
+  // inside whole-stage codegen and the partial-min shuffle is only
+  // |docs| x n_hashes. Keep the explode formulation.
+
   def minhashSignatureSql: String = {
     val digests = (0 until NumDigests)
       .map(j => s"md5('$j:' || shingle) AS m$j").mkString(", ")
