@@ -29,9 +29,21 @@ object Bench {
       .foreach(t => scala.util.Try(H.tbl(spark, sfDir, t).count()))
     scala.util.Try(H.events(spark, sfDir).count())
     // catalog + commit-protocol first-use cost (r02 charged ~27 s of it to
-    // whichever catalog query ran first)
+    // whichever catalog query ran first). Self-heal residue from a killed
+    // run FIRST: a fresh session's catalog doesn't know the old managed
+    // table but its warehouse dir survives → LOCATION_ALREADY_EXISTS would
+    // silently disable the warm-up forever.
     scala.util.Try {
-      spark.sql("CREATE DATABASE IF NOT EXISTS bench_warmup")
+      spark.sql("DROP DATABASE IF EXISTS bench_warmup CASCADE")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), "bench_warmup.db")
+      if (loc.isDirectory) {
+        loc.listFiles.flatMap(d =>
+          if (d.isDirectory) d.listFiles :+ d else Array(d)).foreach(_.delete())
+        loc.delete()
+      }
+      spark.sql("CREATE DATABASE bench_warmup")
       spark.range(10L).write.mode("overwrite")
         .saveAsTable("bench_warmup.t")
       spark.sql("DROP DATABASE bench_warmup CASCADE")

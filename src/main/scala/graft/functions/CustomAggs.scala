@@ -57,6 +57,18 @@ final case class TopKByValue(
 
   override def children: Seq[Expression] = Seq(key, value)
   override def nullable: Boolean = false
+
+  // fail at analysis, not with a ClassCastException on an executor
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (key.dataType == org.apache.spark.sql.types.LongType &&
+        value.dataType == org.apache.spark.sql.types.DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_by_value expects (BIGINT key, DOUBLE value), got " +
+        s"(${key.dataType.sql}, ${value.dataType.sql})")
+  }
   override def dataType: DataType = ArrayType(
     new StructType().add("key", LongType).add("value", DoubleType),
     containsNull = false)
@@ -73,9 +85,14 @@ final case class TopKByValue(
   override def createAggregationBuffer(): ArrayBuffer[(Long, Double)] =
     ArrayBuffer.empty
 
-  /** a strictly better than b: higher value, then lower key. */
-  private def better(a: (Long, Double), b: (Long, Double)): Boolean =
-    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+  /** a strictly better than b: higher value, then lower key.
+    * java.lang.Double.compare keeps the order TOTAL for NaN/-0.0 (Spark's
+    * own double sort order) — `>`/`==` would make NaN tie with everything
+    * and break sortWith's contract. */
+  private def better(a: (Long, Double), b: (Long, Double)): Boolean = {
+    val c = java.lang.Double.compare(a._2, b._2)
+    c > 0 || (c == 0 && a._1 < b._1)
+  }
 
   private def insert(buf: ArrayBuffer[(Long, Double)],
       cand: (Long, Double)): Unit =

@@ -27,6 +27,48 @@ object TrainingDataQueries extends QueryModule {
       s"($acc * 16 + ${hexDigitSql(h, k)})"
     }
 
+  // ---- shared building blocks (used by the single-op queries AND the
+  // corpus-prep capstone — one definition, or the capstone silently
+  // desynchronizes from the operators it composes) -----------------------
+
+  /** Spark: ONE-row frame `c: array<string>` of tokens with df >= 50% of
+    * docs, from a tokenized frame `t(doc_id, …, toks)`. */
+  private def commonVocab(docs: org.apache.spark.sql.DataFrame,
+      t: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    t.select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(docs.agg(count(lit(1)).as("n")))
+      .filter(col("df") * 2 >= col("n"))
+      .agg(collect_set(col("tok")).as("c"))
+
+  /** DuckDB twin: CTE bodies `nd, exd, dfreq, common` over a CTE
+    * `t(doc_id, …, toks)`. coalesce: list() of zero rows is NULL. */
+  private val vocabCtesSql: String =
+    "nd AS (SELECT count(*) AS n FROM documents), " +
+      "exd AS (SELECT DISTINCT doc_id, tok FROM " +
+      "(SELECT doc_id, unnest(toks) AS tok FROM t)), " +
+      "dfreq AS (SELECT tok, count(*) AS df FROM exd GROUP BY tok), " +
+      "common AS (SELECT coalesce(list(tok), []) AS c FROM dfreq, nd " +
+      "WHERE df * 2 >= n)"
+
+  /** Deterministic split bucket 0-9 from an id column (md5 hex prefix). */
+  private def bucketCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 10
+
+  /** DuckDB twin over a ready md5-hex expression `h`. */
+  private def bucketSql(h: String): String =
+    s"CAST(${hex4Sql(h)} % 10 AS BIGINT)"
+
+  /** Per-language split rule (80/20 en, 50/50 elsewhere), both engines. */
+  private def splitCol(bucket: org.apache.spark.sql.Column,
+      lang: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(bucket < when(lang === "en", 8).otherwise(5), "train")
+      .otherwise("holdout")
+
+  private val splitCaseSql: String =
+    "CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 8 ELSE 5 END) " +
+      "THEN 'train' ELSE 'holdout' END"
+
   def all: Seq[Q] = Seq(
 
     // Boilerplate removal: tokens present in >= 50% of all documents are
@@ -40,12 +82,7 @@ object TrainingDataQueries extends QueryModule {
     Q("text_boilerplate",
       Some(
         "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-          "nd AS (SELECT count(*) AS n FROM documents), " +
-          "ex AS (SELECT DISTINCT doc_id, tok FROM " +
-          "(SELECT doc_id, unnest(toks) AS tok FROM t)), " +
-          "dfreq AS (SELECT tok, count(*) AS df FROM ex GROUP BY tok), " +
-          "common AS (SELECT coalesce(list(tok), []) AS c FROM dfreq, nd " +
-          "WHERE df * 2 >= n) " +
+          vocabCtesSql + " " +
           // coalesce: DuckDB's array_to_string is NULL (not '') on []
           "SELECT doc_id, " +
           "coalesce(array_to_string(list_filter(toks, x -> NOT list_contains(c, x)), ' '), '') AS clean_text, " +
@@ -55,14 +92,8 @@ object TrainingDataQueries extends QueryModule {
         val docs = tbl(s, dir, "documents")
         val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
         // distinct-per-doc BEFORE the explode (map-side, no shuffle), same
-        // trick as DedupSketches.shingles
-        val dfreq = t
-          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("df"))
-        val common = dfreq
-          .crossJoin(docs.agg(count(lit(1)).as("n")))
-          .filter(col("df") * 2 >= col("n"))
-          .agg(collect_set(col("tok")).as("c")) // one row; empty set => []
+        // trick as DedupSketches.shingles; one row out; empty set => []
+        val common = commonVocab(docs, t)
         t.crossJoin(broadcast(common))
           .withColumn("kept", expr("filter(toks, x -> NOT array_contains(c, x))"))
           .select(col("doc_id"),
@@ -77,25 +108,17 @@ object TrainingDataQueries extends QueryModule {
     // state; the per-stratum rate differs by language (80/20 for en,
     // 50/50 elsewhere) — the config-driven shape of curriculum sampling.
     Q("sample_split",
-      Some {
-        val v = hex4Sql("m")
+      Some(
         "WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m " +
           "FROM documents), " +
-          s"b AS (SELECT doc_id, lang, CAST($v % 10 AS BIGINT) AS bucket FROM h) " +
-          "SELECT doc_id, lang, bucket, " +
-          "CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 8 ELSE 5 END) " +
-          "THEN 'train' ELSE 'holdout' END AS split " +
-          "FROM b ORDER BY doc_id"
-      },
+          s"b AS (SELECT doc_id, lang, ${bucketSql("m")} AS bucket FROM h) " +
+          s"SELECT doc_id, lang, bucket, $splitCaseSql AS split " +
+          "FROM b ORDER BY doc_id"),
       (s, dir) =>
         tbl(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-              .cast("long") % 10).as("bucket"))
-          .withColumn("split",
-            when(col("bucket") <
-                when(col("lang") === "en", 8).otherwise(5), "train")
-              .otherwise("holdout"))
+            bucketCol(col("doc_id")).as("bucket"))
+          .withColumn("split", splitCol(col("bucket"), col("lang")))
           .orderBy("doc_id")),
 
     // Context-window packing: assign each document a (pack_id, begin_pos)
@@ -712,7 +735,7 @@ object TrainingDataQueries extends QueryModule {
     // element_at — the dynamic-keys sibling of o07's typed from_json.
     Q("scalar_map",
       Some("SELECT event_id, " +
-        "array_to_string(json_keys(props), ',') AS keys_str, " +
+        "array_to_string(list_sort(json_keys(props)), ',') AS keys_str, " +
         "CAST(json_extract(props, '$.k') AS BIGINT) AS k_val " +
         "FROM events ORDER BY event_id"),
       (s, dir) =>
@@ -770,15 +793,9 @@ object TrainingDataQueries extends QueryModule {
     Q("pipeline_corpus_prep",
       Some {
         import graft.functions.{DedupSketches => DS}
-        val v = hex4Sql("md5(CAST(t.doc_id AS VARCHAR))")
         "WITH RECURSIVE t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks " +
           "FROM documents), " +
-          "nd AS (SELECT count(*) AS n FROM documents), " +
-          "exd AS (SELECT DISTINCT doc_id, tok FROM " +
-          "(SELECT doc_id, unnest(toks) AS tok FROM t)), " +
-          "dfreq AS (SELECT tok, count(*) AS df FROM exd GROUP BY tok), " +
-          "common AS (SELECT coalesce(list(tok), []) AS c FROM dfreq, nd " +
-          "WHERE df * 2 >= n), " +
+          vocabCtesSql + ", " +
           "clean AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens, " +
           "CAST(len(list_filter(toks, x -> NOT list_contains(c, x))) AS BIGINT) " +
           "AS n_clean FROM t, common), " +
@@ -809,11 +826,9 @@ object TrainingDataQueries extends QueryModule {
           "WHEN cl.n_tokens < 20 THEN 'drop_short' ELSE 'keep' END AS decision " +
           "FROM clean cl LEFT JOIN grp g ON g.doc_id = cl.doc_id), " +
           "spl AS (SELECT d.*, " +
-          s"CAST($v % 10 AS BIGINT) AS bucket FROM dec d " +
-          "JOIN t ON t.doc_id = d.doc_id), " +
+          s"${bucketSql("md5(CAST(d.doc_id AS VARCHAR))")} AS bucket FROM dec d), " +
           "packed AS (SELECT doc_id, lang, n_tokens, n_clean, decision, " +
-          "CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 8 ELSE 5 END) " +
-          "THEN 'train' ELSE 'holdout' END AS split, " +
+          s"$splitCaseSql AS split, " +
           "CASE WHEN decision = 'keep' THEN " +
           "CAST(sum(CASE WHEN decision = 'keep' THEN n_tokens ELSE 0 END) OVER " +
           "(PARTITION BY lang ORDER BY doc_id " +
@@ -827,13 +842,7 @@ object TrainingDataQueries extends QueryModule {
         val docs = tbl(s, dir, "documents")
         val t = docs.select(col("doc_id"), col("lang"),
           split(col("text"), " ").as("toks"))
-        val common = t
-          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("df"))
-          .crossJoin(docs.agg(count(lit(1)).as("n")))
-          .filter(col("df") * 2 >= col("n"))
-          .agg(collect_set(col("tok")).as("c"))
-        val clean = t.crossJoin(broadcast(common))
+        val clean = t.crossJoin(broadcast(commonVocab(docs, t)))
           .select(col("doc_id"), col("lang"),
             size(col("toks")).cast("long").as("n_tokens"),
             size(expr("filter(toks, x -> NOT array_contains(c, x))"))
@@ -859,13 +868,8 @@ object TrainingDataQueries extends QueryModule {
           when(col("decision") === "keep", col("n_tokens")).otherwise(lit(0L))
         graft.H.materialized(
           dec
-            .withColumn("bucket",
-              conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-                .cast("long") % 10)
-            .withColumn("split",
-              when(col("bucket") <
-                  when(col("lang") === "en", 8).otherwise(5), "train")
-                .otherwise("holdout"))
+            .withColumn("bucket", bucketCol(col("doc_id")))
+            .withColumn("split", splitCol(col("bucket"), col("lang")))
             .withColumn("begin_tokens",
               sum(keptTokens).over(w) - keptTokens)
             .withColumn("pack_id",

@@ -437,7 +437,12 @@ object ODataTestServer {
       new java.math.BigDecimal(x.toString).compareTo(y)
     case (x: Number, y: Number) =>
       java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-    case (x: String, y: String) => x.compareTo(y)
+    // UTF-8 binary order (what Spark's UTF8String and DuckDB use) — Java's
+    // UTF-16 compareTo disagrees for non-BMP characters, which would make a
+    // completely-pushed $orderby return a different top-N than Spark's own
+    // sort would
+    case (x: String, y: String) =>
+      UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
     case (x: UTF8String, y) => cmp(x.toString, y)
     case (x, y: UTF8String) => cmp(x, y.toString)
     case _ => sys.error(s"incomparable: $a vs $b")
