@@ -147,6 +147,63 @@ object WindowingQueries extends QueryModule {
           .orderBy("user_id")
       }),
 
+    // REAL watermark-drop semantics, oracle-verified, and empirically
+    // pinned against the engine: in a streaming aggregation the LATE-DATA
+    // FILTER for micro-batch N uses the watermark of batch N-1 while
+    // EVICTION (append-mode emission) uses batch N's watermark — the
+    // filter lags eviction by exactly one batch. Replay therefore uses
+    // three batches split purely on event time so the global max (hence
+    // the watermark, max - 10 days ~= month-end minus 10d) is fixed by
+    // batch 0: batch 0 = ts >= Jan 6 (bulk; advances the watermark),
+    // batch 1 = Jan 4..6 stragglers (filtered with batch 0's initial
+    // watermark 0 -> ACCEPTED despite being far below the current
+    // watermark, then emitted complete by that batch's eviction),
+    // batch 2 = ts < Jan 4 stragglers (filtered with the advanced
+    // watermark -> every row genuinely DROPPED; their windows never
+    // appear). The oracle recomputes the observable result: windows
+    // closed by the final watermark, counting only rows from batches
+    // 0-1 (ts >= Jan 4).
+    Q("stream_late_drop",
+      Some("WITH sub AS (SELECT * FROM events WHERE event_id % 5 = 3), " +
+        "wm AS (SELECT max(ts) - INTERVAL '10 days' AS w FROM sub) " +
+        s"SELECT strftime(time_bucket(INTERVAL '1 day', ts), '$F0') AS wstart, " +
+        "event_type, count(*) AS n FROM sub, wm " +
+        "WHERE ts >= TIMESTAMP '2024-01-04' " +
+        "AND time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' <= w " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.streaming.StreamingRefresh
+        val ev = H.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts")
+          .filter(pmod(col("event_id"), lit(5)) === 3)
+        val j4 = lit("2024-01-04").cast("timestamp")
+        val j6 = lit("2024-01-06").cast("timestamp")
+        val tmp = Files.createTempDirectory("graft_late").toString
+        val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        writeReplay(Seq(
+          ev.filter(col("ts") >= j6),
+          ev.filter(col("ts") >= j4 && col("ts") < j6),
+          ev.filter(col("ts") < j4)), tmp, in)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = StreamingRefresh
+          .fileStream(ss, ev.schema, in, maxFilesPerTrigger = Some(1))
+          .withWatermark("ts", "10 days")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(fmtTsSec(col("window.start")).as("wstart"),
+            col("event_type"), col("n"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", sink)
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink).orderBy("wstart", "event_type")
+      }),
+
     // Typed KeyValueGroupedDataset.cogroup — the per-key two-sided typed
     // surface (the Scala analogue of a grouped-map UDF over two frames):
     // clicks and purchases cogrouped per user into exact side totals.
