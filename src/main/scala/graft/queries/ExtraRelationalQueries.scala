@@ -227,5 +227,25 @@ object ExtraRelationalQueries extends QueryModule {
             StructField("r_name", StringType))))
           .json(out)
           .orderBy("r_regionkey")
+      }),
+
+    // Spark 4 native XML source+sink round-trip (the reference's own config
+    // domain is EDMX XML — priorityDataSource.py parses $metadata by hand;
+    // here the engine round-trips row data through the built-in XML
+    // datasource with an explicit schema and rowTag).
+    Q("source_xml_roundtrip",
+      Some("SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey"),
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_xml").toString + "/supplier"
+        tbl(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+          .write.mode("overwrite").option("rowTag", "supplier")
+          .format("xml").save(out)
+        s.read
+          .schema(StructType(Seq(
+            StructField("s_suppkey", IntegerType),
+            StructField("s_name", StringType),
+            StructField("s_nationkey", IntegerType))))
+          .option("rowTag", "supplier").format("xml").load(out)
+          .orderBy("s_suppkey")
       }))
 }
