@@ -18,6 +18,45 @@ final case class UserSides(
     click_cents: Long, purchase_cents: Long)
 final case class UserAggState(
     user_id: Long, n: Long, last_event_id: Long, total_cents: Long)
+final case class EvTyped(event_id: Long, user_id: Long, event_type: String)
+final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+/** Spark 4 `transformWithState` processor: two independent typed state
+  * variables per user — a ValueState running total and a MapState of
+  * per-event-type counts (RocksDB-backed; the HDFS provider does not
+  * support the new API). Each batch emits the updated cumulative count for
+  * every touched type plus an `__all__` row; counts only grow, so the
+  * last upsert per (user, type) is the replay-invariant final value. */
+final class TypeCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EvTyped, TypeCount] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig,
+    TimerValues, ValueState, MapState}
+  import org.apache.spark.sql.Encoders
+  @transient private var total: ValueState[Long] = _
+  @transient private var byType: MapState[String, Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    total = getHandle.getValueState[Long](
+      "total", Encoders.scalaLong, TTLConfig.NONE)
+    byType = getHandle.getMapState[String, Long](
+      "byType", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[EvTyped],
+      timerValues: TimerValues): Iterator[TypeCount] = {
+    val perType = rows.foldLeft(Map.empty[String, Long]) { (m, e) =>
+      m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+    }
+    perType.foreach { case (t, c) =>
+      val cur = if (byType.containsKey(t)) byType.getValue(t) else 0L
+      byType.updateValue(t, cur + c)
+    }
+    val newTotal =
+      (if (total.exists()) total.get() else 0L) + perType.valuesIterator.sum
+    total.update(newTotal)
+    (perType.keysIterator.map(t => TypeCount(key, t, byType.getValue(t))) ++
+      Iterator.single(TypeCount(key, "__all__", newTotal))).toVector.iterator
+  }
+}
 
 object WindowingQueries extends QueryModule {
 
@@ -288,6 +327,54 @@ object WindowingQueries extends QueryModule {
         s.read.parquet(sink)
           .select(col("user_id"), col("n"), col("last_event_id"), col("total_cents"))
           .orderBy("user_id")
+      }),
+
+    // Spark 4 transformWithState (the successor of mapGroupsWithState),
+    // executed over a 3-batch replay with TWO typed state variables per
+    // key — ValueState total + MapState per-type counts — on the RocksDB
+    // state store. Emission is cumulative, so the keyed upsert sink's
+    // final value per (user, event_type) is replay-invariant and the
+    // whole run collapses to a GROUP BY oracle (per-type rows plus the
+    // __all__ ValueState face).
+    Q("stream_tws_by_type",
+      Some("SELECT user_id, event_type, count(*) AS n FROM events " +
+        "WHERE event_id % 5 = 4 GROUP BY 1, 2 " +
+        "UNION ALL SELECT user_id, '__all__' AS event_type, count(*) AS n " +
+        "FROM events WHERE event_id % 5 = 4 GROUP BY 1 " +
+        "ORDER BY 1, 2"),
+      (s, dir) => {
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import graft.streaming.StreamingRefresh
+        val ev = H.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts")
+          .filter(pmod(col("event_id"), lit(5)) === 4)
+        val tmp = Files.createTempDirectory("graft_tws").toString
+        val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        replayFiles(ev, 3, tmp, in)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import ss.implicits._
+        val src = StreamingRefresh
+          .fileStream(ss, ev.schema, in, maxFilesPerTrigger = Some(1))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .as[EvTyped]
+        val counts = src.groupByKey(_.user_id)
+          .transformWithState(new TypeCountProcessor,
+            TimeMode.None(), OutputMode.Update())
+        val q = counts.toDF().writeStream
+          .outputMode("update")
+          .foreachBatch(
+            StreamingRefresh.upsertBatch(Seq("user_id", "event_type"), "n", sink) _)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .select(col("user_id"), col("event_type"), col("n"))
+          .orderBy("user_id", "event_type")
       }),
 
     // REAL streaming deduplication, oracle-verified: batch 0 carries a
