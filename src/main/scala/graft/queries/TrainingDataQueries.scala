@@ -879,6 +879,65 @@ object TrainingDataQueries extends QueryModule {
               col("decision"), col("split"), col("pack_id"))
             .orderBy("doc_id"),
           caches = Seq(sh, sig), checkpoints = Seq(labels))
+      }),
+
+    // Spark 4.1 SQL pipe syntax — the same logical plan as the plain-SQL
+    // oracle (Catalyst folds each |> stage into ordinary operators; the
+    // HAVING face is a post-aggregate WHERE stage).
+    Q("sql_pipe_syntax",
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' " +
+        "GROUP BY 1, 2 HAVING count(*) > 100 ORDER BY 1, 2"),
+      (s, dir) => {
+        tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+        s.sql(
+          "FROM lineitem_pipe " +
+            "|> WHERE l_shipdate <= DATE '1998-09-02' " +
+            "|> AGGREGATE count(*) AS n, " +
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+            "GROUP BY l_returnflag, l_linestatus " +
+            "|> WHERE n > 100 " +
+            "|> SELECT l_returnflag, l_linestatus, n, sum_qty " +
+            "|> ORDER BY l_returnflag, l_linestatus")
+      }),
+
+    // Declarative SQL-body UDFs (Spark 4 CREATE FUNCTION ... RETURN expr):
+    // the function body inlines into the caller's plan, so the whole query
+    // stays in whole-stage codegen — no JVM/closure UDF boundary.
+    Q("sql_udf_scalar",
+      Some("SELECT o_orderkey, " +
+        "CASE WHEN o_totalprice >= 100000 THEN 'large' " +
+        "WHEN o_totalprice >= 50000 THEN 'medium' ELSE 'small' END AS bucket, " +
+        "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents " +
+        "FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey"),
+      (s, dir) => {
+        tbl(s, dir, "orders").createOrReplaceTempView("orders_sqludf")
+        s.sql("CREATE OR REPLACE TEMPORARY FUNCTION price_bucket(p DOUBLE) " +
+          "RETURNS STRING RETURN CASE WHEN p >= 100000 THEN 'large' " +
+          "WHEN p >= 50000 THEN 'medium' ELSE 'small' END")
+        s.sql("CREATE OR REPLACE TEMPORARY FUNCTION to_cents(p DOUBLE) " +
+          "RETURNS BIGINT RETURN CAST(round(CAST(p AS DECIMAL(18,2)) * 100) AS BIGINT)")
+        s.sql("SELECT o_orderkey, price_bucket(o_totalprice) AS bucket, " +
+          "to_cents(o_totalprice) AS cents FROM orders_sqludf " +
+          "WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey")
+      }),
+
+    // SQL table-valued function — a parameterized view; the parameter
+    // reaches the inner WHERE, so partition/file pruning still applies to
+    // the expanded plan.
+    Q("sql_udf_table",
+      Some("SELECT n_name, s_suppkey, s_name FROM nation " +
+        "JOIN supplier ON s_nationkey = n_nationkey " +
+        "WHERE n_regionkey = 1 ORDER BY s_suppkey"),
+      (s, dir) => {
+        tbl(s, dir, "nation").createOrReplaceTempView("nation_tvf")
+        tbl(s, dir, "supplier").createOrReplaceTempView("supplier_tvf")
+        s.sql("CREATE OR REPLACE TEMPORARY FUNCTION region_suppliers(rk INT) " +
+          "RETURNS TABLE(n_name STRING, s_suppkey BIGINT, s_name STRING) " +
+          "RETURN SELECT n_name, s_suppkey, s_name FROM nation_tvf " +
+          "JOIN supplier_tvf ON s_nationkey = n_nationkey WHERE n_regionkey = rk")
+        s.sql("SELECT * FROM region_suppliers(1) ORDER BY s_suppkey")
       })
   )
 }

@@ -77,9 +77,9 @@ object WindowingQueries extends QueryModule {
     * general replay harness (batches need not partition one frame; e.g.
     * duplicate injection replays overlapping subsets). */
   private def writeReplay(batches: Seq[org.apache.spark.sql.DataFrame],
-      tmp: String, inDir: String): Unit = {
+      tmp: String, inDir: String, startAt: Int = 0): Unit = {
     import java.nio.file.{Files, Paths}
-    batches.zipWithIndex.foreach { case (b, i) =>
+    batches.zipWithIndex.map { case (b, i) => (b, i + startAt) }.foreach { case (b, i) =>
       val stage = s"$tmp/stage_${Paths.get(inDir).getFileName}_$i"
       b.coalesce(1).write.parquet(stage)
       val listing = Files.list(Paths.get(stage))
@@ -375,6 +375,53 @@ object WindowingQueries extends QueryModule {
         s.read.parquet(sink)
           .select(col("user_id"), col("event_type"), col("n"))
           .orderBy("user_id", "event_type")
+      }),
+
+    // Checkpoint recovery, executed: the stream runs AvailableNow to
+    // completion over two files, STOPS, a third file lands, and a brand-new
+    // query object resumes from the same checkpoint — the offset log admits
+    // only the unseen file and the aggregation state (counts, cents) picks
+    // up where run 1 committed, giving exactly-once totals across the
+    // restart. The upsert sink is keyed by user, so the final values equal
+    // the one-shot GROUP BY oracle.
+    Q("stream_resume",
+      Some("SELECT user_id, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS total_cents " +
+        "FROM events WHERE event_id % 7 = 5 GROUP BY 1 ORDER BY 1"),
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.streaming.StreamingRefresh
+        val ev = H.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+          .filter(pmod(col("event_id"), lit(7)) === 5)
+        val tmp = Files.createTempDirectory("graft_resume").toString
+        val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        val parts = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+        def runOnce(): Unit = {
+          val ss = s.newSession()
+          ss.conf.set("spark.sql.shuffle.partitions", "4")
+          val q = StreamingRefresh
+            .fileStream(ss, ev.schema, in, maxFilesPerTrigger = Some(1))
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"),
+              sum((col("value").cast("decimal(12,2)") * 100).cast("long"))
+                .as("total_cents"))
+            .writeStream
+            .outputMode("update")
+            .foreachBatch(
+              StreamingRefresh.upsertBatch(Seq("user_id"), "n", sink) _)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        writeReplay(parts.take(2), tmp, in)
+        runOnce()                       // run 1: files 0-1, then terminates
+        writeReplay(Seq(parts(2)), tmp, in, startAt = 2)
+        runOnce()                       // run 2: resumes, admits only file 2
+        s.read.parquet(sink)
+          .select(col("user_id"), col("n"), col("total_cents"))
+          .orderBy("user_id")
       }),
 
     // REAL streaming deduplication, oracle-verified: batch 0 carries a
