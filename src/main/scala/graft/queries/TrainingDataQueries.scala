@@ -938,6 +938,48 @@ object TrainingDataQueries extends QueryModule {
           "RETURN SELECT n_name, s_suppkey, s_name FROM nation_tvf " +
           "JOIN supplier_tvf ON s_nationkey = n_nationkey WHERE n_regionkey = rk")
         s.sql("SELECT * FROM region_suppliers(1) ORDER BY s_suppkey")
+      }),
+
+    // Spark 4 string collations: case is mangled deterministically per row,
+    // then UTF8_LCASE drives equality and distinctness — the engine-native
+    // face of case-insensitive matching (the oracle lowers explicitly).
+    // Only collation-insensitive aggregates are selected, so the result
+    // does not depend on which case representative the engine keeps.
+    Q("sql_collation",
+      Some("WITH m AS (SELECT c_custkey, CASE WHEN c_custkey % 2 = 0 " +
+        "THEN upper(c_mktsegment) ELSE lower(c_mktsegment) END AS seg " +
+        "FROM customer) " +
+        "SELECT count(*) AS n_match, " +
+        "CAST(count(DISTINCT lower(seg)) AS BIGINT) AS n_ci, " +
+        "CAST(count(DISTINCT seg) AS BIGINT) AS n_cs " +
+        "FROM m WHERE lower(seg) = 'building'"),
+      (s, dir) => {
+        tbl(s, dir, "customer").createOrReplaceTempView("customer_coll")
+        s.sql("WITH m AS (SELECT c_custkey, CASE WHEN c_custkey % 2 = 0 " +
+          "THEN upper(c_mktsegment) ELSE lower(c_mktsegment) END AS seg " +
+          "FROM customer_coll) " +
+          "SELECT count(*) AS n_match, " +
+          "count(DISTINCT seg COLLATE UTF8_LCASE) AS n_ci, " +
+          "count(DISTINCT seg) AS n_cs " +
+          "FROM m WHERE seg COLLATE UTF8_LCASE = 'Building'")
+      }),
+
+    // Parameterized SQL (named markers bound server-side — the injection-
+    // safe face of the reference's string-built OData filters).
+    Q("sql_parameterized",
+      Some("SELECT o_orderpriority, count(*) AS n FROM orders " +
+        "WHERE o_orderdate >= DATE '1995-01-01' " +
+        "AND o_orderdate < DATE '1995-04-01' AND o_totalprice > 100000 " +
+        "GROUP BY 1 ORDER BY 1"),
+      (s, dir) => {
+        tbl(s, dir, "orders").createOrReplaceTempView("orders_param")
+        s.sql(
+          "SELECT o_orderpriority, count(*) AS n FROM orders_param " +
+            "WHERE o_orderdate >= CAST(:d0 AS DATE) " +
+            "AND o_orderdate < CAST(:d1 AS DATE) AND o_totalprice > :minp " +
+            "GROUP BY 1 ORDER BY 1",
+          Map("d0" -> "1995-01-01", "d1" -> "1995-04-01",
+            "minp" -> Int.box(100000)))
       })
   )
 }
