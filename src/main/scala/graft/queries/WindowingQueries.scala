@@ -468,6 +468,48 @@ object WindowingQueries extends QueryModule {
           .orderBy("event_id")
       }),
 
+    // The state-BOUNDED production variant: dropDuplicatesWithinWatermark
+    // evicts dedup state once the watermark passes a row's event time, so
+    // state follows the lateness bound instead of the corpus. Duplicates
+    // here are exact row copies replayed across batches within the 40-day
+    // bound (> the one-month data span), so every duplicate is caught while
+    // the operator still runs with eviction armed — the result equals
+    // DISTINCT regardless of arrival order, which is what makes it
+    // SQL-checkable.
+    Q("stream_dedup_within_wm",
+      Some("SELECT event_id, user_id, event_type, " +
+        s"strftime(ts, '$F6') AS ts FROM events " +
+        "WHERE event_id % 5 = 0 ORDER BY event_id"),
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.streaming.StreamingRefresh
+        val ev = H.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts")
+          .filter(pmod(col("event_id"), lit(5)) === 0)
+        val tmp = Files.createTempDirectory("graft_ddwm").toString
+        val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        writeReplay(Seq(ev,
+          ev.filter(pmod(col("event_id"), lit(2)) === 0),
+          ev.filter(pmod(col("event_id"), lit(3)) === 0)), tmp, in)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = StreamingRefresh
+          .fileStream(ss, ev.schema, in, maxFilesPerTrigger = Some(1))
+          .withWatermark("ts", "40 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", sink)
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            fmtTs(col("ts")).as("ts"))
+          .orderBy("event_id")
+      }),
+
     // REAL stream-stream join, oracle-verified: purchase and click streams
     // replayed as two independent file sources, inner-joined on user within
     // ±1h event time. The watermark delay exceeds the data span, so no
