@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Mergeable quantile sketches (DataSketches KLL) as first-class
+  * aggregates — the distinct-sketch pattern of `agg_hll_union` applied to
+  * quantiles. `KllSketchAgg` builds a partial sketch per group/partition
+  * (map-side mergeable, so executors never shuffle raw values);
+  * `KllMergeQuantiles` unions serialized sketches and evaluates the
+  * requested ranks. KLL compaction is randomized, so estimates carry a
+  * rank error (~1.65% at k=200, 99% confidence) rather than a fixed
+  * value — queries must use a bounded oracle on the realized rank, not an
+  * exact compare.
+  */
+final case class KllSketchAgg(
+    child: Expression,
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  require(k >= 8, "k must be >= 8")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_sketch_agg expects DOUBLE, got ${child.dataType.sql}")
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = o)
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
+    a.merge(b)
+    a
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def prettyName: String = "kll_sketch_agg"
+}
+
+/** Union of serialized KLL sketches → quantile estimates at `probs`
+  * (inclusive rank semantics). The coordinator-side face: partial sketches
+  * from any number of shards merge associatively, then one pass yields
+  * every requested quantile. */
+final case class KllMergeQuantiles(
+    child: Expression,
+    probs: Seq[Double],
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+    "probs must be fractions in [0, 1]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_merge_quantiles expects BINARY sketches, got ${child.dataType.sql}")
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeQuantiles =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeQuantiles =
+    copy(inputAggBufferOffset = o)
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
+    a.merge(b)
+    a
+  }
+
+  override def eval(buf: KllDoublesSketch): Any =
+    new GenericArrayData(probs.map(p => buf.getQuantile(p)).toArray[Any])
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def prettyName: String = "kll_merge_quantiles"
+}

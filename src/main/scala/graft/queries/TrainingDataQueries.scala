@@ -253,6 +253,38 @@ object TrainingDataQueries extends QueryModule {
               col("exact_nd").cast("double") <= 0.05).cast("int").as("in_bounds"))
       }),
 
+    // Mergeable QUANTILE sketches (KLL), same re-aggregatable shape as the
+    // HLL union: per-shard sketches built independently, unioned, then
+    // queried at p25/p50/p75. KLL compaction is randomized, so the oracle
+    // bounds the REALIZED rank of each estimate (|rank - p| <= 3%, vs the
+    // ~1.65% k=200 error bound) instead of comparing values — the one
+    // verification shape that works for a randomized sketch.
+    Q("agg_kll_union",
+      Some("SELECT CAST(count(*) AS BIGINT) AS n_orders, " +
+        "1 AS in_b25, 1 AS in_b50, 1 AS in_b75 FROM orders"),
+      (s, dir) => {
+        import org.apache.spark.sql.GraftColumnBridge
+        import graft.functions.{KllSketchAgg, KllMergeQuantiles}
+        val o = tbl(s, dir, "orders")
+        val skAgg = GraftColumnBridge.column(
+          KllSketchAgg(GraftColumnBridge.expression(col("o_totalprice")))
+            .toAggregateExpression())
+        val est = o
+          .groupBy(pmod(col("o_orderkey"), lit(4)).as("shard"))
+          .agg(skAgg.as("sk"))
+        val merged = est.agg(GraftColumnBridge.column(
+          KllMergeQuantiles(GraftColumnBridge.expression(col("sk")),
+            Seq(0.25, 0.5, 0.75)).toAggregateExpression()).as("qs"))
+        def inBounds(i: Int, p: Double, nm: String) =
+          (abs(avg((col("o_totalprice") <= col("qs").getItem(i))
+            .cast("int")) - p) <= 0.03).cast("int").as(nm)
+        o.crossJoin(merged)
+          .agg(count(lit(1)).as("n_orders"),
+            inBounds(0, 0.25, "in_b25"),
+            inBounds(1, 0.50, "in_b50"),
+            inBounds(2, 0.75, "in_b75"))
+      }),
+
     // SCD2 history build: collapse each user's event stream into
     // change-interval rows (valid_from/valid_to, version, is_current) —
     // the warehouse-side shape of the reference's keep-latest upsert when

@@ -103,4 +103,26 @@ class SketchesSpec extends AnyFunSuite {
     val empty = Multimodal.decodeMeta(8L, Array.emptyByteArray)
     assert(empty.byte_len == 0L && empty.first_byte == 0L)
   }
+
+  test("KLL sketches: shard-merge quantiles stay within the rank bound") {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val n = 10000
+    // two shards built independently, merged through the serialized form
+    // (exactly what the aggregate's partial/merge path does)
+    val a = KllDoublesSketch.newHeapInstance(200)
+    val b = KllDoublesSketch.newHeapInstance(200)
+    (0 until n).foreach { i =>
+      val v = ((i * 2654435761L) % n).toDouble   // deterministic shuffle
+      if (i % 2 == 0) a.update(v) else b.update(v)
+    }
+    val merged = KllDoublesSketch.heapify(Memory.wrap(a.toByteArray))
+    merged.merge(KllDoublesSketch.heapify(Memory.wrap(b.toByteArray)))
+    assert(merged.getN == n)
+    Seq(0.25, 0.5, 0.75).foreach { p =>
+      val est = merged.getQuantile(p)
+      val rank = est / n           // values are the uniform 0..n-1 permuted
+      assert(math.abs(rank - p) <= 0.03, s"p=$p est=$est rank=$rank")
+    }
+  }
 }
