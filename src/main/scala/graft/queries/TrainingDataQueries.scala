@@ -285,6 +285,41 @@ object TrainingDataQueries extends QueryModule {
             inBounds(2, 0.75, "in_b75"))
       }),
 
+    // Frequent-items (heavy hitters) over tokens, the mergeable face of
+    // vocab_topk: per-shard Misra-Gries counter sketches union
+    // associatively; counters, not the corpus, cross the wire. The live
+    // vocabulary fits the counter map, so estimates are exact here and the
+    // oracle compares directly — at 100 TB the same plan degrades to
+    // bounded-error heavy hitters instead of failing.
+    Q("agg_freq_topk",
+      Some("WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "c AS (SELECT tok, count(*) AS n FROM t WHERE tok <> '' GROUP BY tok), " +
+        "r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk " +
+        "FROM c) " +
+        "SELECT CAST(rnk AS BIGINT) AS rnk, tok, CAST(n AS BIGINT) AS n " +
+        "FROM r WHERE rnk <= 5 ORDER BY rnk"),
+      (s, dir) => {
+        import org.apache.spark.sql.GraftColumnBridge
+        import graft.functions.{FreqSketchAgg, FreqMergeTopK}
+        val toks = tbl(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val shards = toks
+          .groupBy(pmod(col("doc_id"), lit(4)).as("shard"))
+          .agg(GraftColumnBridge.column(
+            FreqSketchAgg(GraftColumnBridge.expression(col("tok")))
+              .toAggregateExpression()).as("sk"))
+        shards
+          .agg(GraftColumnBridge.column(
+            FreqMergeTopK(GraftColumnBridge.expression(col("sk")), k = 5)
+              .toAggregateExpression()).as("top"))
+          .select(posexplode(col("top")).as(Seq("i", "p")))
+          .select((col("i") + 1).cast("long").as("rnk"),
+            col("p.token").as("tok"), col("p.est").as("n"))
+          .orderBy("rnk")
+      }),
+
     // SCD2 history build: collapse each user's event stream into
     // change-interval rows (valid_from/valid_to, version, is_current) —
     // the warehouse-side shape of the reference's keep-latest upsert when
