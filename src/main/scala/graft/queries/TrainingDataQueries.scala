@@ -285,6 +285,52 @@ object TrainingDataQueries extends QueryModule {
             inBounds(2, 0.75, "in_b75"))
       }),
 
+    // Theta sketches — the family that supports set INTERSECTION (HLL
+    // cannot): one pass over (custkey, period) rows builds a sketch per
+    // period; eval estimates |A|, |B|, |A ∩ B|. Theta state is a
+    // deterministic function of the input SET (hash sampling, order-
+    // independent), exact below the nominal entry count — the oracle
+    // asserts exact counts plus in-bounds flags so the query stays green
+    // when a larger scale pushes the sketch into estimation mode.
+    Q("agg_theta_intersect",
+      Some("WITH a AS (SELECT DISTINCT o_custkey FROM orders " +
+        "WHERE year(o_orderdate) = 1995), " +
+        "b AS (SELECT DISTINCT o_custkey FROM orders " +
+        "WHERE year(o_orderdate) = 1996) " +
+        "SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a, " +
+        "CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b, " +
+        "CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) " +
+        "AS BIGINT) AS exact_inter, 1 AS in_a, 1 AS in_b, 1 AS in_inter"),
+      (s, dir) => {
+        import org.apache.spark.sql.GraftColumnBridge
+        import graft.functions.ThetaIntersectAgg
+        val o = tbl(s, dir, "orders")
+          .filter(year(col("o_orderdate")).isin(1995, 1996))
+          .select(col("o_custkey"),
+            (year(col("o_orderdate")) - 1995).cast("int").as("side"))
+        val est = o.agg(GraftColumnBridge.column(
+          ThetaIntersectAgg(
+            GraftColumnBridge.expression(col("o_custkey")),
+            GraftColumnBridge.expression(col("side")))
+            .toAggregateExpression()).as("t"))
+        val exactAb = o.agg(
+          countDistinct(when(col("side") === 0, col("o_custkey"))).as("exact_a"),
+          countDistinct(when(col("side") === 1, col("o_custkey"))).as("exact_b"))
+        val exactInter = o.groupBy("o_custkey")
+          .agg(min("side").as("lo"), max("side").as("hi"))
+          .filter(col("lo") === 0 && col("hi") === 1)
+          .agg(count(lit(1)).as("exact_inter"))
+        def flag(estC: org.apache.spark.sql.Column,
+            exactC: org.apache.spark.sql.Column, nm: String) =
+          (abs(estC - exactC.cast("double")) <=
+            greatest(exactC.cast("double") * 0.05, lit(2.0))).cast("int").as(nm)
+        est.crossJoin(exactAb).crossJoin(exactInter)
+          .select(col("exact_a"), col("exact_b"), col("exact_inter"),
+            flag(col("t.a_est"), col("exact_a"), "in_a"),
+            flag(col("t.b_est"), col("exact_b"), "in_b"),
+            flag(col("t.inter_est"), col("exact_inter"), "in_inter"))
+      }),
+
     // Frequent-items (heavy hitters) over tokens, the mergeable face of
     // vocab_topk: per-shard Misra-Gries counter sketches union
     // associatively; counters, not the corpus, cross the wire. The live
