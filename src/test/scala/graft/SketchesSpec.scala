@@ -125,4 +125,22 @@ class SketchesSpec extends AnyFunSuite {
       assert(math.abs(rank - p) <= 0.03, s"p=$p est=$est rank=$rank")
     }
   }
+
+  test("theta intersect aggregate: serde round-trip preserves both sides") {
+    import graft.functions.ThetaIntersectAgg
+    import org.apache.spark.sql.GraftColumnBridge
+    val agg = ThetaIntersectAgg(
+      GraftColumnBridge.expression(org.apache.spark.sql.functions.col("v")),
+      GraftColumnBridge.expression(org.apache.spark.sql.functions.col("s")))
+    val buf = agg.createAggregationBuffer()
+    (1L to 600L).foreach(buf._1.update)     // A = 1..600
+    (401L to 1000L).foreach(buf._2.update)  // B = 401..1000, |A∩B| = 200
+    val restored = agg.deserialize(agg.serialize(buf))
+    val merged = agg.merge(agg.createAggregationBuffer(), restored)
+    val row = agg.eval(merged)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    // below nominal entries the sketch is exact
+    assert(row.getDouble(0) == 600.0 && row.getDouble(1) == 600.0 &&
+      row.getDouble(2) == 200.0)
+  }
 }
