@@ -148,4 +148,33 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val unmerged = spark.read.parquet(dir)
     assert(unmerged.columns.contains("id"))
   }
+
+  test("AQE replans at runtime: static sort-merge join becomes broadcast") {
+    import spark.implicits._
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    // static planning may never broadcast; the adaptive threshold stays
+    // permissive, so only the RUNTIME size observation can trigger the
+    // broadcast — which is exactly what a 1000-executor join wants when
+    // a filter's selectivity is unknowable at compile time.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val big = spark.range(0L, 200000L).select($"id", ($"id" % 1000).as("k"))
+      val dim = spark.range(0L, 100000L).select($"id".as("k2"))
+        .filter($"k2" % 2048 === 0)
+      val j = big.join(dim, $"k" === $"k2")
+      val staticPlan = j.queryExecution.executedPlan.toString
+      assert(staticPlan.contains("SortMergeJoin"), staticPlan)
+      // execute THIS dataset (count() would finalize its own plan instead)
+      assert(j.collect().length > 0)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
