@@ -85,6 +85,8 @@ final case class FreqMergeTopK(
   extends TypedImperativeAggregate[ItemsSketch[String]] {
 
   require(k > 0, "k must be positive")
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    "maxMapSize must be a power of 2 >= 8")
 
   @transient private lazy val serde = new ArrayOfStringsSerDe
 

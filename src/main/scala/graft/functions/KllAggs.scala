@@ -84,7 +84,8 @@ final case class KllMergeQuantiles(
     "probs must be fractions in [0, 1]")
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  // null for an empty union — getQuantile throws on an empty sketch
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -116,7 +117,8 @@ final case class KllMergeQuantiles(
   }
 
   override def eval(buf: KllDoublesSketch): Any =
-    new GenericArrayData(probs.map(p => buf.getQuantile(p)).toArray[Any])
+    if (buf.isEmpty) null
+    else new GenericArrayData(probs.map(p => buf.getQuantile(p)).toArray[Any])
 
   override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
   override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
