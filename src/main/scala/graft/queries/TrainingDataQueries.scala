@@ -1088,6 +1088,21 @@ object TrainingDataQueries extends QueryModule {
           "FROM m WHERE seg COLLATE UTF8_LCASE = 'Building'")
       }),
 
+    // IDENTIFIER(:param): config-driven TABLE selection without string
+    // interpolation — the reference builds entity/table names from config
+    // strings (priorityDataSource.py assembles them into raw SQL); the
+    // engine-native form binds the name as data and stays injection-safe.
+    Q("sql_identifier",
+      Some("SELECT n_nationkey, n_name FROM nation " +
+        "WHERE n_regionkey = 2 ORDER BY n_nationkey"),
+      (s, dir) => {
+        tbl(s, dir, "nation").createOrReplaceTempView("nation_cfg_entity")
+        s.sql(
+          "SELECT n_nationkey, n_name FROM IDENTIFIER(:entity) " +
+            "WHERE n_regionkey = :rk ORDER BY n_nationkey",
+          Map("entity" -> "nation_cfg_entity", "rk" -> Int.box(2)))
+      }),
+
     // Parameterized SQL (named markers bound server-side — the injection-
     // safe face of the reference's string-built OData filters).
     Q("sql_parameterized",
