@@ -58,6 +58,40 @@ final class TypeCountProcessor
   }
 }
 
+final case class UserSnapshot(user_id: Long, n: Long, total_cents: Long)
+
+/** transformWithState warm-started from a BATCH snapshot
+  * (StatefulProcessorWithInitialState): the engine-native form of the
+  * reference's initial-load-then-incremental lifecycle — historical totals
+  * land in keyed state before the first micro-batch, then stream
+  * increments accumulate on top. Emission is cumulative, so the keyed
+  * upsert sink is replay-invariant; users without stream-era rows never
+  * emit (initial state alone does not produce output). */
+final class SnapshotTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, EvSlim, UserSnapshot, UserSnapshot] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig,
+    TimerValues, ValueState}
+  import org.apache.spark.sql.Encoders
+  @transient private var st: ValueState[UserSnapshot] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserSnapshot](
+      "totals", Encoders.product[UserSnapshot], TTLConfig.NONE)
+  override def handleInitialState(key: Long, snap: UserSnapshot,
+      timerValues: TimerValues): Unit =
+    st.update(snap)
+  override def handleInputRows(key: Long, rows: Iterator[EvSlim],
+      timerValues: TimerValues): Iterator[UserSnapshot] = {
+    val prev =
+      if (st.exists()) st.get() else UserSnapshot(key, 0L, 0L)
+    val next = rows.foldLeft(prev) { (acc, e) =>
+      UserSnapshot(key, acc.n + 1, acc.total_cents + math.round(e.value * 100))
+    }
+    st.update(next)
+    Iterator.single(next)
+  }
+}
+
 object WindowingQueries extends QueryModule {
 
   private val F6 = "%Y-%m-%d %H:%M:%S.%f"
@@ -419,6 +453,72 @@ object WindowingQueries extends QueryModule {
         runOnce()                       // run 1: files 0-1, then terminates
         writeReplay(Seq(parts(2)), tmp, in, startAt = 2)
         runOnce()                       // run 2: resumes, admits only file 2
+        s.read.parquet(sink)
+          .select(col("user_id"), col("n"), col("total_cents"))
+          .orderBy("user_id")
+      }),
+
+    // The reference's initial-load-then-incremental lifecycle as ONE
+    // stateful stream: a batch snapshot of historical totals warm-starts
+    // the keyed state (StatefulProcessorWithInitialState.handleInitialState
+    // runs before the first micro-batch), then replayed increments
+    // accumulate on top. Cumulative emission + keyed upsert = the final
+    // sink equals snapshot ∪ increments for every user that streamed —
+    // the GROUP-BY-with-live-users oracle.
+    Q("stream_tws_initial_state",
+      Some("WITH sub AS (SELECT * FROM events WHERE event_id % 9 = 1), " +
+        "live AS (SELECT DISTINCT user_id FROM sub " +
+        "WHERE ts >= TIMESTAMP '2024-01-15') " +
+        "SELECT s.user_id, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS total_cents " +
+        "FROM sub s JOIN live l ON l.user_id = s.user_id " +
+        "GROUP BY 1 ORDER BY 1"),
+      (s, dir) => {
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import org.apache.spark.sql.Encoders
+        import graft.streaming.StreamingRefresh
+        val tmp = Files.createTempDirectory("graft_twsinit").toString
+        val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import ss.implicits._
+        // everything (snapshot AND replay) built from the child session so
+        // the initial-state dataset and the stream share one planner
+        val ev = H.events(ss, dir)
+          .select("event_id", "user_id", "ts", "value")
+          .filter(pmod(col("event_id"), lit(9)) === 1)
+        val j15 = lit("2024-01-15").cast("timestamp")
+        writeReplay(Seq(
+          ev.filter(col("ts") >= j15 &&
+            pmod(col("event_id"), lit(2)) === 0),
+          ev.filter(col("ts") >= j15 &&
+            pmod(col("event_id"), lit(2)) === 1)), tmp, in)
+        val snapshot = ev.filter(col("ts") < j15)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum((col("value").cast("decimal(12,2)") * 100).cast("long"))
+              .as("total_cents"))
+          .as[UserSnapshot]
+          .groupByKey(_.user_id)
+        val src = StreamingRefresh
+          .fileStream(ss, ev.schema, in, maxFilesPerTrigger = Some(1))
+          .select(col("event_id"), col("user_id"), col("value"))
+          .as[EvSlim]
+        val totals = src.groupByKey(_.user_id)
+          .transformWithState(new SnapshotTotalsProcessor,
+            TimeMode.None(), OutputMode.Update(), snapshot,
+            Encoders.product[UserSnapshot], Encoders.product[UserSnapshot])
+        val q = totals.toDF().writeStream
+          .outputMode("update")
+          .foreachBatch(
+            StreamingRefresh.upsertBatch(Seq("user_id"), "n", sink) _)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
         s.read.parquet(sink)
           .select(col("user_id"), col("n"), col("total_cents"))
           .orderBy("user_id")
