@@ -39,9 +39,13 @@ object Bench {
         spark.conf.get("spark.sql.warehouse.dir")
           .stripPrefix("file:"), "bench_warmup.db")
       if (loc.isDirectory) {
-        loc.listFiles.flatMap(d =>
-          if (d.isDirectory) d.listFiles :+ d else Array(d)).foreach(_.delete())
-        loc.delete()
+        // full recursive walk: a killed run can leave arbitrarily deep
+        // residue (_temporary/... trees), and one undeletable level would
+        // re-trigger LOCATION_ALREADY_EXISTS and disable the warm-up
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        Files.walk(loc.toPath).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => Files.deleteIfExists(p))
       }
       spark.sql("CREATE DATABASE bench_warmup")
       spark.range(10L).write.mode("overwrite")
@@ -63,7 +67,24 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Full per-query map → file (the driver keeps only the tail of stdout).
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n"))
+    // The LAST stdout line must stay parseable from a bounded tail capture:
+    // emit a compact variant — total + error list + the slowest queries,
+    // greedily added (ms precision) while the line stays under ~1700 chars.
+    def ms(v: Double): String = "%.3f".format(v)
+    val slowestFirst = results.sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
+    val budget = 1700 - head.length - 2
+    val entries = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    slowestFirst.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + ms(v)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    println(head + entries.mkString(",") + "}}")
     spark.stop()
   }
 }

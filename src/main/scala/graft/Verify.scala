@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: Verify <sfDir> <outDir> [queryName...]")
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: run only these queries (dev loop; the driver
     // always passes exactly two args and gets the full dump)

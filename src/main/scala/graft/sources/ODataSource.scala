@@ -134,7 +134,14 @@ final class ODataScanBuilder(entity: String, full: StructType, pageSize: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(requiredSchema.fieldNames.map(full(_)))
 
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  /** Limit/top-N claims below are honored by ODataScan only; ODataAggScan
+    * ignores them. With isPartiallyPushed=false Spark deletes its own
+    * Sort/Limit on acceptance, so once an aggregate is pushed these MUST
+    * refuse — today translateAggs rejects GROUP BY (one-row results, where
+    * a dropped limit is invisible), but the refusal keeps the
+    * completely-pushed claim tied to the scan that actually honors it. */
+  override def pushLimit(n: Int): Boolean =
+    if (aggs.nonEmpty) false else { limit = Some(n); true }
 
   /** `ORDER BY … LIMIT n` → OData `$orderby=…&$top=n`, COMPLETELY pushed
     * (isPartiallyPushed=false): accepted only when the top-N fits one page,
@@ -143,6 +150,7 @@ final class ODataScanBuilder(entity: String, full: StructType, pageSize: Int)
     * nested columns fall back to Spark's own TakeOrderedAndProject over the
     * paged scan. */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (aggs.nonEmpty) return false // see pushLimit
     val keys = orders.toSeq.map { so =>
       so.expression() match {
         case nr: NamedReference if nr.fieldNames.length == 1 &&

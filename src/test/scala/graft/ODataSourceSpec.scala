@@ -103,6 +103,28 @@ class ODataSourceSpec extends AnyFunSuite {
     assert(grouped.count() == 25)
   }
 
+  test("limit/top-N pushdown refuses once an aggregate is pushed") {
+    // ODataAggScan ignores limit/topSort, and isPartiallyPushed=false makes
+    // Spark delete its own Sort/Limit on acceptance — so the builder must
+    // refuse the claim when an aggregate owns the scan (ADVICE r03).
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, NullOrdering}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    def builder = new graft.sources.ODataScanBuilder("customer", schema, 200)
+    val countAll = new Aggregation(Array(new CountStar), Array.empty)
+    val sort = Array(Expressions.sort(Expressions.column("k"),
+      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+    val b1 = builder
+    assert(b1.pushAggregation(countAll))
+    assert(!b1.pushLimit(5))
+    assert(!b1.pushTopN(sort, 5))
+    // without the aggregate the same claims are accepted
+    val b2 = builder
+    assert(b2.pushLimit(5))
+    assert(b2.pushTopN(sort, 5))
+  }
+
   test("reader converts decimal and date columns (not just strings/timestamps)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("odata_dec").toString + "/t"

@@ -65,6 +65,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // Pins the semantics stream_late_drop's oracle depends on (empirically
+  // observed on Spark 4.1, not contractual): the late-data FILTER for
+  // micro-batch N uses batch N-1's watermark while EVICTION uses batch N's
+  // — the filter lags eviction by exactly one batch. If a Spark upgrade
+  // changes watermark propagation, THIS test fails with a pointed message
+  // instead of stream_late_drop failing with an opaque hash mismatch.
+  test("watermark late-data filter lags eviction by one batch (query-progress pin)") {
+    import spark.implicits._
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    import org.apache.spark.sql.{DataFrame, Row}
+    val tmp = Files.createTempDirectory("graft_lag_pin").toString
+    val in = s"$tmp/in"
+    def writeBatch(df: DataFrame, i: Int): Unit = {
+      import java.nio.file.Paths
+      val stage = s"$tmp/stage_$i"
+      df.coalesce(1).write.parquet(stage)
+      val listing = java.nio.file.Files.list(Paths.get(stage))
+      val part =
+        try listing.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+      java.nio.file.Files.createDirectories(Paths.get(in))
+      java.nio.file.Files.move(part, Paths.get(s"$in/batch$i.parquet"))
+    }
+    // window 5 min, lateness 10 min; batch0 fixes the watermark at 00:50
+    val b0 = Seq(Ev(1, t("2024-01-01 01:00:00"), 1, "click", 1.0),
+      Ev(2, t("2024-01-01 01:00:00"), 2, "click", 1.0)).toDF()
+    // batch1: 00:30 — far below the final watermark, but filtered with the
+    // PREVIOUS batch's watermark (initial 0) → accepted, window emitted
+    val b1 = Seq(Ev(3, t("2024-01-01 00:30:00"), 1, "click", 1.0)).toDF()
+    // batch2: 00:20 — filtered with the advanced watermark → dropped
+    val b2 = Seq(Ev(4, t("2024-01-01 00:20:00"), 1, "click", 1.0)).toDF()
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) => writeBatch(b, i) }
+    val q = StreamingRefresh
+      .fileStream(ss, b0.schema, in, maxFilesPerTrigger = Some(1))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lag_pin_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // per-batch progress, data batches only, in batch order
+    val prog = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0).sortBy(_.batchId)
+    assert(prog.map(_.numInputRows) == Seq(2L, 1L, 1L),
+      s"expected 3 data batches of 2/1/1 rows, got ${prog.map(p => (p.batchId, p.numInputRows))}")
+    def dropped(i: Int): Long =
+      prog(i).stateOperators.map(_.numRowsDroppedByWatermark).sum
+    assert(dropped(0) == 0, "bulk batch must not drop")
+    assert(dropped(1) == 0,
+      "one-batch filter lag broken: the straggler batch right after the " +
+        "watermark-advancing batch must still be ACCEPTED (filter uses the " +
+        "previous batch's watermark) — stream_late_drop's oracle relies on this")
+    assert(dropped(2) > 0,
+      "second straggler batch must be dropped by the advanced watermark")
+    // observable output: the accepted straggler's window is present, the
+    // dropped one's absent, the open 01:00 window unemitted (append mode)
+    val wins = ss.table("lag_pin_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+    assert(wins == Set(("2024-01-01 00:30:00.0", 1L)), s"got $wins")
+  }
+
   test("AvailableNow file-stream refresh with foreachBatch upsert is idempotent across retries") {
     import spark.implicits._
     val src = Files.createTempDirectory("stream_src").toString
