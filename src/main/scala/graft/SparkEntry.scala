@@ -22,7 +22,8 @@ object SparkEntry {
     qm.LlmQueries2,
     qm.AnalyticQueries,
     qm.TpchMoreQueries,
-    qm.TrainingDataQueries)
+    qm.TrainingDataQueries,
+    qm.CorpusScrubQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

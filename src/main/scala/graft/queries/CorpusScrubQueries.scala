@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryModule}
+import graft.H.tbl
+import graft.functions.{VectorSim => VS}
+
+/** Fourth wave of training-data-pipeline operators: the web-corpus
+  * scrubbing stages that precede everything else in an LLM data pipeline —
+  * PII redaction, URL/domain blocklist filtering, C4-style line-level
+  * quality filtering, paragraph-level (sub-document) deduplication — plus
+  * cosine radius search (range variant of the top-k exact baseline).
+  *
+  * The synthetic corpus contains no emails / URLs, so the PII and URL
+  * queries PLANT deterministic spans derived from `doc_id` (identically in
+  * the Spark program and the DuckDB oracle — the planted-fixture pattern
+  * from `dedup_ngram_jaccard`); the regex detection/redaction then runs
+  * over the combined text as it would over real pages.
+  *
+  * Scale shapes: PII / URL / line filtering are pure per-row map stages
+  * (zero shuffle; a 100 TB corpus streams through them embarrassingly
+  * parallel). Paragraph dedup shuffles once on the paragraph hash — the
+  * same linear keep-first shape as `dedup_exact`, just at sub-document
+  * granularity. Radius search broadcasts the (tiny) query set and scans
+  * the corpus linearly, like `sim_cosine_topk`.
+  */
+object CorpusScrubQueries extends QueryModule {
+
+  // Regexes shared by the Spark program and the oracle (Java regex and
+  // DuckDB RE2 agree on this subset: classes, bounded reps, alternation).
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  private val PhoneRe = "\\+\\d[\\d -]{7,}\\d"
+
+  /** DuckDB: planted-PII text (keep in lockstep with `piiText`). */
+  private val PiiTextSql =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || '.com ip 10.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.' || " +
+      "CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || " +
+      "CAST(doc_id % 100 AS VARCHAR) || ' tel +1 555-' || " +
+      "CAST(1000 + (doc_id * 13) % 9000 AS VARCHAR)"
+
+  /** Spark: planted-PII text (keep in lockstep with `PiiTextSql`). */
+  private def piiText = concat(
+    col("text"), lit(" contact user"), col("doc_id").cast("string"),
+    lit("@ex"), (col("doc_id") % 7).cast("string"),
+    lit(".com ip 10."), (col("doc_id") % 256).cast("string"),
+    lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+    lit("."), (col("doc_id") % 100).cast("string"),
+    lit(" tel +1 555-"), (lit(1000) + (col("doc_id") * 13) % 9000).cast("string"))
+
+  def all: Seq[Q] = Seq(
+
+    // ---- PII redaction ---------------------------------------------------
+
+    // Detect-and-mask over email / IPv4 / phone patterns: per-doc match
+    // counts plus the fully redacted text. Pure map stage — the redaction
+    // regexes run inside whole-stage codegen, nothing shuffles.
+    Q("text_pii_redact",
+      Some("WITH p AS (SELECT doc_id, " + PiiTextSql + " AS t FROM documents) " +
+        "SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_email, " +
+        s"CAST(len(regexp_extract_all(t, '$IpRe')) AS BIGINT) AS n_ip, " +
+        s"CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phone, " +
+        s"regexp_replace(regexp_replace(regexp_replace(t, '$EmailRe', " +
+        "'<EMAIL>', 'g'), '" + IpRe + "', '<IP>', 'g'), '" + PhoneRe +
+        "', '<PHONE>', 'g') AS redacted " +
+        "FROM p ORDER BY doc_id"),
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), piiText.as("t"))
+          .select(col("doc_id"),
+            regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_email"),
+            regexp_count(col("t"), lit(IpRe)).cast("long").as("n_ip"),
+            regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phone"),
+            regexp_replace(regexp_replace(regexp_replace(col("t"),
+              lit(EmailRe), lit("<EMAIL>")),
+              lit(IpRe), lit("<IP>")),
+              lit(PhoneRe), lit("<PHONE>")).as("redacted"))
+          .orderBy("doc_id")),
+
+    // ---- URL / domain blocklist filter -----------------------------------
+
+    // Extract each doc's URL domain, drop blocklisted domains with a
+    // broadcast anti-join (the blocklist is always tiny next to the
+    // corpus), report per-domain survivor stats.
+    Q("text_url_filter",
+      Some("WITH p AS (SELECT doc_id, text || ' see https://' || " +
+        "CASE doc_id % 4 WHEN 0 THEN 'spam.example' WHEN 1 THEN 'ok.org' " +
+        "WHEN 2 THEN 'news.site' ELSE 'blog.net' END || '/p/' || " +
+        "CAST(doc_id AS VARCHAR) AS t FROM documents), " +
+        "d AS (SELECT doc_id, regexp_extract(t, 'https://([A-Za-z.]+)/', 1) " +
+        "AS domain FROM p) " +
+        "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM d " +
+        "WHERE domain NOT IN ('spam.example', 'tracker.bad') " +
+        "GROUP BY domain ORDER BY domain"),
+      (s, dir) => {
+        import s.implicits._
+        val planted = tbl(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), lit(" see https://"),
+            when(col("doc_id") % 4 === 0, "spam.example")
+              .when(col("doc_id") % 4 === 1, "ok.org")
+              .when(col("doc_id") % 4 === 2, "news.site")
+              .otherwise("blog.net"),
+            lit("/p/"), col("doc_id").cast("string")).as("t"))
+          .select(col("doc_id"),
+            regexp_extract(col("t"), "https://([A-Za-z.]+)/", 1).as("domain"))
+        val blocklist = Seq("spam.example", "tracker.bad").toDF("domain")
+        planted.join(broadcast(blocklist), Seq("domain"), "left_anti")
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .orderBy("domain")
+      }),
+
+    // ---- C4-style line-level quality filter ------------------------------
+
+    // Split each doc into "lines" (segments between ' the ' — the corpus
+    // has no newlines), keep only segments with >= 8 real words, reassemble
+    // the cleaned doc. Per-row array lambdas, zero shuffle: the C4 shape
+    // where the unit of filtering is smaller than the document.
+    Q("text_line_filter",
+      Some("WITH l AS (SELECT doc_id, string_split(text, ' the ') AS segs " +
+        "FROM documents), " +
+        "k AS (SELECT doc_id, segs, list_filter(segs, s -> " +
+        "len(list_filter(string_split(s, ' '), w -> w <> '')) >= 8) AS kept " +
+        "FROM l) " +
+        "SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_segments, " +
+        "CAST(len(kept) AS BIGINT) AS n_kept, " +
+        "coalesce(array_to_string(kept, ' | '), '') AS cleaned " +
+        "FROM k ORDER BY doc_id"),
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " the ").as("segs"))
+          .withColumn("kept", filter(col("segs"), seg =>
+            size(filter(split(seg, " "), w => w =!= "")) >= 8))
+          .select(col("doc_id"),
+            size(col("segs")).cast("long").as("n_segments"),
+            size(col("kept")).cast("long").as("n_kept"),
+            array_join(col("kept"), " | ").as("cleaned"))
+          .orderBy("doc_id")),
+
+    // ---- paragraph-level dedup -------------------------------------------
+
+    // Sub-document dedup: explode docs into positional segments, keep only
+    // the globally FIRST occurrence of each distinct segment (by doc_id,
+    // then position), reassemble survivors in document order. One shuffle
+    // on the segment hash — linear, the keep-first shape of `dedup_exact`
+    // applied below document granularity (what C4/CCNet do to boilerplate
+    // paragraphs shared across pages).
+    Q("dedup_paragraph",
+      Some("WITH l AS (SELECT doc_id, string_split(text, ' the ') AS segs " +
+        "FROM documents), " +
+        "p AS (SELECT doc_id, unnest(range(0, len(segs))) AS pos, segs FROM l), " +
+        "sg AS (SELECT doc_id, pos, segs[pos + 1] AS seg FROM p " +
+        "WHERE segs[pos + 1] <> ''), " +
+        "first AS (SELECT doc_id, pos, seg FROM sg QUALIFY row_number() OVER " +
+        "(PARTITION BY md5(seg) ORDER BY doc_id, pos) = 1), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(seg, ' | ' ORDER BY pos) AS cleaned FROM first GROUP BY doc_id), " +
+        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total FROM sg " +
+        "GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(t.n_total, 0) AS n_total, " +
+        "coalesce(a.n_kept, 0) AS n_kept, coalesce(a.cleaned, '') AS cleaned " +
+        "FROM documents d LEFT JOIN tot t ON d.doc_id = t.doc_id " +
+        "LEFT JOIN agg a ON d.doc_id = a.doc_id ORDER BY d.doc_id"),
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val sg = d.select(col("doc_id"),
+            posexplode(split(col("text"), " the ")).as(Seq("pos", "seg")))
+          .filter(col("seg") =!= "")
+        val w = Window.partitionBy(md5(col("seg"))).orderBy("doc_id", "pos")
+        val first = sg.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val agg = first.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(array_sort(
+                collect_list(struct(col("pos"), col("seg")))),
+              x => x.getField("seg")), " | ").as("cleaned"))
+        val tot = sg.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+        d.select("doc_id")
+          .join(tot, Seq("doc_id"), "left")
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_total"), lit(0L)).as("n_total"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("cleaned"), lit("")).as("cleaned"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- cosine radius search --------------------------------------------
+
+    // Range variant of sim_cosine_topk: ALL corpus vectors within a cosine
+    // radius of each query vector (dedup-threshold / recall-set shape,
+    // where top-k's fixed k is wrong). Broadcast queries x linear scan;
+    // fused native cosine, bit-identical to the oracle's unrolled form.
+    Q("sim_range_search",
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"n AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm FROM e) " +
+        "SELECT q.vec_id AS qid, c.vec_id AS vid, " +
+        s"(${VS.dotSql("q.v", "c.v")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS sim " +
+        "FROM n q, n c WHERE q.vec_id IN (3, 17, 42) AND c.vec_id <> q.vec_id " +
+        s"AND (${VS.dotSql("q.v", "c.v")}) / (sqrt(q.nrm) * sqrt(c.nrm)) >= 0.25 " +
+        "ORDER BY qid, vid"),
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+          .filter(col("qid").isin(3, 17, 42))
+        val c = e.select(col("vec_id").as("vid"), col("v").as("cv"))
+        c.join(broadcast(q), col("vid") =!= col("qid"))
+          .withColumn("sim",
+            graft.functions.CustomExpressions.cosine_sim(col("qv"), col("cv")))
+          .filter(col("sim") >= 0.25)
+          .select("qid", "vid", "sim").orderBy("qid", "vid")
+      }))
+}
