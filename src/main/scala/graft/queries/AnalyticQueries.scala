@@ -171,5 +171,68 @@ object AnalyticQueries extends QueryModule {
           .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
             col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
           .orderBy("day", "event_type")
+      }),
+
+    // Batch sessionization via the gap-and-island window pattern (the
+    // classic formulation, complementing stream_session's session_window):
+    // new-session flag where the gap to the previous event exceeds 8h,
+    // running sum of flags = session index, then per-session aggregates.
+    // One shuffle on user_id; all three windows share the same partition
+    // order, so Catalyst plans a single sort. Gap compare in integer
+    // microseconds — engine-exact.
+    Q("events_sessionize",
+      Some("WITH g AS (SELECT user_id, event_id, ts, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM g) " +
+        "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, " +
+        "CAST(count(*) AS BIGINT) AS n_events, " +
+        "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start, " +
+        "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end " +
+        "FROM s GROUP BY 1, 2 ORDER BY 1, 2"),
+      (s, dir) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapUs = 8L * 3600 * 1000000
+        H.events(s, dir).select("user_id", "event_id", "ts")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+          .withColumn("new_s",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+          .withColumn("session_idx", sum("new_s").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            H.fmtTs(min(col("ts"))).as("s_start"),
+            H.fmtTs(max(col("ts"))).as("s_end"))
+          .orderBy("user_id", "session_idx")
+      }),
+
+    // Retention cohort matrix: cohort = each user's first active day,
+    // cells = distinct users active at each day offset. Two shuffles
+    // (per-user min, then cohort cells) — both key-parallel; the cohort
+    // frame is users-sized, tiny next to the event log it summarizes.
+    Q("events_retention",
+      Some("WITH fa AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort " +
+        "FROM events GROUP BY 1), " +
+        "act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) " +
+        "SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, " +
+        "CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset, " +
+        "CAST(count(*) AS BIGINT) AS n_users " +
+        "FROM act JOIN fa USING (user_id) " +
+        "GROUP BY cohort, day_offset ORDER BY 1, 2"),
+      (s, dir) => {
+        val ev = H.events(s, dir)
+        val fa = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort"))
+        val act = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        act.join(fa, Seq("user_id"))
+          .withColumn("day_offset", datediff(col("d"), col("cohort")).cast("long"))
+          .groupBy("cohort", "day_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+            col("day_offset"), col("n_users"))
+          .orderBy("cohort_day", "day_offset")
       }))
 }

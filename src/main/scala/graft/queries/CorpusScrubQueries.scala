@@ -191,6 +191,61 @@ object CorpusScrubQueries extends QueryModule {
           .orderBy("doc_id")
       }),
 
+    // ---- BPE vocabulary-induction step -----------------------------------
+
+    // One distributed BPE training iteration: count adjacent token pairs
+    // corpus-wide (partial-agg bigram counts — map-side combine, one
+    // shuffle), pick the most frequent pair, apply the merge to every doc
+    // and report the per-doc merge effect. The merge application uses a
+    // boundary-doubling trick ('#tok#' wrapping with '##' separators) so
+    // plain left-to-right non-overlapping replace() — identical in Spark
+    // and DuckDB — realizes exactly BPE's greedy merge ('#' never occurs
+    // in the corpus). At 100 TB: bigram counting is the q1 aggregation
+    // shape; the merge is a broadcast(1 row) + map stage.
+    Q("vocab_bpe_merge",
+      Some("WITH tk AS (SELECT doc_id, unnest(range(0, len(ts))) AS pos, ts " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)), " +
+        "tok AS (SELECT doc_id, pos, ts[pos + 1] AS tok FROM tk), " +
+        "pr AS (SELECT doc_id, tok AS a, lead(tok) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS b FROM tok), " +
+        "cnt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM pr " +
+        "WHERE b IS NOT NULL GROUP BY a, b), " +
+        "top AS (SELECT a, b, c FROM cnt ORDER BY c DESC, a, b LIMIT 1), " +
+        "m AS (SELECT doc_id, '#' || replace(text, ' ', '##') || '#' AS s, " +
+        "a, b, c, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents, top) " +
+        "SELECT doc_id, a AS merge_a, b AS merge_b, c AS pair_count, n_tokens, " +
+        "CAST(length(s) - length(replace(s, '#' || a || '##' || b || '#', " +
+        "'#' || a || '_' || b || '#')) AS BIGINT) AS n_merges, " +
+        "n_tokens - CAST(length(s) - length(replace(s, '#' || a || '##' || b || '#', " +
+        "'#' || a || '_' || b || '#')) AS BIGINT) AS n_after " +
+        "FROM m ORDER BY doc_id"),
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val tok = d.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+        val top = tok
+          .withColumn("b", lead(col("tok"), 1).over(wDoc))
+          .filter(col("b").isNotNull)
+          .groupBy(col("tok").as("a"), col("b"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        val wrapped = concat(lit("#"),
+          replace(col("text"), lit(" "), lit("##")), lit("#"))
+        val pat = concat(lit("#"), col("a"), lit("##"), col("b"), lit("#"))
+        val rep = concat(lit("#"), col("a"), lit("_"), col("b"), lit("#"))
+        d.crossJoin(broadcast(top))
+          .withColumn("s", wrapped)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("n_merges",
+            (length(col("s")) - length(replace(col("s"), pat, rep))).cast("long"))
+          .select(col("doc_id"), col("a").as("merge_a"), col("b").as("merge_b"),
+            col("c").as("pair_count"), col("n_tokens"), col("n_merges"),
+            (col("n_tokens") - col("n_merges")).as("n_after"))
+          .orderBy("doc_id")
+      }),
+
     // ---- cosine radius search --------------------------------------------
 
     // Range variant of sim_cosine_topk: ALL corpus vectors within a cosine

@@ -671,5 +671,45 @@ object WindowingQueries extends QueryModule {
           .select(col("p_id"), col("c_id"), col("user_id"),
             fmtTs(col("p_ts")).as("p_ts"), fmtTs(col("c_ts")).as("c_ts"))
           .orderBy("p_id", "c_id")
+      }),
+
+    // State-store introspection (Spark 4 state data source): run a
+    // watermarked windowed aggregation to completion, then read the
+    // checkpoint's STATE back with format("statestore") — the keys and
+    // counts still held are exactly the windows the final watermark has
+    // not evicted (end > max(ts) - delay), which the oracle recomputes
+    // relationally. This is the observability surface a production
+    // streaming pipeline needs to debug state growth; the read is
+    // partition-parallel over the state files, not a driver dump.
+    Q("stream_state_reader",
+      Some("WITH wm AS (SELECT max(ts) - INTERVAL '10 days' AS w FROM events), " +
+        "d AS (SELECT time_bucket(INTERVAL '1 day', ts) AS ws, event_type, " +
+        "count(*) AS n FROM events GROUP BY 1, 2) " +
+        s"SELECT strftime(ws, '$F0') AS wstart, event_type, " +
+        "CAST(n AS BIGINT) AS n FROM d, wm " +
+        "WHERE ws + INTERVAL '1 day' > w ORDER BY 1, 2"),
+      (s, dir) => {
+        import java.nio.file.Files
+        val ev = H.events(s, dir).select("event_id", "event_type", "ts")
+        val tmp = Files.createTempDirectory("graft_statereader").toString
+        val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        ev.coalesce(1).write.parquet(in)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = ss.readStream.schema(ev.schema).parquet(in)
+          .withWatermark("ts", "10 days")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", sink)
+          .start()
+        q.awaitTermination()
+        s.read.format("statestore").load(ckpt)
+          .select(fmtTsSec(col("key.window.start")).as("wstart"),
+            col("key.event_type").as("event_type"),
+            col("value.count").as("n"))
+          .orderBy("wstart", "event_type")
       }))
 }
