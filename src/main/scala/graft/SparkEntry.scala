@@ -22,6 +22,7 @@ object SparkEntry {
     qm.LlmQueries2,
     qm.AnalyticQueries,
     qm.TpchMoreQueries,
+    qm.TpchFullQueries,
     qm.TrainingDataQueries,
     qm.CorpusScrubQueries)
 
