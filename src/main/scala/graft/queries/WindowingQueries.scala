@@ -92,6 +92,72 @@ final class SnapshotTotalsProcessor
   }
 }
 
+final case class EvTimer(
+    event_id: Long, user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
+final case class OpenSession(s_start_us: Long, s_end_us: Long, n_events: Long)
+final case class SessionOut(
+    user_id: Long, s_start_us: Long, s_end_us: Long, n_events: Long)
+
+/** Event-time-timer sessionization (Spark 4 transformWithState,
+  * TimeMode.EventTime): keyed state holds the open session; each batch
+  * extends it or — when the gap is exceeded — closes it. A registered
+  * event-time timer at (session end + gap) closes sessions whose user never
+  * returns, once the watermark passes. Closure happens exactly once per
+  * session through whichever path runs first (input arrival or timer
+  * expiry), so the keyed upsert sink equals the batch gap-and-island
+  * oracle. Timers are re-registered on every extension (the stale one is
+  * deleted), and the expiry handler re-arms if the watermark has not truly
+  * passed the gap — belt-and-braces against ms-rounding of the timer
+  * registration.
+  */
+final class SessionTimerProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EvTimer, SessionOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig,
+    TimerValues, ValueState, ExpiredTimerInfo}
+  import org.apache.spark.sql.Encoders
+  @transient private var open: ValueState[OpenSession] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[OpenSession](
+      "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+  private def armTimer(c: OpenSession): Unit = {
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    getHandle.registerTimer((c.s_end_us + gapUs) / 1000 + 2) // ms, round up
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[EvTimer],
+      timerValues: TimerValues): Iterator[SessionOut] = {
+    val sorted = rows.toVector.sortBy(e => (e.ts_us, e.event_id))
+    var out = Vector.empty[SessionOut]
+    var cur = if (open.exists()) Option(open.get()) else None
+    sorted.foreach { e =>
+      cur match {
+        case Some(c) if e.ts_us - c.s_end_us <= gapUs =>
+          cur = Some(OpenSession(c.s_start_us,
+            math.max(c.s_end_us, e.ts_us), c.n_events + 1))
+        case Some(c) => // gap exceeded before the timer fired: close inline
+          out :+= SessionOut(key, c.s_start_us, c.s_end_us, c.n_events)
+          cur = Some(OpenSession(e.ts_us, e.ts_us, 1))
+        case None =>
+          cur = Some(OpenSession(e.ts_us, e.ts_us, 1))
+      }
+    }
+    cur.foreach { c => open.update(c); armTimer(c) }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+    if (!open.exists()) return Iterator.empty
+    val c = open.get()
+    if (timerValues.getCurrentWatermarkInMs() * 1000L > c.s_end_us + gapUs) {
+      open.clear()
+      Iterator.single(SessionOut(key, c.s_start_us, c.s_end_us, c.n_events))
+    } else { armTimer(c); Iterator.empty } // fired early: re-arm
+  }
+}
+
 object WindowingQueries extends QueryModule {
 
   private val F6 = "%Y-%m-%d %H:%M:%S.%f"
@@ -711,5 +777,79 @@ object WindowingQueries extends QueryModule {
             col("key.event_type").as("event_type"),
             col("value.count").as("n"))
           .orderBy("wstart", "event_type")
+      }),
+
+    // Event-time TIMERS (transformWithState, TimeMode.EventTime): timer-
+    // driven sessionization over a 5-batch replay — three time-ordered
+    // event ranges plus two far-future sentinel batches that push the
+    // watermark past every real session's (end + gap) timer, so sessions
+    // whose user never returns are closed by handleExpiredTimer rather
+    // than by a subsequent event. Closure is exactly-once through either
+    // path, so the (user, session_start)-keyed upsert sink equals the
+    // batch gap-and-island oracle (the streaming twin of
+    // events_sessionize, which shares the 8h gap).
+    Q("stream_tws_timers",
+      Some("WITH e AS (SELECT user_id, event_id, ts FROM events " +
+        "WHERE event_id % 5 = 1), " +
+        "g AS (SELECT user_id, event_id, ts, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS si FROM g) " +
+        s"SELECT user_id, strftime(min(ts), '$F6') AS s_start, " +
+        s"strftime(max(ts), '$F6') AS s_end, " +
+        "CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, si " +
+        "ORDER BY user_id, s_start"),
+      (s, dir) => {
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import graft.streaming.StreamingRefresh
+        val gapUs = 8L * 3600 * 1000000
+        val ev = H.events(s, dir)
+          .filter(pmod(col("event_id"), lit(5)) === 1)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            unix_micros(col("ts")).as("ts_us"))
+        def sentinel(id: Long, tsLit: String) = ev.sparkSession.range(1)
+          .select(lit(id).as("event_id"), lit(-1L).as("user_id"),
+            to_timestamp(lit(tsLit)).as("ts"),
+            unix_micros(to_timestamp(lit(tsLit))).as("ts_us"))
+        val tmp = Files.createTempDirectory("graft_tws_timers").toString
+        val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        writeReplay(Seq(
+          ev.filter(col("ts") < to_timestamp(lit("2024-01-11 00:00:00"))),
+          ev.filter(col("ts") >= to_timestamp(lit("2024-01-11 00:00:00")) &&
+            col("ts") < to_timestamp(lit("2024-01-21 00:00:00"))),
+          ev.filter(col("ts") >= to_timestamp(lit("2024-01-21 00:00:00"))),
+          sentinel(-2L, "2024-03-01 00:00:00"),
+          sentinel(-3L, "2024-04-01 00:00:00")), tmp, in)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import ss.implicits._
+        val src = StreamingRefresh
+          .fileStream(ss, ev.schema, in, maxFilesPerTrigger = Some(1))
+          .withWatermark("ts", "1 hour")
+          .as[EvTimer]
+        val sessions = src.groupByKey(_.user_id)
+          .transformWithState(new SessionTimerProcessor(gapUs),
+            TimeMode.EventTime(), OutputMode.Update())
+        val q = sessions.toDF().writeStream
+          .outputMode("update")
+          .foreachBatch(StreamingRefresh.upsertBatch(
+            Seq("user_id", "s_start_us"), "n_events", sink) _)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            fmtTs(timestamp_micros(col("s_start_us"))).as("s_start"),
+            fmtTs(timestamp_micros(col("s_end_us"))).as("s_end"),
+            col("n_events"))
+          .orderBy("user_id", "s_start")
       }))
 }
