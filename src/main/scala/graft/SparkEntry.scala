@@ -23,6 +23,7 @@ object SparkEntry {
     qm.AnalyticQueries,
     qm.TpchMoreQueries,
     qm.TpchFullQueries,
+    qm.SurfaceQueries,
     qm.TrainingDataQueries,
     qm.CorpusScrubQueries)
 
