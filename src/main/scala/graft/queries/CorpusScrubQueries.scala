@@ -246,6 +246,74 @@ object CorpusScrubQueries extends QueryModule {
           .orderBy("doc_id")
       }),
 
+    // Multi-round BPE training: THREE chained merge iterations, each
+    // counting corpus-wide bigrams (partial-agg shuffle), broadcasting the
+    // winning pair, and rewriting every document via the boundary-doubling
+    // replace() (see vocab_bpe_merge). The Spark loop localCheckpoints the
+    // rewritten corpus between rounds (lineage truncation — the iterative-
+    // loop rule) and caches each round's 1-row winner; the oracle chains
+    // the identical three rounds as CTEs. Output: the learned merge table
+    // (round, pair, count) — a real distributed tokenizer-training step.
+    Q("vocab_bpe_train", Some {
+      def round(i: Int): String = {
+        val prev = s"d${i - 1}"
+        s"t$i AS (SELECT doc_id, string_split(trim(s, '#'), '##') AS ts FROM $prev), " +
+          s"u$i AS (SELECT doc_id, unnest(range(0, len(ts))) AS pos, ts FROM t$i), " +
+          s"k$i AS (SELECT doc_id, pos, ts[pos + 1] AS tok FROM u$i), " +
+          s"p$i AS (SELECT tok AS a, lead(tok) OVER " +
+          s"(PARTITION BY doc_id ORDER BY pos) AS b FROM k$i), " +
+          s"c$i AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM p$i " +
+          s"WHERE b IS NOT NULL GROUP BY 1, 2), " +
+          s"m$i AS (SELECT a, b, c FROM c$i ORDER BY c DESC, a, b LIMIT 1), " +
+          s"d$i AS (SELECT doc_id, replace(s, '#' || a || '##' || b || '#', " +
+          s"'#' || a || '_' || b || '#') AS s FROM $prev, m$i)"
+      }
+      "WITH d0 AS (SELECT doc_id, '#' || replace(text, ' ', '##') || '#' AS s " +
+        "FROM documents), " +
+        (1 to 3).map(round).mkString(", ") + " " +
+        "SELECT * FROM (" +
+        "SELECT 1 AS round, a AS merge_a, b AS merge_b, c AS pair_count FROM m1 " +
+        "UNION ALL SELECT 2, a, b, c FROM m2 " +
+        "UNION ALL SELECT 3, a, b, c FROM m3) ORDER BY round"
+    },
+      (s, dir) => {
+        val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+        var docs = tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(lit("#"), replace(col("text"), lit(" "), lit("##")), lit("#"))
+              .as("s"))
+          .localCheckpoint()
+        var rounds = Vector.empty[org.apache.spark.sql.DataFrame]
+        var spent = Vector.empty[org.apache.spark.sql.DataFrame]
+        for (i <- 1 to 3) {
+          val top = docs
+            .select(col("doc_id"),
+              posexplode(split(regexp_replace(col("s"), "^#|#$", ""), "##"))
+                .as(Seq("pos", "tok")))
+            .withColumn("b", lead(col("tok"), 1).over(wDoc))
+            .filter(col("b").isNotNull)
+            .groupBy(col("tok").as("a"), col("b"))
+            .agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+            .localCheckpoint() // 1 row; forces the round's shuffle once
+          rounds :+= top.withColumn("round", lit(i))
+          val prev = docs
+          docs = docs.crossJoin(broadcast(top.select(col("a"), col("b"))))
+            .withColumn("s", replace(col("s"),
+              concat(lit("#"), col("a"), lit("##"), col("b"), lit("#")),
+              concat(lit("#"), col("a"), lit("_"), col("b"), lit("#"))))
+            .select("doc_id", "s")
+            .localCheckpoint()
+          spent :+= prev
+        }
+        graft.H.materialized(
+          rounds.reduce(_ unionAll _)
+            .select(col("round"), col("a").as("merge_a"), col("b").as("merge_b"),
+              col("c").as("pair_count"))
+            .orderBy("round"),
+          caches = Nil, checkpoints = (spent :+ docs) ++ rounds)
+      }),
+
     // ---- cosine radius search --------------------------------------------
 
     // Range variant of sim_cosine_topk: ALL corpus vectors within a cosine

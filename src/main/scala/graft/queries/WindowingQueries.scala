@@ -851,5 +851,69 @@ object WindowingQueries extends QueryModule {
             fmtTs(timestamp_micros(col("s_end_us"))).as("s_end"),
             col("n_events"))
           .orderBy("user_id", "s_start")
+      }),
+
+    // Chained stateful aggregations (Spark ≥3.5 multi-stateful append
+    // mode): hourly windowed counts re-aggregated into daily windows
+    // INSIDE one streaming query — two state stores, watermark propagated
+    // through the first aggregate into the second. Replay is time-ordered
+    // ranges plus two far-future sentinels so the watermark closes every
+    // real daily window (append emits each window exactly once — the sink
+    // is a plain append, no upsert needed); sentinel rows carry a marker
+    // type filtered at read. Oracle = the same double aggregation in
+    // batch.
+    Q("stream_chained_aggs",
+      Some("WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS hw, " +
+        "event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents " +
+        "FROM events WHERE event_id % 5 = 2 GROUP BY 1, 2) " +
+        "SELECT strftime(time_bucket(INTERVAL '1 day', hw), " +
+        s"'$F0') AS dstart, event_type, " +
+        "CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents " +
+        "FROM h GROUP BY 1, 2 ORDER BY 1, 2"),
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.streaming.StreamingRefresh
+        val ev = H.events(s, dir)
+          .filter(pmod(col("event_id"), lit(5)) === 2)
+          .select("event_id", "event_type", "ts", "value")
+        def sentinel(id: Long, tsLit: String) = ev.sparkSession.range(1)
+          .select(lit(id).as("event_id"), lit("__s__").as("event_type"),
+            to_timestamp(lit(tsLit)).as("ts"), lit(0.0).as("value"))
+        val tmp = Files.createTempDirectory("graft_chained").toString
+        val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        writeReplay(Seq(
+          ev.filter(col("ts") < to_timestamp(lit("2024-01-11 00:00:00"))),
+          ev.filter(col("ts") >= to_timestamp(lit("2024-01-11 00:00:00")) &&
+            col("ts") < to_timestamp(lit("2024-01-21 00:00:00"))),
+          ev.filter(col("ts") >= to_timestamp(lit("2024-01-21 00:00:00"))),
+          sentinel(-2L, "2024-03-01 00:00:00"),
+          sentinel(-3L, "2024-04-01 00:00:00")), tmp, in)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val hourly = StreamingRefresh
+          .fileStream(ss, ev.schema, in, maxFilesPerTrigger = Some(1))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("value").cast("decimal(12,2)") * 100).cast("long"))
+              .as("cents"))
+        val daily = hourly
+          .groupBy(window(col("window"), "1 day"), col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        val q = daily
+          .select(col("window.start").as("dstart"), col("event_type"),
+            col("n"), col("cents"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", sink)
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .filter(col("event_type") =!= "__s__")
+          .select(fmtTsSec(col("dstart")).as("dstart"), col("event_type"),
+            col("n"), col("cents"))
+          .orderBy("dstart", "event_type")
       }))
 }
