@@ -90,4 +90,20 @@ class CorpusScrubSpec extends AnyFunSuite {
     val exchanges = "Exchange ".r.findAllIn(plan).size
     assert(exchanges <= 1, s"map stage must not shuffle beyond the final sort:\n$plan")
   }
+  // vocab_bpe_merge / vocab_bpe_train depend on replace() over the
+  // boundary-doubled form realizing BPE's GREEDY LEFT-TO-RIGHT
+  // NON-OVERLAPPING merge identically in Spark and DuckDB; pin the
+  // overlap case ("a a a a" with merge (a,a) yields 2 merges, not 3).
+  test("boundary-doubled replace is greedy left-to-right non-overlapping") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Seq("a a a a", "a a a", "b a a b").toDF("text")
+      .withColumn("s", concat(lit("#"), replace(col("text"), lit(" "), lit("##")), lit("#")))
+      .withColumn("m", replace(col("s"), lit("#a##a#"), lit("#a_a#")))
+      .withColumn("toks", split(regexp_replace(col("m"), "^#|#$", ""), "##"))
+      .select("toks").as[Seq[String]].collect()
+    assert(out(0) == Seq("a_a", "a_a"))      // 4 a's -> two pairs
+    assert(out(1) == Seq("a_a", "a"))        // 3 a's -> pair + leftover
+    assert(out(2) == Seq("b", "a_a", "b"))   // interior pair merges once
+  }
 }

@@ -177,4 +177,33 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+  // graph_triangles relies on degree-ordered orientation enumerating each
+  // triangle exactly once; pin it against the naive a<b<c three-way join
+  // on a fixture with a hub node (where naive wedge fan-out explodes).
+  test("degree-ordered triangle enumeration matches the naive count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two shared-edge triangles + a hub fanning to 6 leaves, one leaf pair closed
+    val edges = Seq((1L,2L),(2L,3L),(1L,3L),(3L,4L),(2L,4L),
+      (10L,11L),(10L,12L),(10L,13L),(10L,14L),(10L,15L),(10L,16L),(11L,12L))
+    val e = edges.toDF("a","b")
+    val naive = e.as("e1").join(e.as("e2"), col("e2.a")===col("e1.b"))
+      .join(e.as("e3"), col("e3.a")===col("e1.a") && col("e3.b")===col("e2.b"))
+      .count()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val fwd = col("da") < col("db") || (col("da")===col("db") && col("a") < col("b"))
+    val o = e.join(deg.select(col("v").as("va"), col("d").as("da")), col("va")===col("a"))
+      .join(deg.select(col("v").as("vb"), col("d").as("db")), col("vb")===col("b"))
+      .select(when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"))
+    val oriented = o.as("w1").join(o.as("w2"), col("w2.src")===col("w1.dst"))
+      .join(o.as("w3"), col("w3.src")===col("w1.src") && col("w3.dst")===col("w2.dst"))
+      .count()
+    assert(naive == 3L && oriented == naive)
+    // max out-degree under orientation is bounded; the hub keeps in-edges
+    val maxOut = o.groupBy("src").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    assert(maxOut <= 3, s"orientation failed to bound hub fan-out (maxOut=$maxOut)")
+  }
 }

@@ -88,4 +88,59 @@ class StatefulStreamingSpec extends AnyFunSuite {
       assert(latest == Set((1L, 3L, 17.5), (2L, 1L, 1.0))) // state carried over
     } finally q.stop()
   }
+
+  // The executed query stream_tws_timers can close most sessions through
+  // the input path (a later event arrives past the gap); this pins the
+  // TIMER path in isolation: one user, ONE event, then only watermark
+  // advancement from sentinel users — the session must still be emitted.
+  test("event-time timer alone closes an abandoned session") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingRefresh
+    import graft.queries.{EvTimer, SessionTimerProcessor}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+
+    val tmp = Files.createTempDirectory("graft_timer_spec").toString
+    val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+    def row(id: Long, user: Long, ts: String) =
+      spark.range(1).select(lit(id).as("event_id"), lit(user).as("user_id"),
+        to_timestamp(lit(ts)).as("ts"),
+        unix_micros(to_timestamp(lit(ts))).as("ts_us"))
+    Seq(row(1L, 7L, "2024-01-01 00:00:00"),       // the only real event
+      row(-2L, -1L, "2024-02-01 00:00:00"),       // watermark pushers
+      row(-3L, -1L, "2024-03-01 00:00:00"))
+      .zipWithIndex.foreach { case (b, i) =>
+        val stage = s"$tmp/stage$i"
+        b.coalesce(1).write.parquet(stage)
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        val part = try listing.filter(_.toString.endsWith(".parquet"))
+          .findFirst().get() finally listing.close()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+        java.nio.file.Files.move(part,
+          java.nio.file.Paths.get(s"$in/batch$i.parquet"))
+      }
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val src = StreamingRefresh
+      .fileStream(ss, row(0, 0, "2024-01-01 00:00:00").schema, in,
+        maxFilesPerTrigger = Some(1))
+      .withWatermark("ts", "1 hour")
+      .as[EvTimer]
+    val q = src.groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(8L * 3600 * 1000000),
+        TimeMode.EventTime(), OutputMode.Update())
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch(StreamingRefresh.upsertBatch(
+        Seq("user_id", "s_start_us"), "n_events", sink) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(sink).filter(col("user_id") >= 0)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+    assert(out.toSeq == Seq((7L, 1L))) // timer fired, session emitted once
+  }
 }
