@@ -95,17 +95,21 @@ object SurfaceQueries extends QueryModule {
           "FROM nation_xform) ORDER BY n_nationkey")
       }),
 
-    // Triangle counting on the co-supplier graph (suppliers sharing an
-    // order), via DEGREE-ORDERED orientation: every edge points from the
-    // (degree, id)-smaller endpoint, so each triangle is enumerated exactly
-    // once and the wedge join's fan-out is bounded by out-degree ≤
-    // O(sqrt(|E|)) — the shape that survives power-law graphs at 100 TB,
-    // where the naive a<b<c join explodes on hub nodes. Per-supplier
-    // participation counts make the full triangle set oracle-checkable.
+    // Triangle counting on the repeat-co-supplier graph (supplier pairs
+    // sharing ≥6 orders — the threshold keeps the graph sparse as order
+    // volume grows, since random co-occurrence stays near its constant
+    // expectation while true recurring relationships accumulate), via
+    // DEGREE-ORDERED orientation: every edge points from the (degree, id)-
+    // smaller endpoint, so each triangle is enumerated exactly once and
+    // the wedge join's fan-out is bounded by out-degree ≤ O(sqrt(|E|)) —
+    // the shape that survives power-law graphs at 100 TB, where the naive
+    // a<b<c join explodes on hub nodes. Per-supplier participation counts
+    // make the full triangle set oracle-checkable.
     Q("graph_triangles",
       Some("WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), " +
-        "e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b FROM li x " +
-        "JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey), " +
+        "e AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b FROM li x " +
+        "JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 6), " +
         "deg AS (SELECT v, count(*) AS d FROM " +
         "(SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1), " +
         "o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) " +
@@ -122,11 +126,17 @@ object SurfaceQueries extends QueryModule {
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
           .select("l_orderkey", "l_suppkey").distinct()
+        // edge list is |V|-scale tiny next to the fact scan that builds it;
+        // checkpoint it (and the oriented copy below) so the triple self-
+        // join reuses one materialization instead of re-running the
+        // pair-generation subtree per join arm
         val e = li.as("x").join(li.as("y"),
             col("x.l_orderkey") === col("y.l_orderkey") &&
               col("x.l_suppkey") < col("y.l_suppkey"))
-          .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-          .distinct()
+          .groupBy(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 6).drop("co")
+          .localCheckpoint()
         val deg = e.select(col("a").as("v"))
           .unionAll(e.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("d"))
@@ -138,17 +148,20 @@ object SurfaceQueries extends QueryModule {
             col("vb") === col("b"))
           .select(when(fwd, col("a")).otherwise(col("b")).as("src"),
             when(fwd, col("b")).otherwise(col("a")).as("dst"))
+          .localCheckpoint()
         val tri = o.as("w1")
           .join(o.as("w2"), col("w2.src") === col("w1.dst"))
           .join(o.as("w3"), col("w3.src") === col("w1.src") &&
             col("w3.dst") === col("w2.dst"))
           .select(col("w1.src").as("u"), col("w1.dst").as("v"), col("w2.dst").as("w"))
-        tri.select(col("u").as("nd"))
-          .unionAll(tri.select(col("v").as("nd")))
-          .unionAll(tri.select(col("w").as("nd")))
-          .groupBy(col("nd").as("s_suppkey"))
-          .agg(count(lit(1)).as("n_triangles"))
-          .orderBy("s_suppkey")
+        graft.H.materialized(
+          tri.select(col("u").as("nd"))
+            .unionAll(tri.select(col("v").as("nd")))
+            .unionAll(tri.select(col("w").as("nd")))
+            .groupBy(col("nd").as("s_suppkey"))
+            .agg(count(lit(1)).as("n_triangles"))
+            .orderBy("s_suppkey"),
+          caches = Nil, checkpoints = Seq(e, o))
       }),
 
     // Stratified sampling: per-language keep rates (en 8/16, de|fr 4/16,
