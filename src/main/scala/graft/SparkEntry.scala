@@ -25,7 +25,8 @@ object SparkEntry {
     qm.TpchFullQueries,
     qm.SurfaceQueries,
     qm.TrainingDataQueries,
-    qm.CorpusScrubQueries)
+    qm.CorpusScrubQueries,
+    qm.AdvancedAnalyticsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
