@@ -26,7 +26,8 @@ object SparkEntry {
     qm.SurfaceQueries,
     qm.TrainingDataQueries,
     qm.CorpusScrubQueries,
-    qm.AdvancedAnalyticsQueries)
+    qm.AdvancedAnalyticsQueries,
+    qm.ReliabilityQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -221,5 +221,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("squared_distance"),
       new ExpressionInfo(classOf[CustomExpressions.SquaredDistance].getName, "squared_distance"),
       (exprs: Seq[Expression]) => CustomExpressions.SquaredDistance(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
 }

@@ -41,6 +41,10 @@ object VectorSim {
   def ssdSql(a: String, b: String): String =
     (1 to Dim).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])").mkString(" + ")
 
+  /** Same, over the first `dims` elements (product-quantization subspaces). */
+  def ssdSqlN(a: String, b: String, dims: Int): String =
+    (1 to dims).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])").mkString(" + ")
+
   /** LCG-derived hyperplane coefficient, exact in both engines:
     * ((1103515245*(p*Dim+i) + 12345) mod 2^31) / 2^31 - 0.5. */
   def coef(p: Int, i: Int): Double =

@@ -254,6 +254,40 @@ object AdvancedAnalyticsQueries extends QueryModule {
           "ORDER BY r.r_name, l.n_nationkey")
       }),
 
+    // Native whole-operator as-of join (graft.plans.AsOfJoinExec): custom
+    // logical node + planner strategy + physical merge pass, sharing
+    // join_asof's oracle — the two formulations must agree bit-for-bit.
+    // Unlike the composed equi-join + row_number shape, the physical
+    // operator streams both co-partitioned sorted runs once and keeps one
+    // candidate row of state — no |left|×|matching-right| intermediate.
+    Q("join_asof_native",
+      Some("WITH j AS (SELECT p.event_id AS p_id, p.ts AS pts, " +
+        "c.event_id AS c_id, c.ts AS cts, " +
+        "row_number() OVER (PARTITION BY p.event_id " +
+        "ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn " +
+        "FROM events p LEFT JOIN events c ON c.user_id = p.user_id " +
+        "AND c.event_type = 'click' AND c.ts <= p.ts " +
+        "WHERE p.event_type = 'purchase') " +
+        "SELECT p_id, strftime(pts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts, " +
+        "coalesce(c_id, -1) AS c_id, " +
+        "coalesce(strftime(cts, '%Y-%m-%d %H:%M:%S.%f'), '-') AS c_ts " +
+        "FROM j WHERE rn = 1 ORDER BY p_id"),
+      (s, dir) => {
+        val ev = H.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+        graft.plans.AsOfJoin.asOf(purchases, clicks,
+            leftKey = "user_id", rightKey = "c_user",
+            leftTs = "p_ts", rightTs = "c_ts", rightTieBreak = "c_id")
+          .select(col("p_id"), H.fmtTs(col("p_ts")).as("p_ts"),
+            coalesce(col("c_id"), lit(-1L)).as("c_id"),
+            coalesce(H.fmtTs(col("c_ts")), lit("-")).as("c_ts"))
+          .orderBy("p_id")
+      }),
+
     // UNPIVOT SQL clause (the standard-dialect twin of the stack() query):
     // wide per-order measures to (key, value) rows; both engines exclude
     // NULL measures by default.

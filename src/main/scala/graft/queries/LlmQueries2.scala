@@ -369,5 +369,72 @@ object LlmQueries2 extends QueryModule {
             expr("aggregate(split(text, ' '), 0L, " +
               "(acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))")
               .as("n_bpe_tokens"))
-          .orderBy("doc_id")))
+          .orderBy("doc_id")),
+
+    // Product-quantization ANN (the memory-bound scale path beyond IVF/LSH):
+    // vectors are encoded once as M=4 subspace codes (nearest of K=8
+    // deterministic codebook entries per 16-dim slice — 4 small ints
+    // instead of 64 doubles, a 128x memory cut at serving time). A query
+    // precomputes its 4x8 asymmetric-distance table; scoring the corpus is
+    // then a broadcast lookup join on (sub, code) + a fixed-order 4-term
+    // add — no vector arithmetic per candidate at all. The per-(query,
+    // vector) partial distances come back via single-valued max(CASE)
+    // pivots, so the double addition order is frozen and engine-exact.
+    Q("sim_pq_topk",
+      Some {
+        val ssdA = VS.ssdSqlN("a.sv", "c.cv", 16)
+        val ssdQ = VS.ssdSqlN("q.sv", "c.cv", 16)
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "subs AS (SELECT vec_id, s.sub, v[s.sub*16+1 : s.sub*16+16] AS sv " +
+          "FROM e, (SELECT unnest([0,1,2,3]) AS sub) s), " +
+          "cent AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 8), " +
+          "assign AS (SELECT vec_id, sub, cid FROM (" +
+          "SELECT a.vec_id, a.sub, c.cid, " +
+          s"row_number() OVER (PARTITION BY a.vec_id, a.sub ORDER BY ($ssdA), c.cid) AS rn " +
+          "FROM subs a JOIN cent c ON a.sub = c.sub) WHERE rn = 1), " +
+          s"dtab AS (SELECT q.vec_id AS qid, c.sub, c.cid, ($ssdQ) AS ssd " +
+          "FROM subs q JOIN cent c ON q.sub = c.sub WHERE q.vec_id < 10), " +
+          "scores AS (SELECT d.qid, a.vec_id AS vid, " +
+          "max(CASE WHEN a.sub = 0 THEN d.ssd END) + max(CASE WHEN a.sub = 1 THEN d.ssd END) " +
+          "+ max(CASE WHEN a.sub = 2 THEN d.ssd END) + max(CASE WHEN a.sub = 3 THEN d.ssd END) AS adist " +
+          "FROM assign a JOIN dtab d ON a.sub = d.sub AND a.cid = d.cid " +
+          "WHERE a.vec_id <> d.qid GROUP BY d.qid, a.vec_id) " +
+          "SELECT qid, vid, CAST(row_number() OVER " +
+          "(PARTITION BY qid ORDER BY adist, vid) AS BIGINT) AS rnk, adist " +
+          "FROM scores QUALIFY rnk <= 3 ORDER BY qid, rnk"
+      },
+      (s, dir) => {
+        import graft.functions.{CustomExpressions => CE}
+        val e = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val subs = e.select(col("vec_id"), posexplode(array(
+            (0 until 4).map(sb => slice(col("v"), sb * 16 + 1, 16)): _*))
+          .as(Seq("sub", "sv")))
+        val cent = subs.filter(col("vec_id") < 8)
+          .select(col("sub").as("c_sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+        val aw = Window.partitionBy("vec_id", "sub").orderBy(col("ssd"), col("cid"))
+        val assign = subs.join(broadcast(cent), col("sub") === col("c_sub"))
+          .withColumn("ssd", CE.squared_distance(col("sv"), col("cv")))
+          .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("sub"), col("cid"))
+        val dtab = subs.filter(col("vec_id") < 10)
+          .join(broadcast(cent), col("sub") === col("c_sub"))
+          .select(col("vec_id").as("qid"), col("sub").as("d_sub"),
+            col("cid").as("d_cid"),
+            CE.squared_distance(col("sv"), col("cv")).as("ssd"))
+        val w = Window.partitionBy("qid").orderBy(col("adist"), col("vid"))
+        assign
+          .join(broadcast(dtab),
+            col("sub") === col("d_sub") && col("cid") === col("d_cid") &&
+              col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id").as("vid"))
+          .agg((max(when(col("sub") === 0, col("ssd"))) +
+            max(when(col("sub") === 1, col("ssd"))) +
+            max(when(col("sub") === 2, col("ssd"))) +
+            max(when(col("sub") === 3, col("ssd")))).as("adist"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("qid", "vid", "rnk", "adist")
+          .orderBy("qid", "rnk")
+      }))
 }

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{H, Q, QueryModule}
+import graft.H.{dec2, tbl}
+
+/** Round-4 reliability wave: declarative data-quality expectations, schema
+  * evolution across parquet file generations, and an executed stream-static
+  * enrichment join — the production guardrails around a 100 TB ingest.
+  */
+object ReliabilityQueries extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+
+    // Data-quality expectation report: five constraint checks (null key,
+    // PK uniqueness, value range, referential integrity, freshness bound)
+    // as one report table. One aggregate scan computes four checks
+    // (count-distinct and conditional sums share the pass); the FK check is
+    // a broadcast-able anti-join whose count crossJoins back onto the
+    // 1-row aggregate. At 100 TB this is the cheapest possible shape: no
+    // check adds a second fact-table scan.
+    Q("dq_expectations",
+      Some("WITH base AS (SELECT " +
+        "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey, " +
+        "CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey, " +
+        "CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price, " +
+        "CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS future_orderdate " +
+        "FROM orders), " +
+        "orphan AS (SELECT count(*) AS orphan_custkey FROM orders " +
+        "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) " +
+        "SELECT check_name, violations FROM (" +
+        "SELECT 'null_custkey' AS check_name, null_custkey AS violations FROM base " +
+        "UNION ALL SELECT 'dup_orderkey', dup_orderkey FROM base " +
+        "UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM base " +
+        "UNION ALL SELECT 'future_orderdate', future_orderdate FROM base " +
+        "UNION ALL SELECT 'orphan_custkey', orphan_custkey FROM orphan) " +
+        "ORDER BY check_name"),
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        val c = tbl(s, dir, "customer").select("c_custkey")
+        val base = o.agg(
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).cast("long").as("null_custkey"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).cast("long").as("dup_orderkey"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).cast("long").as("nonpositive_price"),
+          sum(when(col("o_orderdate") > lit("1999-01-01").cast("timestamp"), 1L)
+            .otherwise(0L)).cast("long").as("future_orderdate"))
+        val orphan = o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_custkey"))
+        base.crossJoin(orphan)
+          .selectExpr("stack(5, " +
+            "'null_custkey', null_custkey, " +
+            "'dup_orderkey', dup_orderkey, " +
+            "'nonpositive_price', nonpositive_price, " +
+            "'future_orderdate', future_orderdate, " +
+            "'orphan_custkey', orphan_custkey) AS (check_name, violations)")
+          .orderBy("check_name")
+      }),
+
+    // Schema evolution: generation 1 files lack a column that generation 2
+    // adds; a mergeSchema read unions the file schemas and null-fills the
+    // missing column — the lake-format reality of a long-lived staging
+    // table. The aggregate proves both generations land in one frame with
+    // the evolved schema. (Production note: mergeSchema footer-merging is
+    // O(files) on the driver — partition the lake so evolved reads prune,
+    // or pin the unioned schema in a catalog.)
+    Q("source_schema_evolution",
+      Some("SELECT CASE WHEN event_id % 2 = 0 THEN '<gen1>' ELSE event_type END AS event_type, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+        val ev = H.events(s, dir)
+        // generation 1: no event_type column yet
+        ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select("event_id", "value")
+          .write.mode("overwrite").parquet(s"$tmp/lake")
+        // generation 2: event_type added
+        ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .select("event_id", "value", "event_type")
+          .write.mode("append").parquet(s"$tmp/lake")
+        s.read.option("mergeSchema", "true").parquet(s"$tmp/lake")
+          .groupBy(coalesce(col("event_type"), lit("<gen1>")).as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("total"))
+          .orderBy("event_type")
+      }),
+
+    // Executed stream-static enrichment: a replayed file stream joins a
+    // broadcast static dimension per micro-batch (stateless — no watermark,
+    // no state store), appends to a parquet sink, and the final batch read
+    // aggregates the enriched rows. The static side re-broadcasts per
+    // batch; the stream side never shuffles — the shape for dimension
+    // enrichment at ingest. Weighted sums run in exact decimal.
+    Q("stream_static_enrich",
+      Some("WITH w(event_type, weight) AS (VALUES ('click', 1), ('error', 0), " +
+        "('purchase', 5), ('signup', 3), ('view', 2)) " +
+        "SELECT e.event_type, count(*) AS n, " +
+        "CAST(sum(CAST(e.value AS DECIMAL(12,2)) * w.weight) AS DOUBLE) AS weighted " +
+        "FROM events e JOIN w ON e.event_type = w.event_type " +
+        "GROUP BY e.event_type ORDER BY e.event_type"),
+      (s, dir) => {
+        import s.implicits._
+        import graft.streaming.StreamingRefresh
+        val ev = H.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+        val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        (0 until 3).foreach { i =>
+          ev.filter(pmod(col("event_id"), lit(3)) === i)
+            .coalesce(1).write.mode("append").parquet(in)
+        }
+        val weights = Seq(("click", 1), ("error", 0), ("purchase", 5),
+          ("signup", 3), ("view", 2)).toDF("event_type", "weight")
+        val q = StreamingRefresh
+          .fileStream(s, ev.schema, in, maxFilesPerTrigger = Some(1))
+          .join(broadcast(weights), Seq("event_type"))
+          .writeStream
+          .format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value")) * col("weight")).cast("double").as("weighted"))
+          .orderBy("event_type")
+      })
+  )
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom whole-operator as-of join (graft.plans.AsOfJoinPlan /
+  * AsOfJoinExec / GraftStrategy): result-identical to the composed
+  * equi-join + rank formulation, planned with one exchange per side, and
+  * correct on the edge shapes the merge pass has to get right (no-match
+  * keys, null times, tie-breaking, empty right side).
+  */
+class NativeAsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    // (id, key, t)
+    (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 5L),
+    (4L, "b", 100L), (5L, "c", 7L), (6L, "z", 1L)
+  ).toDF("p_id", "key", "p_t")
+
+  private def rightDf = Seq(
+    // (id, key, t) — "a" has ties at t=10; "c" only has later rows; "z" none
+    (101L, "ra", 10L), (102L, "ra", 10L), (103L, "ra", 15L), (104L, "ra", 1L),
+    (105L, "rb", 90L), (106L, "rb", 100L),
+    (107L, "rc", 8L)
+  ).toDF("c_id", "rkey", "c_t")
+    .withColumn("rkey", expr("substr(rkey, 2)"))
+
+  private def native(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame) =
+    graft.plans.AsOfJoin.asOf(l, r, "key", "rkey", "p_t", "c_t", "c_id")
+
+  test("matches the composed join+rank formulation on events at sf0.001") {
+    val ev = H.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val nat = native(
+      purchases.withColumnRenamed("user_id", "key").withColumnRenamed("p_ts", "p_t"),
+      clicks.withColumnRenamed("c_user", "rkey").withColumnRenamed("c_ts", "c_t"))
+      .select(col("p_id"), col("c_id"))
+    val composed = graft.ops.Relational.asOfJoin(
+      purchases, clicks.withColumnRenamed("c_user", "user_id"),
+      key = "user_id", leftTs = "p_ts", rightTs = "c_ts",
+      leftId = "p_id", rightTieBreak = "c_id")
+      .select(col("p_id"), col("c_id"))
+    assert(nat.exceptAll(composed).isEmpty && composed.exceptAll(nat).isEmpty)
+    assert(nat.count() === purchases.count()) // left outer: one row per left
+  }
+
+  test("backward match, tie-break by id, no-match key null-extends") {
+    val out = native(leftDf, rightDf)
+      .select("p_id", "c_id").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === Some(102L)) // t=10 ties -> max c_id wins
+    assert(out(2L) === Some(103L)) // latest <= 20 is t=15
+    assert(out(3L) === Some(104L)) // only t=1 qualifies
+    assert(out(4L) === Some(106L)) // exact-equal time matches
+    assert(out(5L) === None)       // "c" has only later rows
+    assert(out(6L) === None)       // "z" unmatched key
+  }
+
+  test("null right times are dead rows; null left key never matches") {
+    val l = Seq((1L, Option("a"), 10L), (2L, Option.empty[String], 10L))
+      .toDF("p_id", "key", "p_t")
+    val r = Seq((201L, Option("a"), Option(5L)), (202L, Option("a"), Option.empty[Long]))
+      .toDF("c_id", "rkey", "c_t")
+    val out = native(l, r).select("p_id", "c_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === Some(201L)) // the null-time row is skipped, not matched
+    assert(out(2L) === None)
+  }
+
+  test("empty right side null-extends every left row") {
+    val out = native(leftDf, rightDf.filter(col("c_id") < 0))
+    assert(out.count() === 6 && out.filter(col("c_id").isNotNull).count() === 0)
+  }
+
+  test("plans as AsOfJoin with one exchange per side (no join blow-up)") {
+    val df = native(leftDf, rightDf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = plan.toString
+    assert(s.contains("AsOfJoin"))
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"))
+  }
+}
