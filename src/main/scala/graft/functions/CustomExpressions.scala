@@ -222,5 +222,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CustomExpressions.SquaredDistance].getName, "squared_distance"),
       (exprs: Seq[Expression]) => CustomExpressions.SquaredDistance(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
   }
 }

@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, EqualTo, Expression, GenericInternalRow, IsNull, JoinedRow, LessThan, LessThanOrEqual, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, BindReferences, EqualTo, Expression, GenericInternalRow, IsNull, JoinedRow, LessThan, LessThanOrEqual, PredicateHelper, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Whole-operator as-of join — the custom-plan extension tier (logical node
@@ -136,10 +137,34 @@ object GraftStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule completing the custom-operator story: Catalyst's generic
+  * PushDownPredicates doesn't see through an unknown node, so a Filter
+  * above the as-of join would keep the predicate out of the parquet scan.
+  * Left-only deterministic conjuncts commute with the LEFT OUTER as-of
+  * (they only drop left rows whose output row they'd drop anyway) — push
+  * them into the left child, where the built-in rules take over and drive
+  * them down to the source. Right-side predicates do NOT commute (dropping
+  * a right row can change a match to a null-extension), so they stay put.
+  */
+object AsOfJoinFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfJoin {
-  /** Idempotent per-session registration. */
-  def install(spark: SparkSession): Unit =
+  /** Idempotent per-session registration (strategy + optimizer rule). */
+  def install(spark: SparkSession): Unit = {
     GraftColumnBridge.installStrategy(spark, GraftStrategy)
+    GraftColumnBridge.installOptimization(spark, AsOfJoinFilterPushdown)
+  }
 
   /** Native as-of join: `left` and `right` must have disjoint column names
     * (project/rename first — also what keeps the unpruned right side

@@ -31,4 +31,12 @@ object GraftColumnBridge {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = s +: cs.experimental.extraStrategies
   }
+
+  /** Same for optimizer rules (twin of injectOptimizerRule). */
+  def installOptimization(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r))
+      cs.experimental.extraOptimizations = r +: cs.experimental.extraOptimizations
+  }
 }

@@ -78,6 +78,29 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     assert(out.count() === 6 && out.filter(col("c_id").isNotNull).count() === 0)
   }
 
+  test("custom rule pushes left-only filters through the node to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_push").toString
+    leftDf.write.parquet(s"$dir/l")
+    rightDf.write.parquet(s"$dir/r")
+    val df = native(spark.read.parquet(s"$dir/l"), spark.read.parquet(s"$dir/r"))
+      .filter(col("p_t") > 5L && col("c_id").isNotNull)
+    // left-only conjunct moved below the custom node...
+    val opt = df.queryExecution.optimizedPlan
+    val topFilter = opt.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.sql
+    }
+    assert(!topFilter.exists(_.contains("p_t")),
+      s"left-only predicate stayed above the as-of join: $topFilter")
+    // ...and all the way into the parquet scan by the built-in rules
+    val scans = df.queryExecution.executedPlan.toString
+    assert(scans.contains("PushedFilters") && scans.contains("GreaterThan(p_t,5"))
+    // right-side predicate must NOT be pushed (it would change null-extension)
+    assert(opt.toString.contains("isnotnull(c_id"))
+    // and the result still honors both predicates
+    val rows = df.select("p_id").as[Long].collect().sorted
+    assert(rows === Array(1L, 2L, 4L)) // p_t>5 drops 3,6(t<=5)... and c filter drops 5
+  }
+
   test("plans as AsOfJoin with one exchange per side (no join blow-up)") {
     val df = native(leftDf, rightDf)
     df.collect()
