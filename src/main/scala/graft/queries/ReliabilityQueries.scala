@@ -86,6 +86,38 @@ object ReliabilityQueries extends QueryModule {
           .orderBy("event_type")
       }),
 
+    // Bad-record quarantine: a rule-deterministic 10% of JSON payloads are
+    // corrupted (truncated brace), parsed PERMISSIVE with from_json, and
+    // routed by parse outcome — good rows aggregate, bad rows count into a
+    // quarantine column instead of failing the job (the reference's pandas
+    // path would throw on the first bad payload). Pure row-wise map +
+    // one aggregation; the corruption rule lets the oracle state the
+    // expected outcome exactly.
+    Q("source_json_corrupt",
+      Some("SELECT event_type, " +
+        "CAST(sum(CASE WHEN event_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good, " +
+        "CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined, " +
+        "CAST(sum(CASE WHEN event_id % 10 <> 0 THEN " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+      (s, dir) => {
+        val mangled = H.events(s, dir)
+          .withColumn("payload",
+            when(pmod(col("event_id"), lit(10)) === 0,
+              expr("substring(props, 1, length(props) - 1)"))
+              .otherwise(col("props")))
+          .withColumn("j", from_json(col("payload"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType)))))
+        mangled.groupBy("event_type")
+          .agg(
+            sum(when(col("j.k").isNotNull, 1L).otherwise(0L)).cast("long").as("n_good"),
+            sum(when(col("j.k").isNull, 1L).otherwise(0L)).cast("long").as("n_quarantined"),
+            sum(when(col("j.k").isNotNull, col("j.k")).otherwise(0L)).cast("long").as("sum_k"))
+          .orderBy("event_type")
+      }),
+
     // Executed stream-static enrichment: a replayed file stream joins a
     // broadcast static dimension per micro-batch (stateless — no watermark,
     // no state store), appends to a parquet sink, and the final batch read

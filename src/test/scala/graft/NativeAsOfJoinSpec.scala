@@ -78,6 +78,28 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     assert(out.count() === 6 && out.filter(col("c_id").isNotNull).count() === 0)
   }
 
+  test("agrees with composed formulation on 50k synthetic rows, many keys per partition") {
+    // deterministic pseudo-random shapes: hashed ids spread 300 keys and
+    // collide times (div 7 / div 3) so every partition holds many key
+    // groups, duplicate times exercise the tie-break, and ~1/6 of left
+    // keys (key 250+) have no right rows at all
+    val l = spark.range(50000L).selectExpr(
+      "id AS p_id", "CAST(pmod(hash(id), 300) AS STRING) AS key",
+      "CAST(pmod(hash(id * 31), 1000) div 7 AS BIGINT) AS p_t")
+    val r = spark.range(50000L).selectExpr(
+      "id + 1000000 AS c_id", "CAST(pmod(hash(id + 7), 250) AS STRING) AS rkey",
+      "CAST(pmod(hash(id * 17), 1000) div 3 AS BIGINT) AS c_t")
+    val nat = native(l, r).select("p_id", "c_id")
+    val composed = graft.ops.Relational.asOfJoin(
+      l.withColumnRenamed("key", "k").withColumnRenamed("p_t", "p_ts"),
+      r.withColumnRenamed("rkey", "k").withColumnRenamed("c_t", "c_ts"),
+      key = "k", leftTs = "p_ts", rightTs = "c_ts",
+      leftId = "p_id", rightTieBreak = "c_id")
+      .select("p_id", "c_id")
+    assert(nat.count() === 50000L)
+    assert(nat.exceptAll(composed).isEmpty && composed.exceptAll(nat).isEmpty)
+  }
+
   test("custom rule pushes left-only filters through the node to the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_asof_push").toString
     leftDf.write.parquet(s"$dir/l")
