@@ -35,7 +35,8 @@ case class AsOfJoinPlan(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Expression) extends BinaryNode {
+    rightTieBreak: Expression,
+    toleranceMicros: Option[Long]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -49,6 +50,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Expression,
+    toleranceMicros: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -87,6 +89,22 @@ case class AsOfJoinExec(
       // right child's attributes may claim non-null, but the null-extended
       // GenericInternalRow must still project as null, not as 0/""
       val proj = UnsafeProjection.create(output, output)
+      // optional max-lookback bound, in the time column's physical unit
+      // (micros for timestamps, raw for integral types); evaluated on the
+      // FINAL candidate only — the best candidate either qualifies or
+      // nothing does, so the single-row merge state is unaffected
+      val lTimeB = BindReferences.bindReference(leftTime, lOut)
+      val rTimeB = BindReferences.bindReference(rightTime, rOut)
+      def withinTol(l: InternalRow, m: InternalRow): Boolean =
+        toleranceMicros match {
+          case None => true
+          case Some(t) =>
+            val lv = lTimeB.eval(l)
+            val rv = rTimeB.eval(m)
+            lv != null && rv != null &&
+              lv.asInstanceOf[Number].longValue -
+                rv.asInstanceOf[Number].longValue <= t
+        }
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
 
@@ -114,7 +132,8 @@ case class AsOfJoinExec(
           } else break = true
         }
         val m =
-          if (lastMatch != null && keyEq.eval(joined(l, lastMatch)) == true) lastMatch
+          if (lastMatch != null && keyEq.eval(joined(l, lastMatch)) == true &&
+            withinTol(l, lastMatch)) lastMatch
           else nullRight
         proj(joined(l, m))
       }
@@ -131,8 +150,8 @@ case class AsOfJoinExec(
   * use `AsOfJoin.install`. */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -178,7 +197,8 @@ object AsOfJoin {
       rightKey: String,
       leftTs: String,
       rightTs: String,
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "asOf requires disjoint column names between sides")
     val spark = left.sparkSession
@@ -190,6 +210,7 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
     GraftColumnBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey),
-      attr(lp, leftTs), attr(rp, rightTs), attr(rp, rightTieBreak)))
+      attr(lp, leftTs), attr(rp, rightTs), attr(rp, rightTieBreak),
+      toleranceMicros))
   }
 }

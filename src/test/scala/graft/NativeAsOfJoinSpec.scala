@@ -78,6 +78,17 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     assert(out.count() === 6 && out.filter(col("c_id").isNotNull).count() === 0)
   }
 
+  test("tolerance bound lapses too-old matches to null-extension") {
+    val out = graft.plans.AsOfJoin
+      .asOf(leftDf, rightDf, "key", "rkey", "p_t", "c_t", "c_id",
+        toleranceMicros = Some(4L))
+      .select("p_id", "c_id").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === Some(102L)) // exact-time tie, gap 0 <= 4
+    assert(out(2L) === None)       // best candidate gap 20-15=5 > 4 lapses
+    assert(out(3L) === Some(104L)) // gap 5-1=4 <= 4 qualifies (boundary)
+    assert(out(4L) === Some(106L)) // gap 0
+  }
+
   test("agrees with composed formulation on 50k synthetic rows, many keys per partition") {
     // deterministic pseudo-random shapes: hashed ids spread 300 keys and
     // collide times (div 7 / div 3) so every partition holds many key
