@@ -221,6 +221,53 @@ object AdvancedAnalyticsQueries extends QueryModule {
           .orderBy("prio")
       }),
 
+    // Linear-regression / correlation aggregates (regr_slope, regr_intercept,
+    // corr) — computed from EXACT integer/decimal moments (n, Σx, Σy, Σx²,
+    // Σxy, Σy²) so the result is engine-bit-exact, unlike the built-in
+    // double-accumulating corr/regr_* whose partial-aggregation order
+    // varies run to run. One hash-aggregate pass; the closed-form per-group
+    // arithmetic is a single identical IEEE expression on both engines.
+    Q("agg_regression",
+      Some("WITH m AS (SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx, " +
+        "CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy, " +
+        "CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx, " +
+        "CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy, " +
+        "CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy " +
+        "FROM (SELECT o_orderpriority, " +
+        "CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x, " +
+        "CAST(floor(o_totalprice) AS BIGINT) AS y FROM orders) GROUP BY o_orderpriority) " +
+        "SELECT o_orderpriority, CAST(n AS BIGINT) AS n, " +
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope, " +
+        "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept, " +
+        "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r " +
+        "FROM m ORDER BY o_orderpriority"),
+      (s, dir) => {
+        val o = tbl(s, dir, "orders").select(col("o_orderpriority"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("timestamp"))
+            .cast("long").as("x"),
+          floor(col("o_totalprice")).cast("long").as("y"))
+        // integer moments only: y in whole dollars keeps Σy² < 2^53 far
+        // past sf1, and a BIGINT→DOUBLE cast is single-rounded identically
+        // on both engines — a big-DECIMAL→DOUBLE cast is not (DuckDB
+        // double-rounds via (double)unscaled / (double)10^scale)
+        val m = o.groupBy("o_orderpriority").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("long").cast("double").as("sx"),
+          sum(col("y")).cast("long").cast("double").as("sy"),
+          sum(col("x") * col("x")).cast("long").cast("double").as("sxx"),
+          sum(col("x") * col("y")).cast("long").cast("double").as("sxy"),
+          sum(col("y") * col("y")).cast("long").cast("double").as("syy"))
+        val cov = col("n") * col("sxy") - col("sx") * col("sy")
+        val varx = col("n") * col("sxx") - col("sx") * col("sx")
+        val vary = col("n") * col("syy") - col("sy") * col("sy")
+        m.select(col("o_orderpriority"), col("n").cast("long").as("n"),
+            (cov / varx).as("slope"),
+            ((col("sy") - cov / varx * col("sx")) / col("n")).as("intercept"),
+            (cov / (sqrt(varx) * sqrt(vary))).as("r"))
+          .orderBy("o_orderpriority")
+      }),
+
     // Ordered LISTAGG (SQL:2016 WITHIN GROUP) — suppliers per nation as a
     // deterministic comma-joined list. The ordered aggregate sorts inside
     // each hash-aggregate group; group payloads stay bounded by the group's
