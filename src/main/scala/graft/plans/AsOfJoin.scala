@@ -13,10 +13,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * + planner strategy + physical operator), for semantics the built-in
   * operators can express only via join-then-rank (`Relational.asOfJoin`).
   *
-  * Semantics: LEFT OUTER backward as-of — for each left row, the single
-  * right row with equal key and the greatest (rightTime, tieBreak) such
-  * that rightTime <= leftTime; null-extended when none exists. Right rows
-  * with null key or time never match (SQL comparison semantics).
+  * Semantics: LEFT OUTER as-of. Backward (default): for each left row, the
+  * single right row with equal key and the greatest (rightTime, tieBreak)
+  * such that rightTime <= leftTime. Forward: the smallest
+  * (rightTime, tieBreak) with rightTime >= leftTime. An optional tolerance
+  * bounds the time gap in either direction. Null-extended when no row
+  * qualifies; right rows with null key or time never match (SQL comparison
+  * semantics).
   *
   * Scale shape: both sides hash-cluster on the key and sort within
   * partitions by (key, time[, tieBreak]) — exactly a sort-merge join's
@@ -36,7 +39,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Expression,
-    toleranceMicros: Option[Long]) extends BinaryNode {
+    toleranceMicros: Option[Long],
+    forward: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -51,6 +55,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     rightTieBreak: Expression,
     toleranceMicros: Option[Long],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -101,9 +106,16 @@ case class AsOfJoinExec(
           case Some(t) =>
             val lv = lTimeB.eval(l)
             val rv = rTimeB.eval(m)
-            lv != null && rv != null &&
-              lv.asInstanceOf[Number].longValue -
-                rv.asInstanceOf[Number].longValue <= t
+            val gap =
+              if (forward)
+                (if (rv == null || lv == null) Long.MaxValue
+                 else rv.asInstanceOf[Number].longValue -
+                   lv.asInstanceOf[Number].longValue)
+              else
+                (if (rv == null || lv == null) Long.MaxValue
+                 else lv.asInstanceOf[Number].longValue -
+                   rv.asInstanceOf[Number].longValue)
+            lv != null && rv != null && gap <= t
         }
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
@@ -115,10 +127,33 @@ case class AsOfJoinExec(
         }
         null
       }
+      val rTimeLt = BindReferences.bindReference(
+        LessThan(rightTime, leftTime): Expression, both)
       var pending: InternalRow = fetch()
       var lastMatch: InternalRow = null
 
-      lIter.map { l =>
+      if (forward) {
+        // FORWARD: match = first right with equal key and time >= leftTime
+        // (min (time, tieBreak) by the sort order). Rows with rt < lt are
+        // dead for every later left of the same key (left times ascend),
+        // so the scan just discards them — no candidate state at all. The
+        // matched row is NOT consumed: the next left may need it again.
+        lIter.map { l =>
+          var break = false
+          while (pending != null && !break) {
+            joined(l, pending)
+            if (rKeyBehind.eval(joined) == true ||
+              (keyEq.eval(joined) == true && rTimeLt.eval(joined) == true)) {
+              pending = fetch()
+            } else break = true
+          }
+          val m =
+            if (pending != null && keyEq.eval(joined(l, pending)) == true &&
+              withinTol(l, pending)) pending
+            else nullRight
+          proj(joined(l, m))
+        }
+      } else lIter.map { l =>
         var break = false
         while (pending != null && !break) {
           joined(l, pending)
@@ -150,8 +185,8 @@ case class AsOfJoinExec(
   * use `AsOfJoin.install`. */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, tol, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, tol, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -198,7 +233,8 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightTieBreak: String,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "asOf requires disjoint column names between sides")
     val spark = left.sparkSession
@@ -211,6 +247,6 @@ object AsOfJoin {
     GraftColumnBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey),
       attr(lp, leftTs), attr(rp, rightTs), attr(rp, rightTieBreak),
-      toleranceMicros))
+      toleranceMicros, forward))
   }
 }

@@ -370,6 +370,40 @@ object AdvancedAnalyticsQueries extends QueryModule {
           .orderBy("p_id")
       }),
 
+    // Forward-direction as-of through the same operator: the FIRST click
+    // at/after each purchase (merge_asof direction='forward'). The forward
+    // merge needs no candidate state at all — rows behind the left time
+    // are dead for every later left, and the matched row is peeked, not
+    // consumed.
+    Q("join_asof_forward",
+      Some("WITH j AS (SELECT p.event_id AS p_id, p.ts AS pts, " +
+        "c.event_id AS c_id, c.ts AS cts, " +
+        "row_number() OVER (PARTITION BY p.event_id " +
+        "ORDER BY c.ts ASC NULLS LAST, c.event_id ASC NULLS LAST) AS rn " +
+        "FROM events p LEFT JOIN events c ON c.user_id = p.user_id " +
+        "AND c.event_type = 'click' AND c.ts >= p.ts " +
+        "WHERE p.event_type = 'purchase') " +
+        "SELECT p_id, strftime(pts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts, " +
+        "coalesce(c_id, -1) AS c_id, " +
+        "coalesce(strftime(cts, '%Y-%m-%d %H:%M:%S.%f'), '-') AS c_ts " +
+        "FROM j WHERE rn = 1 ORDER BY p_id"),
+      (s, dir) => {
+        val ev = H.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+        graft.plans.AsOfJoin.asOf(purchases, clicks,
+            leftKey = "user_id", rightKey = "c_user",
+            leftTs = "p_ts", rightTs = "c_ts", rightTieBreak = "c_id",
+            forward = true)
+          .select(col("p_id"), H.fmtTs(col("p_ts")).as("p_ts"),
+            coalesce(col("c_id"), lit(-1L)).as("c_id"),
+            coalesce(H.fmtTs(col("c_ts")), lit("-")).as("c_ts"))
+          .orderBy("p_id")
+      }),
+
     // UNPIVOT SQL clause (the standard-dialect twin of the stack() query):
     // wide per-order measures to (key, value) rows; both engines exclude
     // NULL measures by default.

@@ -89,6 +89,27 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     assert(out(4L) === Some(106L)) // gap 0
   }
 
+  test("forward direction: first right at/after, min-id tie-break, peek not consume") {
+    val out = graft.plans.AsOfJoin
+      .asOf(leftDf, rightDf, "key", "rkey", "p_t", "c_t", "c_id", forward = true)
+      .select("p_id", "c_id").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === Some(101L)) // t=10 ties -> MIN c_id (101, not 102)
+    assert(out(2L) === None)       // nothing at/after t=20 for key a
+    assert(out(3L) === Some(101L)) // first >= 5 is t=10; row not consumed by p_id=1
+    assert(out(4L) === Some(106L)) // exact equal time
+    assert(out(5L) === Some(107L)) // forward finds the later-only row
+    assert(out(6L) === None)
+  }
+
+  test("forward tolerance bounds the look-ahead") {
+    val out = graft.plans.AsOfJoin
+      .asOf(leftDf, rightDf, "key", "rkey", "p_t", "c_t", "c_id",
+        toleranceMicros = Some(1L), forward = true)
+      .select("p_id", "c_id").as[(Long, Option[Long])].collect().toMap
+    assert(out(3L) === None)       // gap 10-5=5 > 1 lapses
+    assert(out(5L) === Some(107L)) // gap 8-7=1 <= 1 qualifies
+  }
+
   test("agrees with composed formulation on 50k synthetic rows, many keys per partition") {
     // deterministic pseudo-random shapes: hashed ids spread 300 keys and
     // collide times (div 7 / div 3) so every partition holds many key
