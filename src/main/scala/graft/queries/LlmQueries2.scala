@@ -371,6 +371,55 @@ object LlmQueries2 extends QueryModule {
               .as("n_bpe_tokens"))
           .orderBy("doc_id")),
 
+    // Containment near-dup (subset duplicates): |A∩B| / min(|A|,|B|) finds
+    // a document mostly CONTAINED in another — quote-expansion and
+    // boilerplate-wrapping cases where symmetric Jaccard stays low because
+    // the larger doc dilutes the union. Same LSH candidate generator and
+    // shingle-intersection verify as dedup_minhash_lsh (computed once,
+    // never all-pairs); only the final ratio differs.
+    Q("dedup_containment",
+      Some {
+        import graft.functions.{DedupSketches => DS}
+        s"WITH sh AS (${DS.shinglesSql(3)}), " +
+          s"sig AS (${DS.minhashSignatureSql}), " +
+          s"bands AS (${DS.lshBandsSql}), " +
+          s"cand AS (${DS.candidatePairsSql}), " +
+          "counts AS (SELECT doc_id, n FROM sig), " +
+          "inter AS (SELECT doc_a, doc_b, count(*) AS ni FROM cand " +
+          "JOIN sh sa ON sa.doc_id = doc_a " +
+          "JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle " +
+          "GROUP BY doc_a, doc_b), " +
+          "j AS (SELECT c.doc_a, c.doc_b, CAST(coalesce(ni, 0) AS DOUBLE) / " +
+          "CAST(least(ca.n, cb.n) AS DOUBLE) AS containment " +
+          "FROM cand c JOIN counts ca ON ca.doc_id = c.doc_a " +
+          "JOIN counts cb ON cb.doc_id = c.doc_b " +
+          "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b) " +
+          "SELECT doc_a, doc_b, containment FROM j WHERE containment >= 0.6 " +
+          "ORDER BY doc_a, doc_b"
+      },
+      (s, dir) => {
+        import graft.functions.{DedupSketches => DS}
+        val sh = DS.shingles(tbl(s, dir, "documents"), 3).cache()
+        val sig = DS.minhashSignature(sh).cache()
+        val cand = DS.candidatePairs(DS.lshBands(sig))
+        val counts = sig.select(col("doc_id"), col("n"))
+        val inter = cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+        val j = cand
+          .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+          .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"),
+            (coalesce(col("ni"), lit(0L)).cast("double") /
+              least(col("na"), col("nb")).cast("double")).as("containment"))
+        graft.H.materialized(
+          j.filter(col("containment") >= 0.6)
+            .select("doc_a", "doc_b", "containment").orderBy("doc_a", "doc_b"),
+          caches = Seq(sh, sig))
+      }),
+
     // Product-quantization ANN (the memory-bound scale path beyond IVF/LSH):
     // vectors are encoded once as M=4 subspace codes (nearest of K=8
     // deterministic codebook entries per 16-dim slice — 4 small ints

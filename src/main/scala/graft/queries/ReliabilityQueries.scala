@@ -118,6 +118,51 @@ object ReliabilityQueries extends QueryModule {
           .orderBy("event_type")
       }),
 
+    // Partition backfill via dynamic partition overwrite: a day-partitioned
+    // sink gets ONE day's partition rewritten (values re-scaled) while
+    // every other partition's files are untouched — INSERT OVERWRITE
+    // semantics scoped to the partitions present in the incoming frame
+    // (partitionOverwriteMode=dynamic). The final aggregate proves the
+    // backfilled day changed and the others didn't; at 100 TB this is the
+    // idempotent-reprocessing primitive (no full-table rewrite, no
+    // read-modify-write race on untouched days).
+    Q("pipeline_backfill",
+      Some("SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day, " +
+        "count(*) AS n, " +
+        "CAST(sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-15' " +
+        "THEN CAST(CAST(value AS DECIMAL(12,2)) * 2 AS DECIMAL(14,2)) " +
+        "ELSE CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS total " +
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-14' AND ts < TIMESTAMP '2024-01-17' " +
+        "GROUP BY 1 ORDER BY 1"),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+        val ev = H.events(s, dir)
+          .filter(col("ts") >= lit("2024-01-14").cast("timestamp") &&
+            col("ts") < lit("2024-01-17").cast("timestamp"))
+          .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+          .select("event_id", "ts", "value", "day")
+        ev.write.partitionBy("day").mode("overwrite").parquet(s"$tmp/sink")
+        // backfill 2024-01-15 only: values re-scaled; dynamic mode rewrites
+        // just the partitions present in this frame
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          ev.filter(col("day") === "2024-01-15")
+            .withColumn("value",
+              (dec2(col("value")) * 2).cast(org.apache.spark.sql.types.DecimalType(14, 2))
+                .cast("double"))
+            .write.partitionBy("day").mode("overwrite").parquet(s"$tmp/sink")
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        s.read.parquet(s"$tmp/sink")
+          .groupBy("day")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("total"))
+          // partition-column type inference may read `day` back as DATE;
+          // normalize to the formatted string the oracle emits
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("total"))
+          .orderBy("day")
+      }),
+
     // Executed stream-static enrichment: a replayed file stream joins a
     // broadcast static dimension per micro-batch (stateless — no watermark,
     // no state store), appends to a parquet sink, and the final batch read
