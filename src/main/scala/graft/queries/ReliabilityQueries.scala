@@ -26,8 +26,10 @@ object ReliabilityQueries extends QueryModule {
         "CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price, " +
         "CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS future_orderdate " +
         "FROM orders), " +
-        "orphan AS (SELECT count(*) AS orphan_custkey FROM orders " +
-        "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) " +
+        // NOT EXISTS, not NOT IN: matches left-anti-join semantics even if
+        // the dimension ever carried a NULL key
+        "orphan AS (SELECT count(*) AS orphan_custkey FROM orders o " +
+        "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) " +
         "SELECT check_name, violations FROM (" +
         "SELECT 'null_custkey' AS check_name, null_custkey AS violations FROM base " +
         "UNION ALL SELECT 'dup_orderkey', dup_orderkey FROM base " +
