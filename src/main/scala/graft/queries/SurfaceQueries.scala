@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{Q, QueryModule}
+import graft.{H, Q, QueryModule}
 import graft.H.{dec2, tbl}
 
 /** Round-4 surface wave: multiset set operations, GROUP BY ALL, external
@@ -208,5 +208,77 @@ object SurfaceQueries extends QueryModule {
           .join(broadcast(n), Seq("source"))
           .select(col("source"), col("n_kept"), col("n_total"))
           .orderBy("source")
+      }),
+
+    // argmax/argmin aggregates (max_by/min_by ↔ arg_max/arg_min): the
+    // "value at the extreme of another column" shape a keep-latest pipeline
+    // uses constantly. Ordering column is the unique key, so ties can't
+    // make the result engine-dependent.
+    Q("agg_argmax",
+      Some("SELECT o_orderpriority, " +
+        "arg_max(o_totalprice, o_orderkey) AS price_of_latest, " +
+        "arg_min(o_totalprice, o_orderkey) AS price_of_first " +
+"FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, dir) => {
+        tbl(s, dir, "orders").createOrReplaceTempView("orders_am")
+        s.sql("SELECT o_orderpriority, " +
+          "max_by(o_totalprice, o_orderkey) AS price_of_latest, " +
+          "min_by(o_totalprice, o_orderkey) AS price_of_first " +
+          "FROM orders_am GROUP BY o_orderpriority ORDER BY o_orderpriority")
+      }),
+
+    // Boolean aggregates (bool_and/bool_or) — constraint-style reductions.
+    Q("agg_bool",
+      Some("SELECT l_returnflag, bool_and(l_quantity > 1) AS all_multi, " +
+        "bool_or(l_discount > 0.09) AS any_deep_discount, " +
+        "CAST(count_if(l_tax = 0) AS BIGINT) AS n_taxfree " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, dir) => {
+        tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_ba")
+        s.sql("SELECT l_returnflag, bool_and(l_quantity > 1) AS all_multi, " +
+          "bool_or(l_discount > 0.09) AS any_deep_discount, " +
+          "CAST(count_if(l_tax = 0) AS BIGINT) AS n_taxfree " +
+          "FROM lineitem_ba GROUP BY l_returnflag ORDER BY l_returnflag")
+      }),
+
+    // Bitwise scalar surface: and/or/xor, shifts, popcount — the bit-packed
+    // flag and fingerprint manipulation SimHash-style ops build on.
+    Q("scalar_bitwise",
+      Some("SELECT o_orderkey, o_orderkey & 255 AS low_byte, " +
+        "o_orderkey | 4096 AS with_flag, xor(o_orderkey, 1365) AS toggled, " +
+        "o_orderkey << 2 AS shl, o_orderkey >> 3 AS shr, " +
+        "CAST(bit_count(o_orderkey) AS INT) AS pop " +
+        "FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey"),
+      (s, dir) => {
+        tbl(s, dir, "orders").createOrReplaceTempView("orders_bw")
+        s.sql("SELECT o_orderkey, o_orderkey & 255 AS low_byte, " +
+          "o_orderkey | 4096 AS with_flag, o_orderkey ^ 1365 AS toggled, " +
+          "shiftleft(o_orderkey, 2) AS shl, shiftright(o_orderkey, 3) AS shr, " +
+          "CAST(bit_count(o_orderkey) AS INT) AS pop " +
+          "FROM orders_bw WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey")
+      }),
+
+    // IGNORE NULLS window navigation (lag / nth_value): carry the previous
+    // and first "significant" event past gaps — the sparse-signal
+    // navigation ts_interpolate's fill is built from, here as the raw
+    // surface.
+    Q("win_ignore_nulls",
+      Some("SELECT event_id, " +
+        "coalesce(lag(CASE WHEN value > 400 THEN event_id END IGNORE NULLS) " +
+        "OVER (PARTITION BY event_type ORDER BY event_id), -1) AS prev_big, " +
+        "coalesce(nth_value(CASE WHEN value > 400 THEN event_id END, 1 IGNORE NULLS) " +
+        "OVER (PARTITION BY event_type ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS first_big " +
+        "FROM events WHERE event_id % 7 = 0 ORDER BY event_id"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("event_id")
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val big = when(col("value") > 400, col("event_id"))
+        H.events(s, dir).filter(pmod(col("event_id"), lit(7)) === 0)
+          .select(col("event_id"),
+            coalesce(lag(big, 1, null, ignoreNulls = true).over(w), lit(-1L)).as("prev_big"),
+            coalesce(nth_value(big, 1, ignoreNulls = true).over(wf), lit(-1L)).as("first_big"))
+          .orderBy("event_id")
       }))
 }
