@@ -177,6 +177,43 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    // forbid broadcast so a shuffle join forms; shrink the skew thresholds
+    // so local-mode data sizes trigger the same OptimizeSkewedJoin rewrite
+    // a hot key triggers at cluster scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "40000")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20000")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // 100k rows of key 0 vs ~100 rows for every other key: one shuffle
+      // partition dwarfs the rest
+      val skewed = spark.range(0L, 130000L)
+        .select($"id", when($"id" < 100000L, 0L).otherwise($"id" % 300).as("k"))
+      val right = spark.range(0L, 300L).select($"id".as("k2"))
+      val j = skewed.join(right, $"k" === $"k2")
+      // execute THIS dataset (count() would finalize its own plan instead)
+      assert(j.collect().length === 130000)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      assert(finalPlan.contains("skew=true"),
+        s"skew-join split did not trigger:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   // graph_triangles relies on degree-ordered orientation enumerating each
   // triangle exactly once; pin it against the naive a<b<c three-way join
   // on a fixture with a hub node (where naive wedge fan-out explodes).
