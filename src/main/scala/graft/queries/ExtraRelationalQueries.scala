@@ -51,6 +51,33 @@ object ExtraRelationalQueries extends QueryModule {
           .orderBy("o_orderkey")
       }),
 
+    // GROUP BY through the connector: the whole aggregate collapses into
+    // `$apply=groupby((cols), aggregate(...))` (SupportsPushDownAggregates
+    // with grouping, completely pushed) — the service answers one row per
+    // group and Spark plans NO aggregation. The 100 TB point: a per-status
+    // rollup over a billion-row entity moves |groups| rows. Sum stays on
+    // the integral column (exact in any order); the watermark predicate
+    // still rides along as `$filter`.
+    Q("o03d_dsv2_grouped_agg",
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_cust FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, dir) => {
+        graft.sources.ODataTestServer.register(
+          s, "orders_gagg", s"$dir/orders.parquet")
+        s.read.format("graft.sources.ODataSource")
+          .option("entity", "orders_gagg").option("pageSize", "5000").load()
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"),
+            sum(col("o_custkey")).as("sum_cust"))
+          .orderBy("o_orderpriority")
+      }),
+
     // O3 proper: the `$expand` navigation property served BY the connector —
     // child subform rows arrive nested inside the parent entity response
     // (array-of-struct column), then split into the child table via

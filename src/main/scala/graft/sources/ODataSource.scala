@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{DateTimeUtils, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -73,6 +73,9 @@ object ODataAgg {
   case object CountAll extends ODataAgg
   final case class MinOf(col: String) extends ODataAgg
   final case class MaxOf(col: String) extends ODataAgg
+  /** Sum over integral/double columns (server adds in Long resp. Double —
+    * the same machine arithmetic Spark's own partial sum would use). */
+  final case class SumOf(col: String) extends ODataAgg
 }
 
 final class ODataScanBuilder(entity: String, full: StructType, pageSize: Int)
@@ -88,9 +91,28 @@ final class ODataScanBuilder(entity: String, full: StructType, pageSize: Int)
   private var limit: Option[Int] = None
   private var topSort: Seq[ODataSortKey] = Nil
   private var aggs: Option[Seq[ODataAgg]] = None
+  private var groupCols: Seq[String] = Nil
+
+  /** GROUP BY columns the service can group on (single flat fields of
+    * comparable type); None when any grouping expression is out of reach. */
+  private def translateGroupBy(agg: Aggregation): Option[Seq[String]] = {
+    val cols = agg.groupByExpressions.toSeq.map {
+      case n: NamedReference if n.fieldNames.length == 1 &&
+          full.fields.find(_.name == n.fieldNames.head)
+            .exists(f => ODataTestServer.comparableType(f.dataType)) =>
+        Some(n.fieldNames.head)
+      case _ => None
+    }
+    if (cols.forall(_.isDefined)) Some(cols.flatten) else None
+  }
+
+  private def sumType(col: String): Option[DataType] =
+    full.fields.find(_.name == col).map(_.dataType).collect {
+      case LongType | IntegerType | ShortType | ByteType => LongType
+      case DoubleType => DoubleType
+    }
 
   private def translateAggs(agg: Aggregation): Option[Seq[ODataAgg]] = {
-    if (agg.groupByExpressions.nonEmpty) return None
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(ODataAgg.CountAll)
       case m: Min => m.column match {
@@ -103,18 +125,24 @@ final class ODataScanBuilder(entity: String, full: StructType, pageSize: Int)
           Some(ODataAgg.MaxOf(n.fieldNames.head))
         case _ => None
       }
+      case sm: Sum if !sm.isDistinct => sm.column match {
+        case n: NamedReference if n.fieldNames.length == 1 &&
+            sumType(n.fieldNames.head).isDefined =>
+          Some(ODataAgg.SumOf(n.fieldNames.head))
+        case _ => None
+      }
       case _ => None
     }
     if (specs.forall(_.isDefined)) Some(specs.flatten) else None
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    translateAggs(agg).isDefined
+    translateAggs(agg).isDefined && translateGroupBy(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    translateAggs(agg) match {
-      case some @ Some(_) => aggs = some; true
-      case None => false
+    (translateAggs(agg), translateGroupBy(agg)) match {
+      case (some @ Some(_), Some(g)) => aggs = some; groupCols = g; true
+      case _ => false
     }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -173,7 +201,7 @@ final class ODataScanBuilder(entity: String, full: StructType, pageSize: Int)
 
   override def build(): Scan = aggs match {
     case Some(specs) =>
-      new ODataAggScan(entity, full, pushed, specs)
+      new ODataAggScan(entity, full, pushed, specs, groupCols)
     case None =>
       new ODataScan(entity, required, pushed, limit, pageSize, topSort)
   }
@@ -185,28 +213,41 @@ final case class ODataSortKey(col: String, asc: Boolean, nullsFirst: Boolean) {
     s"$col ${if (asc) "asc" else "desc"}"
 }
 
-/** Completely-pushed aggregation: the "service" answers with a single row
-  * (OData `$apply=aggregate(...)`), so Spark plans no aggregation at all. */
+/** Completely-pushed aggregation (OData `$apply=aggregate(...)`, with
+  * `$apply=groupby((cols), aggregate(...))` when grouped): the "service"
+  * answers with one row per group, so Spark plans no aggregation at all —
+  * a GROUP BY over a billion-row entity moves |groups| rows. Contract per
+  * V2ScanRelationPushDown: readSchema = group columns THEN aggregates. */
 final class ODataAggScan(
     entity: String,
     full: StructType,
     filters: Array[Filter],
-    specs: Seq[ODataAgg]) extends Scan with Batch {
+    specs: Seq[ODataAgg],
+    groupCols: Seq[String]) extends Scan with Batch {
 
-  override def readSchema(): StructType = StructType(specs.zipWithIndex.map {
-    case (ODataAgg.CountAll, i) => StructField(s"agg_$i", LongType, nullable = false)
-    case (ODataAgg.MinOf(c), i) => StructField(s"agg_$i", full(c).dataType)
-    case (ODataAgg.MaxOf(c), i) => StructField(s"agg_$i", full(c).dataType)
-  })
+  override def readSchema(): StructType = StructType(
+    groupCols.map(c => full(c)) ++ specs.zipWithIndex.map {
+      case (ODataAgg.CountAll, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (ODataAgg.MinOf(c), i) => StructField(s"agg_$i", full(c).dataType)
+      case (ODataAgg.MaxOf(c), i) => StructField(s"agg_$i", full(c).dataType)
+      case (ODataAgg.SumOf(c), i) => StructField(s"agg_$i", full(c).dataType match {
+        case DoubleType => DoubleType
+        case _ => LongType
+      })
+    })
 
   override def description(): String =
-    s"ODataAggScan(entity=$entity, $$apply=aggregate(${specs.mkString(", ")}))"
+    if (groupCols.isEmpty)
+      s"ODataAggScan(entity=$entity, $$apply=aggregate(${specs.mkString(", ")}))"
+    else
+      s"ODataAggScan(entity=$entity, $$apply=groupby((${groupCols.mkString(",")}), " +
+        s"aggregate(${specs.mkString(", ")})))"
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val row = ODataTestServer.aggregate(entity, filters, specs)
-    Array(ODataRows(Seq(row), readSchema()))
+    val rows = ODataTestServer.aggregate(entity, filters, specs, groupCols)
+    Array(ODataRows(rows, readSchema()))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -475,26 +516,49 @@ object ODataTestServer {
     case _ => false
   }
 
-  /** Evaluate a completely-pushed aggregation (OData `$apply=aggregate`). */
+  /** Evaluate a completely-pushed aggregation (OData `$apply=aggregate`,
+    * grouped via `$apply=groupby`). Returns one row per group — group key
+    * values first, aggregates after, matching ODataAggScan.readSchema.
+    * Long sums use Long machine addition and double sums add in stable
+    * registry order, so repeated calls are bit-identical. */
   def aggregate(
       entity: String,
       filters: Array[Filter],
-      specs: Seq[ODataAgg]): Seq[Any] = {
+      specs: Seq[ODataAgg],
+      groupCols: Seq[String] = Nil): Seq[Seq[Any]] = {
     val e = entry(entity)
-    lastRequest = s"GET /$entity?$$apply=aggregate(" +
-      specs.mkString(", ") + ")" +
+    val applyExpr =
+      if (groupCols.isEmpty) s"aggregate(${specs.mkString(", ")})"
+      else s"groupby((${groupCols.mkString(",")}), aggregate(${specs.mkString(", ")}))"
+    lastRequest = s"GET /$entity?$$apply=$applyExpr" +
       (if (filters.nonEmpty) s"&$$filter=${filters.mkString(" and ")}" else "")
     val idx = e.schema.fieldNames.zipWithIndex.toMap
     val kept = e.rows.filter(r => filters.forall(evalFilter(_, r, idx)))
-    specs.map {
-      case ODataAgg.CountAll => kept.size.toLong
+
+    def aggRow(rows: Seq[Seq[Any]]): Seq[Any] = specs.map {
+      case ODataAgg.CountAll => rows.size.toLong
       case ODataAgg.MinOf(c) =>
-        val vs = kept.map(_(idx(c))).filter(_ != null)
+        val vs = rows.map(_(idx(c))).filter(_ != null)
         if (vs.isEmpty) null else vs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
       case ODataAgg.MaxOf(c) =>
-        val vs = kept.map(_(idx(c))).filter(_ != null)
+        val vs = rows.map(_(idx(c))).filter(_ != null)
         if (vs.isEmpty) null else vs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+      case ODataAgg.SumOf(c) =>
+        val vs = rows.map(_(idx(c))).filter(_ != null)
+        if (vs.isEmpty) null
+        else vs.head match {
+          case _: java.lang.Double =>
+            java.lang.Double.valueOf(
+              vs.foldLeft(0.0)((acc, v) => acc + v.asInstanceOf[Number].doubleValue))
+          case _ =>
+            java.lang.Long.valueOf(
+              vs.foldLeft(0L)((acc, v) => acc + v.asInstanceOf[Number].longValue))
+        }
     }
+
+    if (groupCols.isEmpty) Seq(aggRow(kept))
+    else kept.groupBy(r => groupCols.map(c => r(idx(c))))
+      .toSeq.map { case (key, rows) => key ++ aggRow(rows) }
   }
 
   /** Count the pages answering a pushed query (driver-side, at plan time —

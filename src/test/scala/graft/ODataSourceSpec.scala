@@ -98,9 +98,26 @@ class ODataSourceSpec extends AnyFunSuite {
     assert(n == H.tbl(spark, sf, "customer").filter(col("c_acctbal") >= 1000.0).count())
     assert(ODataTestServer.lastRequest.contains("$filter="))
 
-    // grouped aggregation is NOT claimed: Spark must plan its own agg
-    val grouped = load().groupBy("c_nationkey").agg(count(lit(1)).as("n"))
-    assert(grouped.count() == 25)
+  }
+
+  test("grouped aggregate pushdown: $apply=groupby answers per-group rows, no Spark agg") {
+    val grouped = load().groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sc"))
+    val direct = H.tbl(spark, sf, "customer").groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sc"))
+    assert(grouped.exceptAll(direct).isEmpty && direct.exceptAll(grouped).isEmpty)
+    assert(ODataTestServer.lastRequest.contains("$apply=groupby((c_nationkey)"),
+      ODataTestServer.lastRequest)
+    grouped.collect()
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"aggregation was not completely pushed:\n$plan")
+
+    // an aggregate outside the service's vocabulary (avg) keeps the WHOLE
+    // aggregation in Spark — no partial claims
+    val avgDf = load().groupBy("c_nationkey").agg(avg(col("c_acctbal")).as("a"))
+    avgDf.collect()
+    assert(avgDf.queryExecution.executedPlan.toString.contains("Aggregate"))
   }
 
   test("limit/top-N pushdown refuses once an aggregate is pushed") {
