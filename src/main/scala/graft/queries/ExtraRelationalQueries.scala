@@ -78,6 +78,45 @@ object ExtraRelationalQueries extends QueryModule {
           .orderBy("o_orderpriority")
       }),
 
+    // O5/O19 as a REAL streaming source: the reference's incremental
+    // refresh (`POST /refreshData?incremental=true`) re-expressed as a
+    // Structured Streaming pull THROUGH the connector. The offset is a row
+    // cursor into the entity ($skiptoken position); run 1 (AvailableNow)
+    // drains the initial rows, the service then gains new rows, and run 2
+    // resumes from the CHECKPOINTED cursor — only the unseen rows are
+    // fetched, and the final state holds every row exactly once. The
+    // hand-rolled lastRun watermark advance becomes engine-managed offset
+    // commitment.
+    Q("o05b_dsv2_stream_pull",
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val orders = tbl(s, dir, "orders")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_streampull").toString
+        val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        graft.sources.ODataTestServer.registerDf("orders_stream",
+          orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0))
+        def pullOnce(): Unit = {
+          val q = s.readStream.format("graft.sources.ODataSource")
+            .option("entity", "orders_stream").option("pageSize", "5000").load()
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        pullOnce() // initial load: cursor 0 -> |subset A|
+        graft.sources.ODataTestServer.appendRows("orders_stream",
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+        pullOnce() // incremental: cursor resumes, fetches ONLY the new rows
+        s.read.parquet(sink)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      }),
+
     // O3 proper: the `$expand` navigation property served BY the connector —
     // child subform rows arrive nested inside the parent entity response
     // (array-of-struct column), then split into the child table via

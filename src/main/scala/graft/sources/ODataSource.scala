@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -61,7 +62,8 @@ final class ODataTable(entity: String, schema0: StructType, pageSize: Int)
   override def name(): String = s"odata:$entity"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ODataScanBuilder(entity, schema0, pageSize)
@@ -269,6 +271,18 @@ final class ODataScan(
 
   override def readSchema(): StructType = required
 
+  /** The reference's `POST /refreshData?incremental=true` as a Structured
+    * Streaming source: the offset is a ROW CURSOR into the entity (the
+    * OData `$skiptoken` position). Each micro-batch serves the rows that
+    * appeared since the last committed cursor; the checkpoint makes the
+    * pull exactly-once across restarts — the watermark-advance step (O19)
+    * the reference hand-rolls becomes engine-managed offset commitment.
+    * Streaming pulls serve the scanned schema unfiltered (Spark applies
+    * its own filters downstream; batch pushdown rules don't run for
+    * streams). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ODataMicroBatchStream(entity, required, pageSize)
+
   override def description(): String = {
     val (sub, flat) = required.fields.partition(f =>
       ODataTestServer.isSubform(f.dataType))
@@ -326,6 +340,61 @@ final case class ODataPageRef(
     pageSize: Int,
     generation: Long,
     orderBy: Seq[ODataSortKey] = Nil) extends InputPartition
+
+/** Row-cursor offset: how many entity rows the stream has consumed. */
+final case class ODataOffset(rowIdx: Long) extends Offset {
+  override def json(): String = "{\"rowIdx\":" + rowIdx + "}"
+}
+
+/** A half-open row range [from, until) of the entity, fetched executor-side
+  * (the streaming twin of ODataPageRef). */
+final case class ODataRangeRef(
+    entity: String,
+    required: StructType,
+    from: Long,
+    until: Long) extends InputPartition
+
+final class ODataMicroBatchStream(
+    entity: String,
+    required: StructType,
+    pageSize: Int) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = ODataOffset(0L)
+
+  override def latestOffset(): Offset =
+    ODataOffset(ODataTestServer.rowCount(entity))
+
+  override def deserializeOffset(json: String): Offset = {
+    val pat = "\\{\"rowIdx\":(\\d+)\\}".r
+    json.trim match {
+      case pat(n) => ODataOffset(n.toLong)
+      case other => sys.error(s"bad odata offset: $other")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[ODataOffset].rowIdx
+    val until = end.asInstanceOf[ODataOffset].rowIdx
+    ODataTestServer.recordStreamRequest(entity, from, until)
+    (from until until by pageSize.toLong)
+      .map(lo => ODataRangeRef(entity, required, lo,
+        math.min(lo + pageSize, until)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val ref = p.asInstanceOf[ODataRangeRef]
+        new ODataRowsReader(
+          ODataTestServer.fetchRange(ref.entity, ref.required, ref.from, ref.until),
+          ref.required)
+      }
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 final class ODataRowsReader(it: Iterator[Seq[Any]], schema: StructType)
     extends PartitionReader[InternalRow] {
@@ -399,11 +468,14 @@ object ODataTestServer {
     * plan only); rows collect on first preflight — never at register time.
     * `gen` identifies this registration: scans planned against one
     * generation refuse to fetch pages from another (see [[fetchPage]]). */
-  private final class Entry(val schema: StructType, df: DataFrame, val gen: Long) {
-    lazy val rows: IndexedSeq[Seq[Any]] =
-      df.collect().iterator.map(r => (0 until r.length).map(r.get).toVector)
-        .toVector
+  private final class Entry(val schema: StructType,
+      provider: () => IndexedSeq[Seq[Any]], val gen: Long) {
+    lazy val rows: IndexedSeq[Seq[Any]] = provider()
   }
+
+  private def collectRows(df: DataFrame): IndexedSeq[Seq[Any]] =
+    df.collect().iterator.map(r => (0 until r.length).map(r.get).toVector)
+      .toVector
 
   private val entities = new ConcurrentHashMap[String, Entry]()
   private val generation = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -415,8 +487,47 @@ object ODataTestServer {
     * "tenant data" materializes on the first scan's preflight. */
   def register(spark: SparkSession, entity: String, path: String): Unit = {
     val df = spark.read.parquet(path)
-    entities.put(entity, new Entry(df.schema, df, generation.incrementAndGet()))
+    entities.put(entity,
+      new Entry(df.schema, () => collectRows(df), generation.incrementAndGet()))
   }
+
+  /** Register directly from a frame (harness-side row injection). */
+  def registerDf(entity: String, df: DataFrame): Unit =
+    entities.put(entity,
+      new Entry(df.schema, () => collectRows(df), generation.incrementAndGet()))
+
+  /** Append rows to a registered entity, PRESERVING the existing row
+    * prefix (the already-materialized rows stay at their indexes, new rows
+    * land after) — the property a streaming row-cursor offset depends on:
+    * rows [0, oldCount) mean the same thing before and after the append,
+    * so a checkpointed cursor resumes exactly where it stopped. */
+  def appendRows(entity: String, df: DataFrame): Unit = {
+    val old = entry(entity)
+    val oldRows = old.rows // force materialization NOW, then capture
+    entities.put(entity, new Entry(old.schema,
+      () => oldRows ++ collectRows(df), generation.incrementAndGet()))
+  }
+
+  /** Current row count (the streaming cursor's latest offset). */
+  def rowCount(entity: String): Long = entry(entity).rows.size.toLong
+
+  /** Serve a half-open row RANGE of the entity (streaming micro-batch
+    * fetch — the `$skiptoken` position read of an incremental pull). */
+  def fetchRange(
+      entity: String,
+      required: StructType,
+      from: Long,
+      until: Long): Iterator[Seq[Any]] = {
+    val e = entry(entity)
+    val idx = e.schema.fieldNames.zipWithIndex.toMap
+    val proj = required.fieldNames.map(idx).toSeq
+    e.rows.iterator.slice(from.toInt, until.toInt).map(r => proj.map(r))
+  }
+
+  def recordStreamRequest(entity: String, from: Long, until: Long): Unit =
+    lastRequest =
+      s"GET /$entity?$$skiptoken=$from&$$top=${until - from} (micro-batch)"
+
 
   /** Register a parent entity WITH an expandable child subform — the
     * reference's `$expand` navigation property
@@ -435,7 +546,8 @@ object ODataTestServer {
     val nested = graft.ops.Relational.nestChild(
       spark.read.parquet(parentPath), spark.read.parquet(childPath),
       parentKey, childKey, subformName, sortCols)
-    entities.put(entity, new Entry(nested.schema, nested, generation.incrementAndGet()))
+    entities.put(entity,
+      new Entry(nested.schema, () => collectRows(nested), generation.incrementAndGet()))
   }
 
   private def entry(entity: String): Entry =
