@@ -129,6 +129,9 @@ case class AsOfJoinExec(
       }
       val rTimeLt = BindReferences.bindReference(
         LessThan(rightTime, leftTime): Expression, both)
+      val rTimeGe = BindReferences.bindReference(
+        org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+          rightTime, leftTime): Expression, both)
       var pending: InternalRow = fetch()
       var lastMatch: InternalRow = null
 
@@ -147,9 +150,12 @@ case class AsOfJoinExec(
               pending = fetch()
             } else break = true
           }
+          // re-validate the TIME predicate too (not just the key): a null
+          // left time must match nothing, and the scan-position invariant
+          // alone doesn't say so
           val m =
             if (pending != null && keyEq.eval(joined(l, pending)) == true &&
-              withinTol(l, pending)) pending
+              rTimeGe.eval(joined) == true && withinTol(l, pending)) pending
             else nullRight
           proj(joined(l, m))
         }
@@ -168,7 +174,7 @@ case class AsOfJoinExec(
         }
         val m =
           if (lastMatch != null && keyEq.eval(joined(l, lastMatch)) == true &&
-            withinTol(l, lastMatch)) lastMatch
+            rTimeLe.eval(joined) == true && withinTol(l, lastMatch)) lastMatch
           else nullRight
         proj(joined(l, m))
       }

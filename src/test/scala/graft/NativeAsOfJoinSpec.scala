@@ -62,6 +62,19 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     assert(out(6L) === None)       // "z" unmatched key
   }
 
+  test("null LEFT time matches nothing, in both directions") {
+    val l = Seq((1L, "a", Option(10L)), (2L, "a", Option.empty[Long]))
+      .toDF("p_id", "key", "p_t")
+    val back = graft.plans.AsOfJoin
+      .asOf(l, rightDf, "key", "rkey", "p_t", "c_t", "c_id")
+      .select("p_id", "c_id").as[(Long, Option[Long])].collect().toMap
+    assert(back(1L) === Some(102L) && back(2L) === None)
+    val fwd = graft.plans.AsOfJoin
+      .asOf(l, rightDf, "key", "rkey", "p_t", "c_t", "c_id", forward = true)
+      .select("p_id", "c_id").as[(Long, Option[Long])].collect().toMap
+    assert(fwd(1L) === Some(101L) && fwd(2L) === None)
+  }
+
   test("null right times are dead rows; null left key never matches") {
     val l = Seq((1L, Option("a"), 10L), (2L, Option.empty[String], 10L))
       .toDF("p_id", "key", "p_t")
