@@ -27,7 +27,8 @@ object SparkEntry {
     qm.TrainingDataQueries,
     qm.CorpusScrubQueries,
     qm.AdvancedAnalyticsQueries,
-    qm.ReliabilityQueries)
+    qm.ReliabilityQueries,
+    qm.LmMixQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
