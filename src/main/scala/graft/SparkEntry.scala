@@ -28,7 +28,8 @@ object SparkEntry {
     qm.CorpusScrubQueries,
     qm.AdvancedAnalyticsQueries,
     qm.ReliabilityQueries,
-    qm.LmMixQueries)
+    qm.LmMixQueries,
+    qm.ScaleOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -167,6 +167,55 @@ object CustomExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Unicode canonicalization for corpus text: NFC-compose, then strip
+    * diacritics (NFD → drop combining marks → NFC). Equivalent to DuckDB's
+    * `strip_accents(nfc_normalize(s))` (verified on the fixture domain).
+    * The hot path is the ASCII check — web corpora are overwhelmingly
+    * ASCII-pure rows, which return the input UTF8String untouched (no
+    * String materialization, no Normalizer); only rows with a high byte pay
+    * the java.text.Normalizer cost. */
+  case class CanonText(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = StringType
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"canon_text expects STRING, got ${other.sql}")
+    }
+
+    protected override def nullSafeEval(input: Any): Any =
+      CustomExpressions.canonTextImpl(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.CustomExpressions.canonTextImpl($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): CanonText =
+      copy(child = newChild)
+  }
+
+  /** Shared by interpreted eval and generated code (static forwarder). */
+  def canonTextImpl(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { ascii = bytes(i) >= 0; i += 1 }
+    if (ascii) return s
+    import java.text.Normalizer
+    val nfc = Normalizer.normalize(s.toString, Normalizer.Form.NFC)
+    val nfd = Normalizer.normalize(nfc, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      val cp = nfd.codePointAt(j)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    UTF8String.fromString(Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
+  }
+
   // ---- Column API ---------------------------------------------------------
 
   def rolling_hash(c: Column): Column =
@@ -175,6 +224,9 @@ object CustomExpressions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       CosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def canon_text(c: Column): Column =
+    GraftColumnBridge.column(CanonText(GraftColumnBridge.expression(c)))
 
   def squared_distance(a: Column, b: Column): Column =
     GraftColumnBridge.column(
@@ -201,6 +253,10 @@ object CustomExpressions {
       "squared_distance",
       exprs => { arity("squared_distance", 2)(exprs); SquaredDistance(exprs(0), exprs(1)) },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "canon_text",
+      exprs => { arity("canon_text", 1)(exprs); CanonText(exprs.head) },
+      "built-in")
   }
 }
 
@@ -221,6 +277,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("squared_distance"),
       new ExpressionInfo(classOf[CustomExpressions.SquaredDistance].getName, "squared_distance"),
       (exprs: Seq[Expression]) => CustomExpressions.SquaredDistance(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("canon_text"),
+      new ExpressionInfo(classOf[CustomExpressions.CanonText].getName, "canon_text"),
+      (exprs: Seq[Expression]) => CustomExpressions.CanonText(exprs.head)))
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
   }

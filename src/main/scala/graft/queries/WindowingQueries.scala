@@ -739,6 +739,81 @@ object WindowingQueries extends QueryModule {
           .orderBy("p_id", "c_id")
       }),
 
+    // Stream-stream LEFT OUTER join with watermark-driven null emission:
+    // purchases with no click within ±1 hour surface as null-padded rows
+    // only once the watermark passes the end of their join window (before
+    // that, a match could still arrive — emitting earlier would be wrong).
+    // Replay is TIME-ordered (old half, new half) so a tight 1-minute
+    // watermark never drops a row as late: every batch-2 event is ≥ the
+    // batch-1 split point, which is ≥ the batch-1 watermark. A far-future
+    // sentinel batch then pushes the watermark past all real data, and one
+    // trailing dummy batch runs the eviction pass that emits the outer
+    // rows (watermark updates take effect one batch later). Sentinel and
+    // dummy rows never reach the sink: negative ids are filtered, and the
+    // dummies themselves are never evicted before the stream ends.
+    Q("stream_join_outer",
+      Some("SELECT p.event_id AS p_id, coalesce(c.event_id, -1) AS c_id, " +
+        "p.user_id, " +
+        s"strftime(p.ts, '$F6') AS p_ts, " +
+        s"coalesce(strftime(c.ts, '$F6'), '') AS c_ts " +
+        "FROM events p LEFT JOIN events c ON p.user_id = c.user_id " +
+        "AND c.event_type = 'click' AND c.event_id % 5 = 0 " +
+        "AND c.ts >= p.ts - INTERVAL '1 hour' " +
+        "AND c.ts <= p.ts + INTERVAL '1 hour' " +
+        "WHERE p.event_type = 'purchase' AND p.event_id % 5 = 0 " +
+        "ORDER BY p_id, c_id"),
+      (s, dir) => {
+        import java.nio.file.Files
+        import graft.streaming.StreamingRefresh
+        val ev = H.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts")
+          .filter(pmod(col("event_id"), lit(5)) === 0)
+        val tmp = Files.createTempDirectory("graft_ssojoin").toString
+        val inP = s"$tmp/purchases"; val inC = s"$tmp/clicks"
+        val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        val split = lit("2024-01-04").cast("timestamp")
+        def mk(id: Long, user: Long, tpe: String, ts: String) =
+          ev.sparkSession.sql(
+            s"SELECT ${id}L AS event_id, ${user}L AS user_id, " +
+              s"'$tpe' AS event_type, TIMESTAMP '$ts' AS ts")
+        def replay(tpe: String, inDir: String): Unit = writeReplay(Seq(
+          ev.filter(col("event_type") === tpe && col("ts") < split),
+          ev.filter(col("event_type") === tpe && col("ts") >= split),
+          mk(-1L, -777L, tpe, "2100-01-01 00:00:00"),
+          mk(-2L, -778L, tpe, "2100-01-02 00:00:00")), tmp, inDir)
+        replay("purchase", inP)
+        replay("click", inC)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val p = StreamingRefresh.fileStream(ss, ev.schema, inP, Some(1))
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 minute")
+        val c = StreamingRefresh.fileStream(ss, ev.schema, inC, Some(1))
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 minute")
+        val joined = p.join(c,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+          "leftOuter")
+        val q = joined.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", sink)
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .filter(col("p_id") >= 0)
+          .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"),
+            col("user_id"),
+            fmtTs(col("p_ts")).as("p_ts"),
+            coalesce(fmtTs(col("c_ts")), lit("")).as("c_ts"))
+          .orderBy("p_id", "c_id")
+      }),
+
     // State-store introspection (Spark 4 state data source): run a
     // watermarked windowed aggregation to completion, then read the
     // checkpoint's STATE back with format("statestore") — the keys and

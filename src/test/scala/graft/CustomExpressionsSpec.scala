@@ -85,4 +85,37 @@ class CustomExpressionsSpec extends AnyFunSuite {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // throws on malformed injection
   }
+
+  test("canon_text: NFC-composes, strips accents, ASCII fast path is identity") {
+    import spark.implicits._
+    // "déjà" is DECOMPOSED (e + combining acute); canon must
+    // first NFC-compose, then strip the marks — both forms land on "deja"
+    val df = Seq(
+      (1L, "plain ascii 42"),
+      (2L, "d\u00e9j\u00e0 vu"),        // precomposed é à
+      (3L, "de\u0301ja\u0300 vu"),      // decomposed e+mark a+mark
+      (4L, "A\u030angstro\u0308m"),     // decomposed ring/diaeresis
+      (5L, null.asInstanceOf[String])).toDF("id", "t")
+    val out = df.select(col("id"), CE.canon_text(col("t")).as("c"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "plain ascii 42") // untouched
+    assert(out(1).getString(1) == "deja vu")
+    assert(out(2).getString(1) == "deja vu")        // same result both forms
+    assert(out(3).getString(1) == "Angstrom")
+    assert(out(4).isNullAt(1))
+
+    CE.registerTemp(spark)
+    df.createOrReplaceTempView("ct_in")
+    val viaSql = spark.sql("SELECT canon_text(t) AS c FROM ct_in WHERE id = 3")
+      .collect()(0).getString(0)
+    assert(viaSql == "deja vu")
+  }
+
+  test("canon_text participates in whole-stage codegen (no fallback)") {
+    val df = H.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .select(CE.canon_text(col("text")).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [canontext("), plan)
+    assert(df.count() == 500)
+  }
 }

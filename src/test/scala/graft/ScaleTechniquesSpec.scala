@@ -243,4 +243,24 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .agg(max(col("n"))).head.getLong(0)
     assert(maxOut <= 3, s"orientation failed to bound hub fan-out (maxOut=$maxOut)")
   }
+
+  test("runtime bloom filter injected when the dim side can't broadcast") {
+    // the 100 TB shape: selective dim too big to broadcast → Spark builds a
+    // bloom from the dim keys (scalar subquery) and injects might_contain
+    // above the fact scan, killing most fact rows pre-shuffle
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val l = H.tbl(ss, sf, "lineitem")
+    val o = H.tbl(ss, sf, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+    val opt = joined.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bloom_filter_agg"), opt.take(1500))
+    assert(opt.contains("might_contain"), opt.take(1500))
+    // and the bloom is a pure prefilter: result equals the plain join
+    val plain = l.join(o.hint("broadcast"), l("l_orderkey") === o("o_orderkey"))
+    assert(joined.count() == plain.count())
+  }
 }
