@@ -13,6 +13,23 @@ import graft.H.{dec2, sumMoney, tbl}
   */
 object ScaleOpsQueries extends QueryModule {
 
+  /** Morton/Z-order interleave of the low `bits` bits of two non-negative
+    * ints, emitted ONCE as a Scala loop that renders both the Spark Column
+    * tree and the DuckDB SQL — the two engines evaluate structurally
+    * identical integer bit arithmetic, so the z-value itself is judged,
+    * not just the rows it orders. */
+  private val ZBits = 16
+  private def zorder(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).map { k =>
+      shiftleft(shiftrightunsigned(x, k).bitwiseAND(lit(1L)), 2 * k)
+        .bitwiseOR(shiftleft(shiftrightunsigned(y, k).bitwiseAND(lit(1L)), 2 * k + 1))
+    }.reduce(_ bitwiseOR _)
+  private def zorderSql(x: String, y: String): String =
+    (0 until ZBits).map { k =>
+      s"(((($x >> $k) & 1) << ${2 * k}) | ((($y >> $k) & 1) << ${2 * k + 1}))"
+    }.mkString("(", " | ", ")")
+
   def all: Seq[Q] = Seq(
 
     // ---- Runtime bloom-filter join pruning ------------------------------
@@ -259,6 +276,142 @@ object ScaleOpsQueries extends QueryModule {
               (col("tot") * col("tot")).cast("double")).as("collision_prob"),
             (col("maxn").cast("double") / col("tot").cast("double"))
               .as("top_char_share"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ---- Null-safe equi join (<=>) --------------------------------------
+    //
+    // SQL `=` drops NULL keys from an equi join; `<=>` (IS NOT DISTINCT
+    // FROM) matches the NULL bucket to itself. The realistic shape: two
+    // metric snapshots keyed by (day-of-week, nullable status class) —
+    // the "unclassified" NULL group must reconcile across snapshots too.
+    // Plans as an ordinary hash join (null-safe equality is still a
+    // deterministic hash key), so the scale story matches the plain join.
+    Q("join_null_safe",
+      Some("WITH a AS (SELECT (dayofweek(o_orderdate) + 1) AS dow, " +
+        "nullif(o_orderstatus, 'P') AS status, " +
+        "CAST(count(*) AS BIGINT) AS n_a FROM orders " +
+        "WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1, 2), " +
+        "b AS (SELECT (dayofweek(o_orderdate) + 1) AS dow, " +
+        "nullif(o_orderstatus, 'P') AS status, " +
+        "CAST(count(*) AS BIGINT) AS n_b FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1, 2) " +
+        "SELECT a.dow, coalesce(a.status, '?') AS status, n_a, n_b " +
+        "FROM a JOIN b ON a.dow = b.dow " +
+        "AND a.status IS NOT DISTINCT FROM b.status " +
+        "ORDER BY 1, 2"),
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        def half(cmp: org.apache.spark.sql.Column, alias: String) =
+          o.filter(cmp)
+            .groupBy(dayofweek(col("o_orderdate")).as("dow"),
+              nullif(col("o_orderstatus"), lit("P")).as("status"))
+            .agg(count(lit(1)).as(alias))
+        val cut = lit("1998-01-01").cast("timestamp")
+        val a = half(col("o_orderdate") < cut, "n_a")
+        val b = half(col("o_orderdate") >= cut, "n_b")
+          .withColumnRenamed("dow", "dow_b").withColumnRenamed("status", "status_b")
+        a.join(b, a("dow") === b("dow_b") && a("status") <=> b("status_b"))
+          .select(a("dow"), coalesce(a("status"), lit("?")).as("status"),
+            col("n_a"), col("n_b"))
+          .orderBy("dow", "status")
+      }),
+
+    // ---- Time-interval RANGE window frame -------------------------------
+    //
+    // Sliding-by-value windowing without a shuffle per slide: for each
+    // event, aggregate the SAME user's events in the trailing hour — the
+    // frame bound is a calendar interval on the ORDER BY timestamp, so peers
+    // are chosen by value (engine-exact) rather than row position. One
+    // user-keyed sort carries the whole computation; contrast with the
+    // tumbling/sliding window queries, which bucket rather than trail.
+    Q("win_time_range",
+      Some("SELECT event_id, user_id, " +
+        "CAST(count(*) OVER w AS BIGINT) AS n_hour, " +
+        "CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS v_hour " +
+        "FROM events WHERE event_id % 7 = 0 " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
+      (s, dir) => {
+        H.events(s, dir)
+          .filter(pmod(col("event_id"), lit(7)) === 0)
+          .createOrReplaceTempView("graft_timerange_ev")
+        s.sql("""SELECT event_id, user_id,
+          count(*) OVER w AS n_hour,
+          CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS v_hour
+          FROM graft_timerange_ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          ORDER BY event_id""")
+      }),
+
+    // ---- Multi-column IN subquery ---------------------------------------
+    //
+    // Row-value membership: lineitems whose (part, supplier) pair also
+    // shipped in 1998 — the pair must match as a unit (separate single-
+    // column INs would accept mixed pairs). Catalyst rewrites the IN as a
+    // left-semi hash join on the composite key: one shuffle, no distinct
+    // blow-up on either single column.
+    Q("join_multi_in",
+      Some("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue " +
+        "FROM lineitem l WHERE EXISTS " +  // row-value IN (DuckDB spells it EXISTS)
+        "(SELECT 1 FROM lineitem r WHERE r.l_partkey = l.l_partkey " +
+        "AND r.l_suppkey = l.l_suppkey " +
+        "AND r.l_shipdate >= TIMESTAMP '1998-06-01') " +
+        "GROUP BY 1 ORDER BY 1"),
+      (s, dir) => {
+        tbl(s, dir, "lineitem").createOrReplaceTempView("graft_multiin_l")
+        s.sql("""SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+          FROM graft_multiin_l WHERE (l_partkey, l_suppkey) IN
+          (SELECT l_partkey, l_suppkey FROM graft_multiin_l
+           WHERE l_shipdate >= TIMESTAMP '1998-06-01')
+          GROUP BY 1 ORDER BY 1""")
+      }),
+
+    // ---- Z-order (Morton) multi-dimensional clustering ------------------
+    //
+    // Range-sorting on ONE column leaves predicates on the other dimension
+    // unprunable; interleaving the bits of both keys gives every file a
+    // bounding box that is tight in BOTH dimensions, so a two-dimensional
+    // predicate (customer range × date range) skips most files. The
+    // interleave is pure integer bit arithmetic (same generated formula on
+    // both engines) and the judged output includes sum(z) per group, so the
+    // Morton math itself is verified, not just the surviving rows.
+    Q("layout_zorder",
+      Some {
+        val z = zorderSql("(o_custkey & 65535)",
+          "(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) & 65535)")
+        s"WITH zed AS (SELECT *, $z AS z FROM orders) " +
+          "SELECT strftime(o_orderdate, '%Y-%m') AS order_month, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(z) AS BIGINT) AS zsum, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total " +
+          "FROM zed WHERE o_custkey BETWEEN 100 AND 500 " +
+          "AND o_orderdate >= TIMESTAMP '1995-01-01' " +
+          "AND o_orderdate < TIMESTAMP '1996-01-01' " +
+          "GROUP BY 1 ORDER BY 1"
+      },
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_zorder")
+          .toString + "/orders_z"
+        val o = tbl(s, dir, "orders")
+        val z = zorder(col("o_custkey").bitwiseAND(lit(65535L)),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").bitwiseAND(lit(65535L)))
+        o.withColumn("z", z)
+          .repartitionByRange(16, col("z"))
+          .sortWithinPartitions("z")
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("o_custkey").between(100, 500) &&
+            col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+          .agg(count(lit(1)).as("n"), sum(col("z")).as("zsum"),
+            sumMoney(col("o_totalprice")).as("total"))
+          .orderBy("order_month")
+      })
   )
 }
