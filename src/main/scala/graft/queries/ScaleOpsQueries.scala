@@ -412,6 +412,82 @@ object ScaleOpsQueries extends QueryModule {
           .agg(count(lit(1)).as("n"), sum(col("z")).as("zsum"),
             sumMoney(col("o_totalprice")).as("total"))
           .orderBy("order_month")
+      }),
+
+    // ---- Parquet footer aggregate pushdown ------------------------------
+    //
+    // Stats-only queries (count / min / max, no filter, no grouping)
+    // answered from parquet FOOTERS via the DSv2 scan: PushedAggregation
+    // replaces the row scan with one row per file — at 100 TB that is the
+    // difference between a metadata read and a full table pass. Timestamp
+    // min/max is deliberately absent (parquet stats for timestamps are not
+    // pushdown-eligible); the long/double columns are.
+    Q("scan_agg_pushdown",
+      Some("SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "min(l_orderkey) AS k_min, max(l_orderkey) AS k_max, " +
+        "min(l_quantity) AS q_min, max(l_quantity) AS q_max FROM lineitem"),
+      (s, dir) => {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        ss.conf.set("spark.sql.sources.useV1SourceList", "")
+        tbl(ss, dir, "lineitem").agg(
+          count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("k_min"), max(col("l_orderkey")).as("k_max"),
+          min(col("l_quantity")).as("q_min"), max(col("l_quantity")).as("q_max"))
+      }),
+
+    // ---- Incremental dedup (delta batch vs existing corpus) -------------
+    //
+    // The ingestion-time shape: a new batch (doc_id%10 ∈ {8,9} models the
+    // day's arrivals) is deduplicated against the standing corpus WITHOUT
+    // re-pairing the corpus against itself — band keys of the delta join
+    // band keys of the base, so candidate cost follows |delta| × bucket
+    // hit-rate, not |corpus|². Exact Jaccard verification then runs only
+    // on those candidates. This is how the one-time dedup_minhash_lsh
+    // pass stays amortized across daily pulls (the reference's
+    // incremental-vs-initial load split, applied to dedup).
+    Q("dedup_incremental",
+      Some {
+        import graft.functions.{DedupSketches => DS}
+        s"WITH sh AS (${DS.shinglesSql(3)}), " +
+          s"sig AS (${DS.minhashSignatureSql}), " +
+          s"bands AS (${DS.lshBandsSql}), " +
+          "cand AS (SELECT DISTINCT d.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bands d JOIN bands b ON d.band = b.band AND d.key = b.key " +
+          "AND d.doc_id % 10 >= 8 AND b.doc_id % 10 < 8), " +
+          "counts AS (SELECT doc_id, n FROM sig), " +
+          "inter AS (SELECT doc_a, doc_b, count(*) AS ni FROM cand " +
+          "JOIN sh sa ON sa.doc_id = doc_a " +
+          "JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle " +
+          "GROUP BY doc_a, doc_b) " +
+          "SELECT c.doc_a AS doc_new, c.doc_b AS doc_base, " +
+          "CAST(coalesce(ni, 0) AS DOUBLE) / " +
+          "CAST(ca.n + cb.n - coalesce(ni, 0) AS DOUBLE) AS jaccard " +
+          "FROM cand c JOIN counts ca ON ca.doc_id = c.doc_a " +
+          "JOIN counts cb ON cb.doc_id = c.doc_b " +
+          "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b " +
+          "WHERE CAST(coalesce(ni, 0) AS DOUBLE) / " +
+          "CAST(ca.n + cb.n - coalesce(ni, 0) AS DOUBLE) >= 0.5 " +
+          "ORDER BY doc_new, doc_base"
+      },
+      (s, dir) => {
+        import graft.functions.{DedupSketches => DS}
+        val sh = DS.shingles(tbl(s, dir, "documents"), 3).cache()
+        val bands = DS.lshBands(DS.minhashSignature(sh)).cache()
+        val isDelta = pmod(col("doc_id"), lit(10)) >= 8
+        val cand = bands.filter(isDelta)
+          .select(col("band"), col("key"), col("doc_id").as("doc_a"))
+          .join(bands.filter(!isDelta)
+            .select(col("band"), col("key"), col("doc_id").as("doc_b")),
+            Seq("band", "key"))
+          .select("doc_a", "doc_b").distinct()
+        graft.H.materialized(
+          DS.verifiedJaccard(cand, sh)
+            .filter(col("jaccard") >= 0.5)
+            .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_base"),
+              col("jaccard"))
+            .orderBy("doc_new", "doc_base"),
+          caches = Seq(sh, bands))
       })
   )
 }
