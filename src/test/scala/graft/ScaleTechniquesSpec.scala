@@ -263,4 +263,36 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val plain = l.join(o.hint("broadcast"), l("l_orderkey") === o("o_orderkey"))
     assert(joined.count() == plain.count())
   }
+
+  test("nested schema pruning: one subfield read prunes the struct scan") {
+    // wide nested payloads (the multimodal/metadata shape) must not drag
+    // the whole struct through the scan when one leaf is selected
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nested").toString
+    H.tbl(spark, sf, "orders")
+      .select(col("o_orderkey"), struct(
+        col("o_custkey").as("cust"),
+        col("o_totalprice").as("price"),
+        col("o_orderpriority").as("prio")).as("payload"))
+      .write.mode("overwrite").parquet(tmp)
+    val read = spark.read.parquet(tmp).select(col("payload.cust"))
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<payload:struct<cust:bigint>>"), scan)
+    assert(read.distinct().count() > 0)
+  }
+
+  test("ANALYZE TABLE feeds CBO: stats-driven broadcast without a hint") {
+    val ss = spark.newSession()
+    H.tbl(ss, sf, "nation").write.mode("overwrite").saveAsTable("nation_stats")
+    ss.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS")
+    val sized = ss.table("nation_stats").queryExecution.optimizedPlan
+      .stats.sizeInBytes
+    // without stats the relation reports the default (huge); analyzed it
+    // reports the real few-KB size, which is what lets CBO broadcast it
+    assert(sized > 0 && sized < 1024 * 1024, s"stats size $sized")
+    val joined = H.tbl(ss, sf, "customer")
+      .join(ss.table("nation_stats"), col("c_nationkey") === col("n_nationkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    ss.sql("DROP TABLE nation_stats")
+  }
 }
