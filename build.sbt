@@ -26,8 +26,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// RAM-backed JVM tmp for forked runs when tmpfs is available: streaming
+// checkpoints and temp sinks are fsync-heavy small-file I/O, and this
+// box's virtual disk has intermittent multi-second flush stalls that
+// otherwise land on whichever query is mid-write. tmpfs contents die with
+// the machine, which is exactly the lifetime temp dirs want. (The Spark
+// shuffle scratch moves the same way via spark.local.dir=H.scratchDir.)
+val graftTmpDir: String = {
+  val shm = new java.io.File("/dev/shm")
+  if (shm.isDirectory && shm.canWrite) {
+    val d = new java.io.File(shm, "graft-tmp"); d.mkdirs(); d.getAbsolutePath
+  } else sys.props("java.io.tmpdir")
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  s"-Djava.io.tmpdir=$graftTmpDir",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

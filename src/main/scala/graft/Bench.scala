@@ -13,6 +13,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", H.scratchDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -61,7 +62,13 @@ object Bench {
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // per-query progress on stderr (stdout stays one parseable line);
+      // heap telemetry catches cross-query degradation (leaked blocks /
+      // GC pressure show up as a rising floor, machine noise does not)
+      val rt = Runtime.getRuntime
+      System.err.println(f"[bench] $name%-28s $sec%8.2f s  heap=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%5d MB")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -52,6 +52,22 @@ object H {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spark scratch (shuffle files, spills, block-manager disk store) for
+    * the single-JVM harness: RAM-backed tmpfs when available. On this box
+    * /tmp is a virtual disk with intermittent multi-second flush stalls
+    * that land on whichever shuffle-heavy query is running (measured: the
+    * same query 5 s warm and 60-90 s when a stall hits); /dev/shm takes
+    * the disk out of the shuffle path entirely. The cluster analogue is
+    * instance-local NVMe for `spark.local.dir` — never network storage. */
+  def scratchDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-scratch")
+      d.mkdirs()
+      d.getAbsolutePath
+    } else System.getProperty("java.io.tmpdir")
+  }
+
   /** Materialize `result` via an eager localCheckpoint, then release the
     * plan's inputs: `caches` through the CacheManager, `checkpoints` (frames
     * produced by localCheckpoint) through their RDD blocks. Use at the tail
