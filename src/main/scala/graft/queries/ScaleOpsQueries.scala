@@ -488,6 +488,75 @@ object ScaleOpsQueries extends QueryModule {
               col("jaccard"))
             .orderBy("doc_new", "doc_base"),
           caches = Seq(sh, bands))
+      }),
+
+    // ---- Sliding-window document chunking (RAG prep) --------------------
+    //
+    // Retrieval corpora serve fixed-size token windows with overlap
+    // (window 50, stride 40 → 10-token overlap preserves context across
+    // chunk boundaries). Pure per-row expressions: a generated index
+    // sequence drives array slices — zero shuffle, chunk count adapts to
+    // document length, and the chunk id is positional so re-chunking is
+    // idempotent. Both engines compute the chunk grid with the same integer
+    // arithmetic.
+    Q("text_chunk_overlap",
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS l, " +
+        "len(string_split(text, ' ')) AS n FROM documents), " +
+        "c AS (SELECT doc_id, l, n, " +
+        "unnest(range(0, ((greatest(n - 50, 0) + 39) // 40) + 1)) AS i FROM t) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, " +
+        "CAST(least(50, n - i * 40) AS BIGINT) AS n_tok, " +
+        "array_to_string(l[i * 40 + 1 : i * 40 + 50], ' ') AS chunk_text " +
+        "FROM c ORDER BY doc_id, chunk_id"),
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .select(col("doc_id"), col("n"),
+            posexplode(expr(
+              "transform(sequence(0, (greatest(n - 50, 0) + 39) div 40), " +
+                "i -> array_join(slice(toks, i * 40 + 1, 50), ' '))"))
+              .as(Seq("chunk_id", "chunk_text")))
+          .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+            least(lit(50L), col("n") - col("chunk_id") * 40L).cast("long")
+              .as("n_tok"),
+            col("chunk_text"))
+          .orderBy("doc_id", "chunk_id")),
+
+    // ---- Vocabulary coverage / OOV-rate report --------------------------
+    //
+    // The tokenizer-design question "how much of the corpus does a top-K
+    // vocabulary cover?" as one pass: token counts (map-side combine), a
+    // deterministic top-1000 (count desc, token asc — TakeOrderedAndProject,
+    // no global window), and exact BIGINT occurrence sums; coverage and
+    // OOV rate are single IEEE divisions of exact integers.
+    Q("vocab_coverage",
+      Some("WITH cnt AS (SELECT unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM cnt " +
+        "WHERE tok <> '' GROUP BY tok), " +
+        "v AS (SELECT n FROM c ORDER BY n DESC, tok LIMIT 1000) " +
+        "SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS vocab_size, " +
+        "CAST((SELECT sum(n) FROM v) AS BIGINT) AS covered, " +
+        "CAST((SELECT sum(n) FROM c) AS BIGINT) AS total, " +
+        "CAST((SELECT sum(n) FROM v) AS DOUBLE) / " +
+        "CAST((SELECT sum(n) FROM c) AS DOUBLE) AS coverage, " +
+        "1 - CAST((SELECT sum(n) FROM v) AS DOUBLE) / " +
+        "CAST((SELECT sum(n) FROM c) AS DOUBLE) AS oov_rate"),
+      (s, dir) => {
+        val cnt = tbl(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val vocab = cnt.orderBy(col("n").desc, col("tok")).limit(1000)
+          .agg(count(lit(1)).as("vocab_size"), sum(col("n")).as("covered"))
+        val total = cnt.agg(sum(col("n")).as("total"))
+        vocab.crossJoin(total)
+          .select(col("vocab_size"), col("covered"), col("total"),
+            (col("covered").cast("double") / col("total").cast("double"))
+              .as("coverage"),
+            (lit(1) - col("covered").cast("double") / col("total").cast("double"))
+              .as("oov_rate"))
       })
   )
 }
