@@ -54,6 +54,20 @@ object Bench {
       spark.sql("DROP DATABASE bench_warmup CASCADE")
     }
 
+    // Machine calibration: a fixed single-thread integer workload whose
+    // wall time rides along in the result line. The sandbox machine has
+    // changed speed between rounds — totals are only comparable across
+    // rounds after normalizing by this (and even then, per-query variance
+    // on this box is large; see README's benchmark environment note).
+    val calibMs = {
+      val t0 = System.nanoTime()
+      var x = 0L; var i = 0
+      while (i < 200000000) { x += (i.toLong * i) ^ (x >>> 31); i += 1 }
+      val ms = (System.nanoTime() - t0) / 1e6
+      System.err.println(f"[bench] calib x=$x ${ms}%.0f ms")
+      ms
+    }
+
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -75,7 +89,7 @@ object Bench {
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full per-query map → file (the driver keeps only the tail of stdout).
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","calib_ms":${"%.0f".format(calibMs)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     scala.util.Try(java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n"))
     // The LAST stdout line must stay parseable from a bounded tail capture:
@@ -83,7 +97,7 @@ object Bench {
     // greedily added (ms precision) while the line stays under ~1700 chars.
     def ms(v: Double): String = "%.3f".format(v)
     val slowestFirst = results.sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"calib_ms":${"%.0f".format(calibMs)},"errors":$errs,"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
     val budget = 1700 - head.length - 2
     val entries = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
