@@ -653,6 +653,51 @@ object ScaleOpsQueries extends QueryModule {
             array_join(expr(
               "transform(array_sort(collect_list(struct(pos, tok2))), x -> x.tok2)"),
               " ").as("masked"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ---- Point-in-time (feature-store) join -----------------------------
+    //
+    // Training-example enrichment without leakage: each purchase joins the
+    // state version that was EFFECTIVE at its timestamp — never a later
+    // one. Versions are SCD2 intervals (click k valid [ts_k, ts_{k+1})),
+    // and the join carries the entity key as an equi condition, so it
+    // hashes on user_id and the interval predicate filters inside the
+    // join — no cross product, same distribution story as a plain
+    // equi-join at 100 TB.
+    Q("join_point_in_time",
+      Some(s"WITH v AS (SELECT user_id, event_id, ts, " +
+        "CAST(row_number() OVER w AS BIGINT) AS version, ts AS valid_from, " +
+        "coalesce(lead(ts) OVER w, TIMESTAMP '2100-01-01') AS valid_to " +
+        "FROM events WHERE event_type = 'click' " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "p AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT p.event_id AS p_id, p.user_id, v.version, " +
+        s"strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts, " +
+        s"strftime(v.valid_from, '%Y-%m-%d %H:%M:%S.%f') AS v_ts " +
+        "FROM p JOIN v ON v.user_id = p.user_id " +
+        "AND p.ts >= v.valid_from AND p.ts < v.valid_to " +
+        "ORDER BY p_id"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = H.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("v_user"), col("event_id").as("v_eid"),
+            col("ts").as("valid_from"))
+        val wv = Window.partitionBy("v_user").orderBy("valid_from", "v_eid")
+        val v = clicks
+          .withColumn("version", row_number().over(wv).cast("long"))
+          .withColumn("valid_to",
+            coalesce(lead(col("valid_from"), 1).over(wv),
+              lit("2100-01-01").cast("timestamp")))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+        p.join(v, col("user_id") === col("v_user") &&
+            col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+          .select(col("p_id"), col("user_id"), col("version"),
+            H.fmtTs(col("ts")).as("p_ts"),
+            H.fmtTs(col("valid_from")).as("v_ts"))
+          .orderBy("p_id")
+      })
   )
 }
