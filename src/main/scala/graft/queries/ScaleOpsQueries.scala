@@ -698,6 +698,83 @@ object ScaleOpsQueries extends QueryModule {
             H.fmtTs(col("ts")).as("p_ts"),
             H.fmtTs(col("valid_from")).as("v_ts"))
           .orderBy("p_id")
+      }),
+
+    // ---- Distributed k-means over embeddings (fixed-point, 3 rounds) ----
+    //
+    // Corpus clustering for mixture balancing: K=4 centroids, 3 unrolled
+    // Lloyd rounds, deterministic init (first K vectors). Bit-reproducible
+    // on any partitioning because every step is exact: embeddings quantize
+    // to integers (round(x*1000)), squared distances are sums of exactly
+    // representable products (fused codegen squared_distance — integer-
+    // valued doubles stay exact under any addition order), tie-break is
+    // (ssd, cid), and the new centroid is floor(exact-sum / count). The
+    // scale shape is PageRank's: per-round broadcast of K tiny centroids
+    // against the big side, per-dim partial-agg recompute, 4-row
+    // localCheckpoints truncating lineage between rounds.
+    Q("emb_kmeans",
+      Some {
+        import graft.functions.{VectorSim => VS}
+        def assignCte(name: String, cent: String) =
+          s"$name AS (SELECT e.vec_id, c.cid FROM e, $cent c " +
+            s"QUALIFY row_number() OVER (PARTITION BY e.vec_id " +
+            s"ORDER BY ${VS.ssdSql("e.q", "c.c")}, c.cid) = 1)"
+        def recomputeCte(name: String, asg: String) =
+          s"$name AS (SELECT cid, list(cv ORDER BY dim) AS c FROM (" +
+            "SELECT a.cid, d.dim, CAST(floor(CAST(sum(e.q[d.dim + 1]) AS DOUBLE) " +
+            "/ count(*)) AS BIGINT) AS cv " +
+            s"FROM $asg a JOIN e USING (vec_id), " +
+            "(SELECT unnest(range(0, 64)) AS dim) d " +
+            "GROUP BY a.cid, d.dim) GROUP BY cid)"
+        "WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[], " +
+          "x -> CAST(round(x * 1000) AS BIGINT)) AS q FROM embeddings), " +
+          "c0 AS (SELECT vec_id AS cid, q AS c FROM e WHERE vec_id < 4), " +
+          assignCte("a1", "c0") + ", " + recomputeCte("c1", "a1") + ", " +
+          assignCte("a2", "c1") + ", " + recomputeCte("c2", "a2") + ", " +
+          assignCte("a3", "c2") + " " +
+          "SELECT a.cid AS cluster, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(any_value(cs.s) AS BIGINT) AS centroid_sum " +
+          "FROM a3 a JOIN (SELECT cid, list_sum(c) AS s FROM c2) cs " +
+          "USING (cid) GROUP BY a.cid ORDER BY cluster"
+      },
+      (s, dir) => {
+        import graft.functions.{CustomExpressions => CE}
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.DataFrame
+        val qe = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+              "x -> CAST(CAST(round(x * 1000) AS BIGINT) AS DOUBLE))").as("qd"))
+          .cache()
+        def assign(cent: DataFrame): DataFrame =
+          qe.crossJoin(broadcast(cent))
+            .withColumn("ssd", CE.squared_distance(col("qd"), col("c")))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("vec_id").orderBy(col("ssd"), col("cid"))))
+            .filter(col("rn") === 1).select("vec_id", "cid")
+        def recompute(asg: DataFrame): DataFrame =
+          asg.join(qe, "vec_id")
+            .select(col("cid"), posexplode(col("qd")).as(Seq("dim", "v")))
+            .groupBy("cid", "dim")
+            .agg(sum(col("v").cast("long")).as("sv"), count(lit(1)).as("cnt"))
+            .withColumn("cv", floor(col("sv").cast("double") / col("cnt")))
+            .groupBy("cid").agg(expr(
+              "transform(array_sort(collect_list(struct(dim, cv))), " +
+                "x -> CAST(x.cv AS DOUBLE))").as("c"))
+            .localCheckpoint() // 4 rows; truncates the per-round lineage
+        val c0 = qe.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("qd").as("c"))
+        val c1 = recompute(assign(c0))
+        val c2 = recompute(assign(c1))
+        val sums = c2.select(col("cid"),
+          expr("CAST(aggregate(c, 0D, (acc, x) -> acc + x) AS BIGINT)").as("s"))
+        graft.H.materialized(
+          assign(c2).groupBy("cid").agg(count(lit(1)).as("n"))
+            .join(sums, "cid")
+            .select(col("cid").as("cluster"), col("n"),
+              col("s").as("centroid_sum"))
+            .orderBy("cluster"),
+          caches = Seq(qe), checkpoints = Seq(c1, c2))
       })
   )
 }
