@@ -280,6 +280,18 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(read.distinct().count() > 0)
   }
 
+  test("fixed-point k-means is partitioning-invariant (bit-reproducible)") {
+    // the emb_kmeans design claim: exact integer arithmetic means the
+    // clustering result cannot depend on how the data is sharded
+    val fn = SparkEntry.queries("emb_kmeans")
+    val base = fn(spark, sf).collect().map(_.toString).sorted
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "7") // different layout
+    val reparted = fn(ss, sf).collect().map(_.toString).sorted
+    assert(base.sameElements(reparted), s"\n${base.mkString(",")}\nvs\n${reparted.mkString(",")}")
+    assert(base.length == 4)
+  }
+
   test("ANALYZE TABLE feeds CBO: stats-driven broadcast without a hint") {
     val ss = spark.newSession()
     H.tbl(ss, sf, "nation").write.mode("overwrite").saveAsTable("nation_stats")
