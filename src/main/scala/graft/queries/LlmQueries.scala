@@ -284,12 +284,19 @@ object LlmQueries extends QueryModule {
 
     // ---- multimodal ------------------------------------------------------
 
+    // Real container-header decode: each document is wrapped in a
+    // structurally-valid PNG (even doc_id) or JPEG (odd) whose IHDR/SOF0
+    // declares dimensions keyed off doc_id; the decoder recovers them from
+    // the BYTES ONLY, while the oracle predicts them from doc_id — so a
+    // parser bug (endianness, offset, marker walk) breaks the hash match.
     Q("multimodal_meta",
-      Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, " +
-        "CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte, " +
-        "CAST(64 + length(text) % 512 AS BIGINT) AS width, " +
-        "CAST(64 + (length(text) * 7 + ascii(substr(text, 1, 1))) % 512 AS BIGINT) AS height, " +
-        "CAST(3 AS BIGINT) AS channels, 'fake/rgb8' AS format " +
+      Some("SELECT doc_id, " +
+        "CAST(octet_length(encode(text)) + CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 23 END AS BIGINT) AS byte_len, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 137 ELSE 255 END AS BIGINT) AS first_byte, " +
+        "CAST(1 + doc_id % 1024 AS BIGINT) AS width, " +
+        "CAST(1 + (doc_id * 7 + octet_length(encode(text))) % 1024 AS BIGINT) AS height, " +
+        "CAST(3 AS BIGINT) AS channels, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS format " +
         "FROM documents ORDER BY doc_id"),
       (s, dir) =>
         Multimodal.extractMeta(s, tbl(s, dir, "documents")).toDF().orderBy("doc_id")),

@@ -94,14 +94,71 @@ class SketchesSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("multimodal stub decode: deterministic metadata from real bytes") {
-    val m = Multimodal.decodeMeta(7L, "hello world, a fake png payload!".getBytes("UTF-8"))
-    assert(m.byte_len == 32L)
-    assert(m.first_byte == 'h'.toLong)
-    assert(m.width == 64 + 32 % 512)
-    assert(m.channels == 3L)
+  test("multimodal decode: PNG IHDR parsed from hand-assembled bytes") {
+    // Hand-written container (NOT via synthesizePng, so synth and parse
+    // can't share a bug): signature + IHDR with width=640 (0x280),
+    // height=480 (0x1e0), bit depth 8, color type 6 (RGBA → 4 channels).
+    // The decoder ignores chunk CRCs, so the CRC here is a placeholder.
+    val png: Array[Byte] = (Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++ // signature
+      Seq(0x00, 0x00, 0x00, 0x0d) ++ // IHDR length 13
+      Seq('I', 'H', 'D', 'R').map(_.toInt) ++
+      Seq(0x00, 0x00, 0x02, 0x80) ++ // width 640
+      Seq(0x00, 0x00, 0x01, 0xe0) ++ // height 480
+      Seq(0x08, 0x06, 0x00, 0x00, 0x00) ++ // depth 8, color type 6, deflate/adaptive/none
+      Seq(0xde, 0xad, 0xbe, 0xef)) // CRC placeholder
+      .map(_.toByte).toArray
+    val m = Multimodal.decodeMeta(1L, png)
+    assert(m.format == "image/png")
+    assert(m.width == 640L && m.height == 480L && m.channels == 4L)
+    assert(m.byte_len == png.length.toLong && m.first_byte == 0x89L)
+  }
+
+  test("multimodal decode: JPEG SOF0 found behind APP0, big-endian dims") {
+    // SOI + APP0/JFIF (decoder must SKIP this via its length field) +
+    // SOF0 with height=123 (0x007b), width=456 (0x01c8), 3 components.
+    val jpeg: Array[Byte] = (Seq(0xff, 0xd8) ++ // SOI
+      Seq(0xff, 0xe0, 0x00, 0x10) ++ // APP0, length 16
+      Seq('J', 'F', 'I', 'F', 0).map(_.toInt) ++ Seq(1, 2, 0, 0, 1, 0, 1, 0, 0) ++ // 14 payload bytes
+      Seq(0xff, 0xc0, 0x00, 0x11, 0x08) ++ // SOF0, length 17, precision 8
+      Seq(0x00, 0x7b) ++ // height 123
+      Seq(0x01, 0xc8) ++ // width 456
+      Seq(0x03) ++ Seq(1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1) ++ // 3 components
+      Seq(0xff, 0xd9)) // EOI
+      .map(_.toByte).toArray
+    val m = Multimodal.decodeMeta(2L, jpeg)
+    assert(m.format == "image/jpeg")
+    assert(m.width == 456L && m.height == 123L && m.channels == 3L)
+    assert(m.first_byte == 0xffL)
+  }
+
+  test("multimodal decode: synthesized containers round-trip their declared dims") {
+    val body = "hello world, the entropy-coded stand-in".getBytes("UTF-8")
+    val png = Multimodal.decodeMeta(3L, Multimodal.synthesizePng(1023, 7, body))
+    assert(png.format == "image/png" && png.width == 1023L && png.height == 7L
+      && png.channels == 3L && png.byte_len == body.length + 57L)
+    val jpg = Multimodal.decodeMeta(4L, Multimodal.synthesizeJpeg(800, 600, body))
+    assert(jpg.format == "image/jpeg" && jpg.width == 800L && jpg.height == 600L
+      && jpg.channels == 3L && jpg.byte_len == body.length + 23L)
+    // synthesizePayload keys dims off doc_id (even → PNG, odd → JPEG)
+    val even = Multimodal.decodeMeta(10L, Multimodal.synthesizePayload(10L, body))
+    assert(even.format == "image/png" && even.width == 11L
+      && even.height == 1L + (10L * 7L + body.length) % 1024L)
+    val odd = Multimodal.decodeMeta(11L, Multimodal.synthesizePayload(11L, body))
+    assert(odd.format == "image/jpeg" && odd.width == 12L)
+  }
+
+  test("multimodal decode: non-media bytes fall through to opaque binary") {
+    val m = Multimodal.decodeMeta(7L, "hello world, not a png payload!!".getBytes("UTF-8"))
+    assert(m.format == "application/octet-stream")
+    assert(m.width == 0L && m.height == 0L && m.channels == 0L)
+    assert(m.byte_len == 32L && m.first_byte == 'h'.toLong)
     val empty = Multimodal.decodeMeta(8L, Array.emptyByteArray)
-    assert(empty.byte_len == 0L && empty.first_byte == 0L)
+    assert(empty.byte_len == 0L && empty.first_byte == 0L
+      && empty.format == "application/octet-stream")
+    // a truncated PNG (signature only, no IHDR) must not crash
+    val trunc = Multimodal.decodeMeta(9L,
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    assert(trunc.format == "application/octet-stream" && trunc.width == 0L)
   }
 
   test("KLL sketches: shard-merge quantiles stay within the rank bound") {
