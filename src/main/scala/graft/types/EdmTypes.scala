@@ -81,7 +81,11 @@ object EdmTypes {
 
   /** The warehouse types are authored in the Azure SQL dialect (reference
     * target); render them for another ANSI target. `derby` is the embedded
-    * stand-in the harness can actually execute against. */
+    * stand-in the harness can actually execute against; `tsql` is the
+    * production Azure SQL render with every type explicitly bounded
+    * (T-SQL quirk: an unlengthed VARCHAR in DDL means VARCHAR(1), and an
+    * unlengthed NUMERIC means NUMERIC(18,0) — both silent data loss, so
+    * the engine always renders the bound). */
   def renderType(azureSql: String, dialect: String): String = dialect match {
     case "derby" => azureSql match {
       case "DATETIME" | "DATETIMEOFFSET" => "TIMESTAMP"
@@ -89,7 +93,47 @@ object EdmTypes {
       case "NUMERIC" => "NUMERIC(31,3)" // Derby max precision is 31
       case other => other
     }
+    case "tsql" => azureSql match {
+      case "VARCHAR" => "VARCHAR(max)" // matches SQLAlchemy mssql String-without-length
+      case "NUMERIC" => "NUMERIC(38, 3)" // DecimalType(38,3): NOT the reference's bare
+        // NUMERIC, which Azure SQL defaults to (18,0) and silently rounds to integers
+      case other => other
+    }
     case _ => azureSql
+  }
+
+  /** The full T-SQL `CREATE TABLE` in the exact shape the reference's
+    * SQLAlchemy mssql dialect emits when `sqlDwh.createTable` runs
+    * `table.create(engine)` (sqlDwh.py:355-390 builds the Table from entity
+    * metadata; the mssql DDL compiler renders it): bracket-quoted
+    * identifiers in source casing, every KeyFlag column forced to
+    * VARCHAR(255) NOT NULL (sqlDwh.py:368-370), unbounded String as
+    * VARCHAR(max), bare NUMERIC (the reference's `eval('NUMERIC')` carries
+    * no precision — a faithfully-reproduced quirk: Azure SQL defaults that
+    * to NUMERIC(18,0)), explicit NULL/NOT NULL per column, the
+    * extractionId/extractionTimestampUTC audit columns appended
+    * (sqlDwh.py:380-381), and a table-level PRIMARY KEY constraint.
+    * Line shape mirrors SQLAlchemy's one-column-per-line layout, minus its
+    * trailing space after each comma (normalized away: trailing whitespace
+    * doesn't survive editors or code review, and T-SQL ignores it). */
+  def tsqlDdl(meta: EntityMeta): String = {
+    val cols = meta.fields.map { f =>
+      val t = targetFor(meta.sourceSystem, f)
+      val sqlType = if (f.keyFlag) pkAzureType else t.azureSql match {
+        case "VARCHAR" => "VARCHAR(max)"
+        case other => other
+      }
+      val nullness = if (f.keyFlag) "NOT NULL" else "NULL"
+      s"[${f.fieldName}] $sqlType $nullness"
+    } ++ Seq(
+      "[extractionId] VARCHAR(36) NULL",
+      "[extractionTimestampUTC] DATETIME NULL")
+    val pkCols = meta.fields.filter(_.keyFlag).map(f => s"[${f.fieldName}]")
+    val constraint =
+      if (pkCols.nonEmpty) Seq(s"PRIMARY KEY (${pkCols.mkString(", ")})")
+      else Seq.empty
+    s"CREATE TABLE [${meta.entityName}] (\n\t" +
+      (cols ++ constraint).mkString(",\n\t") + "\n)\n"
   }
 
   /** Spark JDBC writer `createTableColumnTypes` option value. */

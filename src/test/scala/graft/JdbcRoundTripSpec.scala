@@ -65,4 +65,40 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("ord"), plan)
     assert(filtered.count() == df.filter(col("ord") > bounds.getLong(0)).count())
   }
+
+  // ---- T-SQL dialect: the production target the sandbox can't connect to.
+  // The reference's actual sink is Azure SQL and its DDL author is
+  // SQLAlchemy's mssql dialect (sqlDwh.py:355-390 builds the Table,
+  // table.create(engine) compiles it). These goldens pin the engine's
+  // T-SQL render to that exact output shape, byte for byte — the closest
+  // executable check a DB-less sandbox allows.
+
+  private def golden(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/tsql/$name.sql")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  test("T-SQL DDL byte-matches the reference's SQLAlchemy mssql shape (single PK)") {
+    assert(graft.types.EdmTypes.tsqlDdl(Fixtures.ordersMeta) == golden("ORDERS"))
+  }
+
+  test("T-SQL DDL from $metadata EDMX: composite PK, key columns forced VARCHAR(255)") {
+    // full O8 → O16 path on the production dialect: parse the EDMX, take
+    // ORDERITEMS (keys ORDNAME + LINE — LINE is Edm.Int64 but the reference
+    // forces every key column to String(255), sqlDwh.py:368-370)
+    val metas = graft.schema.MetadataXml.parse(Fixtures.edmx, "priority")
+    val items = metas.find(_.entityName == "ORDERITEMS").get
+    assert(graft.types.EdmTypes.tsqlDdl(items) == golden("ORDERITEMS"))
+  }
+
+  test("tsql createTableColumnTypes bounds every type (no silent T-SQL defaults)") {
+    // Spark's JDBC writer path for a real Azure SQL target: unlengthed
+    // VARCHAR would mean VARCHAR(1) and bare NUMERIC means NUMERIC(18,0)
+    // in T-SQL DDL — the engine must always render explicit bounds.
+    val opts = graft.types.EdmTypes.createTableColumnTypes(
+      Fixtures.ordersMeta, dialect = "tsql")
+    assert(opts == "ordname VARCHAR(255), curdate DATETIMEOFFSET, " +
+      "qprice NUMERIC(38, 3), ord BIGINT, extractionid VARCHAR(36), " +
+      "extractiontimestamputc DATETIME", opts)
+  }
 }
