@@ -143,32 +143,35 @@ object DedupSketches {
     * equi-join shuffles on cached inputs; the only driver-side work is a
     * boolean convergence probe — no data ever collects.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIters: Int = 25,
+      mode: Iteratives.Mode = Iteratives.Local): DataFrame = {
+    import Iteratives.{checkpoint => ckpt, free}
     // checkpoint the pair list once: the bidirectional union references it
     // twice, and its upstream (candidate verification) is a join pipeline
     // worth not recomputing
-    val p = pairs.localCheckpoint()
+    val p = ckpt(pairs, mode)
     val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    // localCheckpoint (eager) each round: materializes the new labels AND
+    // checkpoint (eager) each round: materializes the new labels AND
     // truncates lineage — without it, the per-round plan chains back
     // through every previous round and iteration cost explodes. Each
-    // round's blocks are FREED once the next round materializes
-    // (H.freeLocalCheckpoint), so storage holds one generation, not the
-    // whole iteration history. (localCheckpoint trades fault tolerance for
-    // speed — an executor loss mid-iteration fails the job and the caller
-    // reruns; at cluster scale swap in reliable checkpoint() for restart
-    // from the last completed round.)
+    // round's generation is FREED once the next round materializes, so
+    // storage holds one generation, not the whole iteration history. The
+    // `mode` picks the fault-tolerance story: Local (executor blocks,
+    // fastest, job reruns on executor loss) vs Reliable (checkpoint dir,
+    // restart from the last completed round on a cluster) — see
+    // Iteratives; results are identical either way (IterativesSpec).
     // seed labels with one fused pull-min (label = min(node, neighbors)):
     // the groupBy reuses the edge shuffle the loop needs anyway and saves a
     // full three-join round versus starting from label = node
-    var labels = edges
+    var labels = ckpt(edges
       .groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("m"))
-      .select(col("node"), least(col("node"), col("m")).as("label"))
-      .localCheckpoint()
+      .select(col("node"), least(col("node"), col("m")).as("label")), mode)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -185,21 +188,20 @@ object DedupSketches {
       // node ids, so the lookup is a self-join on the stepped frame). The
       // `changed` flag rides along so convergence is a scan of the already
       // checkpointed frame, not an extra join job.
-      val next = stepped
+      val next = ckpt(stepped
         .join(stepped.select(col("node").as("mid"), col("mid").as("jump")),
           Seq("mid"), "left")
         .select(col("node"),
           coalesce(col("jump"), col("mid")).as("label"),
-          (coalesce(col("jump"), col("mid")) < col("old")).as("changed"))
-        .localCheckpoint()
+          (coalesce(col("jump"), col("mid")) < col("old")).as("changed")), mode)
       converged = next.filter(col("changed")).isEmpty
       stepped.unpersist()
-      graft.H.freeLocalCheckpoint(labels) // next is materialized; last round's blocks are dead
+      free(labels, mode) // next is materialized; last round's generation is dead
       labels = next.select("node", "label")
       i += 1
     }
     edges.unpersist()
-    graft.H.freeLocalCheckpoint(p) // nothing reads the pair list once edges is dropped
+    free(p, mode) // nothing reads the pair list once edges is dropped
     // half-propagated labels would silently mark true duplicates canonical
     require(converged,
       s"connectedComponents did not converge after $maxIters rounds")

@@ -67,26 +67,17 @@ object AdvancedAnalyticsQueries extends QueryModule {
         val rk = row_number()
           .over(Window.partitionBy("src").orderBy(col("w").desc, col("dst")))
         val edges = pairs.withColumn("rk", rk).filter(col("rk") <= 7)
-          .select("src", "dst").localCheckpoint()
-        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+          .select("src", "dst")
         val nodes = tbl(s, dir, "nation").select(col("n_nationkey").as("id"))
-        var ranks = nodes.withColumn("r", lit(1000000L))
-        for (_ <- 1 to 3) {
-          val contribs = edges
-            .join(broadcast(ranks), edges("src") === ranks("id"))
-            .join(broadcast(outdeg), Seq("src"))
-            .select(col("dst").as("id"), expr("r div d").as("contrib"))
-            .groupBy("id").agg(sum("contrib").as("sc"))
-          ranks = nodes.join(contribs, Seq("id"), "left")
-            .select(col("id"),
-              (lit(150000L) + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
-                .cast("long").as("r"))
-        }
+        // iterative core lives in Iteratives.pageRankMicro — checkpoint
+        // mode is a parameter (Local here; Reliable for cluster restart,
+        // proven equivalent in IterativesSpec)
+        val ranks = graft.functions.Iteratives.pageRankMicro(edges, nodes, rounds = 3)
         val nation = tbl(s, dir, "nation")
         val out = ranks.join(broadcast(nation), ranks("id") === nation("n_nationkey"))
           .select(col("n_name"), col("r").as("rank_micro"))
           .orderBy("n_name")
-        H.materialized(out, Nil, Seq(edges))
+        H.materialized(out, Nil, Seq(ranks))
       }),
 
     // Conversion funnel with per-stage 24h deadlines: first view, first
