@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards for the scale-critical judged queries.
+  *
+  * PLANS.md documents the plans as prose; these assertions make the
+  * properties executable, so a refactor that silently loses a pushdown,
+  * a broadcast hint, or partition pruning fails HERE with a pointed
+  * message instead of surfacing as a 100x regression on a cluster.
+  * Assertions run against the same `SparkEntry.queries` programs the
+  * driver judges, at sf0.001.
+  */
+class PlanGuardsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def df(name: String) = SparkEntry.queries(name)(spark, sf)
+  private def executed(name: String): String =
+    df(name).queryExecution.executedPlan.toString
+  private def optimized(name: String): String =
+    df(name).queryExecution.optimizedPlan.toString
+
+  test("o02_predicate_pushdown: filters reach the parquet scan (non-empty PushedFilters)") {
+    val plan = executed("o02_predicate_pushdown")
+    // "PushedFilters: []" would mean the scan reads everything and the
+    // filter runs post-scan — the exact failure this guard exists for
+    assert(raw"PushedFilters: \[[^\]]".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("o10_parent_project: column pruning reaches the scan (narrow ReadSchema)") {
+    val plan = executed("o10_parent_project")
+    val read = raw"ReadSchema: struct<([^>]*)".r.findFirstMatchIn(plan)
+    assert(read.isDefined, plan)
+    // the projection drops o_comment/o_clerk/the subform — a scan that
+    // still reads them means pruning broke upstream of the select
+    val schema = read.get.group(1)
+    assert(!schema.contains("o_comment") && !schema.contains("o_clerk"), schema)
+    assert(schema.contains("o_orderkey"), schema)
+  }
+
+  test("text_boilerplate: the vocabulary join is broadcast, never shuffled") {
+    val plan = executed("text_boilerplate")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin")
+      || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("join_dpp: fact scan carries a dynamic partition pruning subquery") {
+    val plan = executed("join_dpp")
+    assert(plan.contains("dynamicpruning"), plan)
+  }
+
+  test("join_bloom_prefilter: runtime bloom filter injected above the fact scan") {
+    val plan = optimized("join_bloom_prefilter")
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"), plan)
+  }
+
+  test("q1_pricing_summary: partial aggregation before the shuffle (map-side combine)") {
+    val plan = executed("q1_pricing_summary")
+    // two HashAggregate levels around one Exchange = partial + final
+    assert(raw"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    // CartesianProductExec is the every-pair shuffle product — at 100 TB it
+    // is always a bug (broadcast-nested-loop over a bounded side is the
+    // acceptable non-equi form and is NOT flagged here).
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sf).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct planned in: ${offenders.mkString(", ")}")
+  }
+}
