@@ -214,6 +214,60 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a hot LSH band in the incremental-dedup candidate join") {
+    // The dedup band joins are equi-joins on short (band, key) strings —
+    // exactly where a boilerplate page or empty-document cluster lands
+    // thousands of docs in ONE band bucket at corpus scale. Plant that hot
+    // band (8% of docs share identical text → identical minhash → all
+    // their band keys collide) and prove the OptimizeSkewedJoin rewrite
+    // splits the oversized partition of the SAME delta-vs-base join shape
+    // dedup_incremental runs, instead of one straggler task dragging the
+    // stage.
+    import graft.functions.{DedupSketches => DS}
+    val ss = spark.newSession() // conf changes invisible to other suites
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2000")
+    // factor 1.5, not the 5.0 default: the skew detector compares
+    // COMPRESSED shuffle-block sizes, and a hot band's blocks are runs of
+    // one identical key — lz4 squeezes them far below their row-count
+    // share (measured here: a 3x row-count skew compressed to under 2x
+    // bytes and escaped detection). Production dedup jobs should tune the
+    // factor down for exactly this reason.
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1000")
+    ss.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // spread the benign bands thin so the hot bucket dwarfs the median
+    // partition (with few partitions the unique-band load masks the band)
+    ss.conf.set("spark.sql.shuffle.partitions", "32")
+    import ss.implicits._
+    val docs = ss.range(0L, 6000L).select($"id".as("doc_id"),
+      when($"id" % 100 < 50, lit("the same boilerplate page text repeated across mirrors"))
+        .otherwise(concat(lit("unique document body number "), $"id",
+          lit(" with distinct shingle content "), $"id" * 7)).as("text"))
+    val bands = DS.lshBands(DS.minhashSignature(DS.shingles(docs, 3))).cache()
+    val isDelta = pmod(col("doc_id"), lit(10)) >= 8
+    val cand = bands.filter(isDelta)
+      .select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(bands.filter(!isDelta)
+        .select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .select("doc_a", "doc_b").distinct()
+    try {
+      // execute THIS dataset so its AQE plan finalizes (count() would
+      // finalize a separate plan); rows stay on executors
+      val n = cand.queryExecution.toRdd.count()
+      assert(n > 100000, s"hot band produced only $n candidate pairs")
+      val finalPlan = cand.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      assert(finalPlan.contains("skew=true"),
+        s"skew-join split did not trigger on the hot band:\n$finalPlan")
+      // both join inputs were split (delta AND base side of the hot band)
+      assert(finalPlan.linesIterator.count(_.contains("AQEShuffleRead skewed")) >= 2,
+        finalPlan)
+    } finally bands.unpersist()
+  }
+
   // graph_triangles relies on degree-ordered orientation enumerating each
   // triangle exactly once; pin it against the naive a<b<c three-way join
   // on a fixture with a hub node (where naive wedge fan-out explodes).
