@@ -94,6 +94,46 @@ class SketchesSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("incremental dedup cost follows |delta|, not corpus size") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    // 1000 docs in 100 clusters of 10 identical members. Every token
+    // carries the cluster id, so every shingle is cluster-distinct:
+    // clustermates share all band buckets, different clusters share none
+    // (minhash is a min over the shingle set — a shared prefix would
+    // dominate the min and merge unrelated clusters into one hot bucket)
+    val corpus = spark.range(0L, 1000L).select($"id".as("doc_id"),
+      { val c = ($"id" / 10).cast("long").cast("string")
+        concat_ws(" ", concat(lit("alpha"), c), concat(lit("beta"), c),
+          concat(lit("gamma"), c), concat(lit("delta"), c),
+          concat(lit("epsilon"), c), concat(lit("zeta"), c)).as("text") })
+    val bands = DS.lshBands(DS.minhashSignature(DS.shingles(corpus, 3))).cache()
+    try {
+      // FULL self-dedup: every in-cluster pair is a candidate
+      val candFull = DS.candidatePairs(bands).count()
+      // INCREMENTAL: delta = 1% of docs (one per tenth cluster); the
+      // delta-vs-base band join pairs each delta doc with its 9 base
+      // clustermates and NEVER pairs base docs with each other
+      val isDelta = pmod(col("doc_id"), lit(100)) === 0
+      val candIncr = bands.filter(isDelta)
+        .select(col("band"), col("key"), col("doc_id").as("doc_a"))
+        .join(bands.filter(!isDelta)
+          .select(col("band"), col("key"), col("doc_id").as("doc_b")),
+          Seq("band", "key"))
+        .select("doc_a", "doc_b").distinct()
+      val incrPairs = candIncr.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // cost proportionality: 10 delta docs x 9 clustermates vs 100x45
+      // in-cluster pairs — incremental must stay ~2% of the full cost
+      assert(candFull >= 4000L, s"planted clusters not detected: $candFull")
+      assert(incrPairs.length >= 80 && incrPairs.length <= 100, incrPairs.length.toString)
+      assert(incrPairs.length <= candFull / 20,
+        s"incremental candidates ($incrPairs.length) not proportional to |delta| (full: $candFull)")
+      // the corpus is never self-paired: every candidate is delta-anchored
+      assert(incrPairs.forall(_._1 % 100 == 0))
+    } finally bands.unpersist()
+  }
+
   test("multimodal decode: PNG IHDR parsed from hand-assembled bytes") {
     // Hand-written container (NOT via synthesizePng, so synth and parse
     // can't share a bug): signature + IHDR with width=640 (0x280),
