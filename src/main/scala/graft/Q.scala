@@ -68,6 +68,33 @@ object H {
     } else System.getProperty("java.io.tmpdir")
   }
 
+  /** Register a scratch directory for recursive deletion at JVM exit.
+    *
+    * Query programs that exercise a SINK (layout rewrites, streaming
+    * checkpoints, roundtrip sources) write real files and return a lazy
+    * reader over them, so the files must outlive the query call — but
+    * build.sbt points java.io.tmpdir at /dev/shm, where an unbounded
+    * accumulation of forgotten sink dirs would eat RAM until reboot.
+    * A shutdown hook bounds the leak to one process lifetime: every
+    * Bench/Verify run (and each forked test JVM) sweeps its own scratch
+    * on exit. Returns the path for inline use. */
+  def cleanupOnExit(dir: String): String = {
+    exitSweeper // force hook registration
+    exitDirs.synchronized { exitDirs += dir }
+    dir
+  }
+  private val exitDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+  private lazy val exitSweeper: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitDirs.synchronized(exitDirs.toList).foreach { d =>
+        scala.util.Try {
+          import java.nio.file.{Files, Paths}
+          import scala.jdk.CollectionConverters._
+          Files.walk(Paths.get(d)).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        }
+      }))
+
   /** Materialize `result` via an eager localCheckpoint, then release the
     * plan's inputs: `caches` through the CacheManager, `checkpoints` (frames
     * produced by localCheckpoint) through their RDD blocks. Use at the tail

@@ -209,7 +209,13 @@ object CustomExpressions {
     var j = 0
     while (j < nfd.length) {
       val cp = nfd.codePointAt(j)
-      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+      // all three combining-mark categories (Mn/Mc/Me), matching what
+      // utf8proc's strip_accents drops — Mn alone diverges from the DuckDB
+      // oracle on spacing-combining scripts (e.g. Devanagari matras) and
+      // enclosing marks
+      val ty = Character.getType(cp)
+      if (ty != Character.NON_SPACING_MARK && ty != Character.COMBINING_SPACING_MARK
+          && ty != Character.ENCLOSING_MARK)
         sb.appendCodePoint(cp)
       j += Character.charCount(cp)
     }

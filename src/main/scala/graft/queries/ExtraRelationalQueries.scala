@@ -94,7 +94,7 @@ object ExtraRelationalQueries extends QueryModule {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val orders = tbl(s, dir, "orders")
-        val tmp = java.nio.file.Files.createTempDirectory("graft_streampull").toString
+        val tmp = H.cleanupOnExit(java.nio.file.Files.createTempDirectory("graft_streampull").toString)
         val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         graft.sources.ODataTestServer.registerDf("orders_stream",
           orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0))
@@ -269,7 +269,7 @@ object ExtraRelationalQueries extends QueryModule {
     Q("source_csv_roundtrip",
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"),
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_csv").toString + "/nation"
+        val out = H.cleanupOnExit(Files.createTempDirectory("graft_csv").toString) + "/nation"
         tbl(s, dir, "nation").write.mode("overwrite")
           .option("header", "true").csv(out)
         s.read
@@ -285,7 +285,7 @@ object ExtraRelationalQueries extends QueryModule {
     Q("source_json_roundtrip",
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_json").toString + "/region"
+        val out = H.cleanupOnExit(Files.createTempDirectory("graft_json").toString) + "/region"
         tbl(s, dir, "region").write.mode("overwrite").json(out)
         s.read
           .schema(StructType(Seq(
@@ -302,7 +302,7 @@ object ExtraRelationalQueries extends QueryModule {
     Q("source_xml_roundtrip",
       Some("SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey"),
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_xml").toString + "/supplier"
+        val out = H.cleanupOnExit(Files.createTempDirectory("graft_xml").toString) + "/supplier"
         tbl(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
           .write.mode("overwrite").option("rowTag", "supplier")
           .format("xml").save(out)

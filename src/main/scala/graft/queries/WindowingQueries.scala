@@ -267,7 +267,7 @@ object WindowingQueries extends QueryModule {
         import graft.streaming.StreamingRefresh
         val ev = H.events(s, dir)
           .select("event_id", "user_id", "event_type", "ts", "value")
-        val tmp = Files.createTempDirectory("graft_upsert").toString
+        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_upsert").toString)
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         // three micro-batch files (disjoint by event_id, all keys collide)
         replayFiles(ev, 3, tmp, in)
@@ -318,7 +318,7 @@ object WindowingQueries extends QueryModule {
           .filter(pmod(col("event_id"), lit(5)) === 3)
         val j4 = lit("2024-01-04").cast("timestamp")
         val j6 = lit("2024-01-06").cast("timestamp")
-        val tmp = Files.createTempDirectory("graft_late").toString
+        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_late").toString)
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         writeReplay(Seq(
           ev.filter(col("ts") >= j6),
@@ -394,7 +394,7 @@ object WindowingQueries extends QueryModule {
         val ev = H.events(s, dir)
           .select("event_id", "user_id", "event_type", "ts", "value")
           .filter(pmod(col("event_id"), lit(5)) === 1)
-        val tmp = Files.createTempDirectory("graft_fmgws").toString
+        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_fmgws").toString)
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         replayFiles(ev, 3, tmp, in)
         val ss = s.newSession()
@@ -449,7 +449,7 @@ object WindowingQueries extends QueryModule {
         val ev = H.events(s, dir)
           .select("event_id", "user_id", "event_type", "ts")
           .filter(pmod(col("event_id"), lit(5)) === 4)
-        val tmp = Files.createTempDirectory("graft_tws").toString
+        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_tws").toString)
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         replayFiles(ev, 3, tmp, in)
         val ss = s.newSession()
@@ -494,7 +494,7 @@ object WindowingQueries extends QueryModule {
         val ev = H.events(s, dir)
           .select("event_id", "user_id", "event_type", "ts", "value")
           .filter(pmod(col("event_id"), lit(7)) === 5)
-        val tmp = Files.createTempDirectory("graft_resume").toString
+        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_resume").toString)
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         val parts = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
         def runOnce(): Unit = {
@@ -544,7 +544,7 @@ object WindowingQueries extends QueryModule {
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         import org.apache.spark.sql.Encoders
         import graft.streaming.StreamingRefresh
-        val tmp = Files.createTempDirectory("graft_twsinit").toString
+        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_twsinit").toString)
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         val ss = s.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", "4")
@@ -608,7 +608,7 @@ object WindowingQueries extends QueryModule {
         val ev = H.events(s, dir)
           .select("event_id", "user_id", "event_type", "ts")
           .filter(pmod(col("event_id"), lit(5)) === 2)
-        val tmp = Files.createTempDirectory("graft_sdedup").toString
+        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_sdedup").toString)
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         writeReplay(Seq(ev,
           ev.filter(pmod(col("event_id"), lit(3)) === 0),
@@ -652,7 +652,7 @@ object WindowingQueries extends QueryModule {
         val ev = H.events(s, dir)
           .select("event_id", "user_id", "event_type", "ts")
           .filter(pmod(col("event_id"), lit(5)) === 0)
-        val tmp = Files.createTempDirectory("graft_ddwm").toString
+        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_ddwm").toString)
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         writeReplay(Seq(ev,
           ev.filter(pmod(col("event_id"), lit(2)) === 0),
@@ -700,7 +700,7 @@ object WindowingQueries extends QueryModule {
         val ev = H.events(s, dir)
           .select("event_id", "user_id", "event_type", "ts")
           .filter(pmod(col("event_id"), lit(5)) === 0)
-        val tmp = Files.createTempDirectory("graft_ssjoin").toString
+        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_ssjoin").toString)
         val inP = s"$tmp/purchases"; val inC = s"$tmp/clicks"
         val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         replayFiles(ev.filter(col("event_type") === "purchase"), 2, tmp, inP)
@@ -768,7 +768,7 @@ object WindowingQueries extends QueryModule {
         val ev = H.events(s, dir)
           .select("event_id", "user_id", "event_type", "ts")
           .filter(pmod(col("event_id"), lit(5)) === 0)
-        val tmp = Files.createTempDirectory("graft_ssojoin").toString
+        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_ssojoin").toString)
         val inP = s"$tmp/purchases"; val inC = s"$tmp/clicks"
         val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         val split = lit("2024-01-04").cast("timestamp")
@@ -832,7 +832,7 @@ object WindowingQueries extends QueryModule {
       (s, dir) => {
         import java.nio.file.Files
         val ev = H.events(s, dir).select("event_id", "event_type", "ts")
-        val tmp = Files.createTempDirectory("graft_statereader").toString
+        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_statereader").toString)
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         ev.coalesce(1).write.parquet(in)
         val ss = s.newSession()
@@ -890,7 +890,7 @@ object WindowingQueries extends QueryModule {
           .select(lit(id).as("event_id"), lit(-1L).as("user_id"),
             to_timestamp(lit(tsLit)).as("ts"),
             unix_micros(to_timestamp(lit(tsLit))).as("ts_us"))
-        val tmp = Files.createTempDirectory("graft_tws_timers").toString
+        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_tws_timers").toString)
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         writeReplay(Seq(
           ev.filter(col("ts") < to_timestamp(lit("2024-01-11 00:00:00"))),
@@ -955,7 +955,7 @@ object WindowingQueries extends QueryModule {
         def sentinel(id: Long, tsLit: String) = ev.sparkSession.range(1)
           .select(lit(id).as("event_id"), lit("__s__").as("event_type"),
             to_timestamp(lit(tsLit)).as("ts"), lit(0.0).as("value"))
-        val tmp = Files.createTempDirectory("graft_chained").toString
+        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_chained").toString)
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         writeReplay(Seq(
           ev.filter(col("ts") < to_timestamp(lit("2024-01-11 00:00:00"))),

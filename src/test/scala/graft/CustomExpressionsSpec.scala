@@ -111,6 +111,24 @@ class CustomExpressionsSpec extends AnyFunSuite {
     assert(viaSql == "deja vu")
   }
 
+  test("canon_text strips ALL combining-mark categories like utf8proc strip_accents") {
+    import spark.implicits._
+    // DuckDB's strip_accents (utf8proc) drops Mn AND Mc AND Me —
+    // verified against DuckDB directly:
+    //   'कि' -> 'क' (U+093F vowel sign i, Mc: spacing-combining)
+    //   'हिन्दी' -> 'हनद' (matras Mc + virama U+094D Mn)
+    //   'a⃝' -> 'a'  (U+20DD enclosing circle, Me)
+    // dropping only Mn would diverge from the oracle on these scripts
+    val df = Seq(
+      (1L, "कि"),                                // कि
+      (2L, "हिन्दी"),        // हिन्दी
+      (3L, "a⃝")).toDF("id", "t")
+    val out = df.select(CE.canon_text(col("t")).as("c")).orderBy("id").collect()
+    assert(out(0).getString(0) == "क")
+    assert(out(1).getString(0) == "हनद")
+    assert(out(2).getString(0) == "a")
+  }
+
   test("canon_text participates in whole-stage codegen (no fallback)") {
     val df = H.tbl(spark, "/root/testdata/sf0.001", "documents")
       .select(CE.canon_text(col("text")).as("c"))

@@ -9,7 +9,10 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+        // swept at JVM exit — bucketed-table specs write real data here,
+        // and java.io.tmpdir is RAM-backed tmpfs (see H.cleanupOnExit)
+        H.cleanupOnExit(
+          java.nio.file.Files.createTempDirectory("graft_wh").toString))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
