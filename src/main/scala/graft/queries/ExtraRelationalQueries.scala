@@ -51,6 +51,32 @@ object ExtraRelationalQueries extends QueryModule {
           .orderBy("o_orderkey")
       }),
 
+    // The connector over a REAL socket: the tenant endpoint is an actual
+    // localhost HttpServer (basic auth, OData query options in the URL,
+    // JSON bodies, $skiptoken paging), and every page is fetched
+    // executor-side with java.net.http.HttpClient. $filter (string +
+    // double comparisons), $select, and paging all cross the wire — the
+    // in-memory scan's one admitted gap (the fake socket) closed with
+    // pure-JDK transport.
+    Q("o03e_dsv2_http_scan",
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "WHERE c_acctbal >= 1000.0 AND c_mktsegment = 'BUILDING' " +
+        "ORDER BY c_custkey"),
+      (s, dir) => {
+        graft.sources.ODataTestServer.register(
+          s, "customer_http", s"$dir/customer.parquet")
+        val ep = graft.sources.ODataHttpServer.endpoint
+        s.read.format("graft.sources.ODataHttpSource")
+          .option("endpoint", ep).option("entity", "customer_http")
+          .option("user", graft.sources.ODataHttpServer.user)
+          .option("pass", graft.sources.ODataHttpServer.pass)
+          .option("pageSize", "100").load()
+          .filter(col("c_acctbal") >= 1000.0 &&
+            col("c_mktsegment") === "BUILDING")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+      }),
+
     // GROUP BY through the connector: the whole aggregate collapses into
     // `$apply=groupby((cols), aggregate(...))` (SupportsPushDownAggregates
     // with grouping, completely pushed) — the service answers one row per

@@ -1,0 +1,514 @@
+package graft.sources
+
+import java.net.{InetSocketAddress, URLDecoder, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** REAL HTTP transport for the OData connector.
+  *
+  * The DSv2 connector in [[ODataSource]] implements the full pushdown
+  * surface against an in-process registry — its one admitted gap was the
+  * socket: pages were served by a method call, not a network request
+  * (reference transport: HTTPS GETs with basic auth and OData query
+  * options, resources/priorityDataSource.py:246-256,639-746). This module
+  * closes that gap with pure-JDK machinery:
+  *
+  *   - [[ODataHttpServer]]: an actual `com.sun.net.httpserver.HttpServer`
+  *     bound to 127.0.0.1 on an ephemeral port, fronting the same entity
+  *     registry. Speaks OData-shaped JSON: `value` row arrays,
+  *     `@odata.nextLink` continuation with `$skiptoken`, basic-auth 401
+  *     challenges, and `$select/$filter/$top` query options parsed
+  *     server-side from the URL.
+  *   - [[ODataHttpSource]]: a DataSource V2 provider whose scan planning
+  *     does an HTTP preflight (page count + registry generation) and whose
+  *     readers fetch their page with `java.net.http.HttpClient` —
+  *     EXECUTOR-side, over a real TCP socket, with auth headers.
+  *
+  * What stays simulated: the dataset behind the server (a demo tenant in
+  * this JVM's memory — the same boundary as before) and the schema
+  * channel (`/$schema` serves the Spark DDL JSON; a production Priority
+  * connector reads `$metadata` EDMX, which [[graft.schema.MetadataXml]]
+  * covers separately).
+  */
+object ODataJson {
+
+  /** schema-driven value → JSON (OData v4 literal shapes: ISO-8601
+    * timestamps, decimals as strings to keep exactness, binary as
+    * base64). */
+  def writeValue(mapper: ObjectMapper, node: ObjectNode, name: String,
+      dt: DataType, v: Any): Unit = {
+    if (v == null) { node.putNull(name); return }
+    dt match {
+      case LongType => node.put(name, v.asInstanceOf[Number].longValue)
+      case IntegerType | ShortType | ByteType =>
+        node.put(name, v.asInstanceOf[Number].intValue)
+      case DoubleType => node.put(name, v.asInstanceOf[Number].doubleValue)
+      case FloatType => node.put(name, v.asInstanceOf[Number].floatValue)
+      case BooleanType => node.put(name, v.asInstanceOf[java.lang.Boolean])
+      case StringType => node.put(name, v.toString)
+      case _: DecimalType =>
+        node.put(name, v.asInstanceOf[java.math.BigDecimal].toPlainString)
+      case TimestampType => v match {
+        case t: java.sql.Timestamp => node.put(name, t.toInstant.toString)
+        case i: java.time.Instant => node.put(name, i.toString)
+      }
+      case TimestampNTZType =>
+        node.put(name, v.asInstanceOf[java.time.LocalDateTime].toString)
+      case DateType => v match {
+        case d: java.sql.Date => node.put(name, d.toLocalDate.toString)
+        case d: java.time.LocalDate => node.put(name, d.toString)
+      }
+      case BinaryType => node.put(name, v.asInstanceOf[Array[Byte]])
+      case ArrayType(et, _) =>
+        val arr = node.putArray(name)
+        v.asInstanceOf[scala.collection.Seq[_]].foreach(e =>
+          writeElement(mapper, arr, et, e))
+      case st: StructType =>
+        node.set[JsonNode](name, rowToJson(mapper, st, v.asInstanceOf[Row]))
+        ()
+      case other => sys.error(s"odata-http serde: unsupported type $other")
+    }
+  }
+
+  private def writeElement(mapper: ObjectMapper, arr: ArrayNode,
+      dt: DataType, v: Any): Unit = {
+    // elements ride through a one-field wrapper to reuse writeValue
+    val tmp = mapper.createObjectNode()
+    writeValue(mapper, tmp, "e", dt, v)
+    arr.add(tmp.get("e"))
+  }
+
+  def rowToJson(mapper: ObjectMapper, schema: StructType, row: Row): ObjectNode = {
+    val node = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      writeValue(mapper, node, f.name, f.dataType, row.get(i))
+    }
+    node
+  }
+
+  /** Registry rows are plain Seq[Any]; same shape, no Row allocation. */
+  def seqToJson(mapper: ObjectMapper, schema: StructType, row: Seq[Any]): ObjectNode = {
+    val node = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      writeValue(mapper, node, f.name, f.dataType, row(i))
+    }
+    node
+  }
+
+  /** JSON → external JVM value (the shapes [[ODataRowsReader]] converts
+    * to Catalyst: java.sql types, BigDecimal, Seq, Row). */
+  def readValue(dt: DataType, n: JsonNode): Any = {
+    if (n == null || n.isNull) return null
+    dt match {
+      case LongType => java.lang.Long.valueOf(n.asLong)
+      case IntegerType => java.lang.Integer.valueOf(n.asInt)
+      case ShortType => java.lang.Short.valueOf(n.asInt.toShort)
+      case ByteType => java.lang.Byte.valueOf(n.asInt.toByte)
+      case DoubleType => java.lang.Double.valueOf(n.asDouble)
+      case FloatType => java.lang.Float.valueOf(n.floatValue)
+      case BooleanType => java.lang.Boolean.valueOf(n.asBoolean)
+      case StringType => n.asText
+      case _: DecimalType => new java.math.BigDecimal(n.asText)
+      case TimestampType =>
+        java.sql.Timestamp.from(java.time.Instant.parse(n.asText))
+      case TimestampNTZType => java.time.LocalDateTime.parse(n.asText)
+      case DateType => java.sql.Date.valueOf(java.time.LocalDate.parse(n.asText))
+      case BinaryType => n.binaryValue
+      case ArrayType(et, _) =>
+        import scala.jdk.CollectionConverters._
+        n.elements().asScala.map(readValue(et, _)).toVector
+      case st: StructType =>
+        Row.fromSeq(st.fields.map(f => readValue(f.dataType, n.get(f.name))).toSeq)
+      case other => sys.error(s"odata-http serde: unsupported type $other")
+    }
+  }
+
+  def jsonToSeq(schema: StructType, n: JsonNode): Seq[Any] =
+    schema.fields.map(f => readValue(f.dataType, n.get(f.name))).toSeq
+}
+
+/** OData `$filter` expression syntax: the CLIENT renders Spark pushed
+  * filters into the wire grammar; the SERVER parses the wire grammar back
+  * against the entity schema. Conjunctions of binary comparisons plus the
+  * `ne null` existence probe — exactly the subset the registry evaluator
+  * implements ([[ODataTestServer.supportsFilter]]). */
+object ODataFilterSyntax {
+
+  def render(filters: Seq[Filter]): String = filters.map(term).mkString(" and ")
+
+  private def term(f: Filter): String = f match {
+    case EqualTo(c, v) => s"$c eq ${lit(v)}"
+    case GreaterThan(c, v) => s"$c gt ${lit(v)}"
+    case GreaterThanOrEqual(c, v) => s"$c ge ${lit(v)}"
+    case LessThan(c, v) => s"$c lt ${lit(v)}"
+    case LessThanOrEqual(c, v) => s"$c le ${lit(v)}"
+    case IsNotNull(c) => s"$c ne null"
+    case other => sys.error(s"odata-http: unrenderable filter $other")
+  }
+
+  private def lit(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      "'" + s.toString.replace("'", "''") + "'"
+    case t: java.sql.Timestamp => s"datetime'${t.toInstant}'"
+    case i: java.time.Instant => s"datetime'$i'"
+    case d: java.sql.Date => s"date'${d.toLocalDate}'"
+    case d: java.time.LocalDate => s"date'$d'"
+    case b: java.lang.Boolean => b.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case n: Number => n.toString
+    case other => sys.error(s"odata-http: unrenderable literal $other")
+  }
+
+  /** Split on top-level " and " (string literals may contain the word). */
+  private def splitConjuncts(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; cur += c; i += 1 }
+      else if (!inQuote && s.startsWith(" and ", i)) {
+        out += cur.toString; cur.clear(); i += 5
+      } else { cur += c; i += 1 }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toList
+  }
+
+  private val Term = "^(\\w+) (eq|gt|ge|lt|le|ne) (.+)$".r
+
+  def parse(s: String, schema: StructType): Array[Filter] =
+    splitConjuncts(s).map {
+      case Term(col, "ne", "null") => IsNotNull(col)
+      case Term(col, op, rhs) =>
+        val v = parseLit(rhs, schema(col).dataType)
+        op match {
+          case "eq" => EqualTo(col, v)
+          case "gt" => GreaterThan(col, v)
+          case "ge" => GreaterThanOrEqual(col, v)
+          case "lt" => LessThan(col, v)
+          case "le" => LessThanOrEqual(col, v)
+        }
+      case other => sys.error(s"odata-http: bad \\$$filter term '$other'")
+    }.toArray
+
+  private def parseLit(s: String, dt: DataType): Any = dt match {
+    case StringType =>
+      require(s.length >= 2 && s.head == '\'' && s.last == '\'', s)
+      s.substring(1, s.length - 1).replace("''", "'")
+    case TimestampType =>
+      require(s.startsWith("datetime'") && s.endsWith("'"), s)
+      java.sql.Timestamp.from(
+        java.time.Instant.parse(s.substring(9, s.length - 1)))
+    case DateType =>
+      require(s.startsWith("date'") && s.endsWith("'"), s)
+      java.sql.Date.valueOf(java.time.LocalDate.parse(s.substring(5, s.length - 1)))
+    case LongType => java.lang.Long.valueOf(s)
+    case IntegerType => java.lang.Integer.valueOf(s)
+    case ShortType => java.lang.Short.valueOf(s)
+    case ByteType => java.lang.Byte.valueOf(s)
+    case DoubleType => java.lang.Double.valueOf(s)
+    case FloatType => java.lang.Float.valueOf(s)
+    case BooleanType => java.lang.Boolean.valueOf(s)
+    case _: DecimalType => new java.math.BigDecimal(s)
+    case other => sys.error(s"odata-http: unfilterable type $other")
+  }
+}
+
+/** The tenant's OData endpoint as an ACTUAL localhost HTTP service: same
+  * registry and query evaluator as [[ODataTestServer]], but every page now
+  * crosses a real TCP socket with basic auth, URL-encoded OData query
+  * options, JSON bodies, and `@odata.nextLink` continuation. One instance
+  * per JVM on an ephemeral port (no fixed-port collisions across
+  * concurrently-forked test/bench JVMs). */
+object ODataHttpServer {
+
+  val user = "apiuser"
+  val pass = "demo-secret"
+
+  private val mapper = new ObjectMapper()
+
+  /** Every served request line, oldest first — test observability. */
+  val requestLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private lazy val running: HttpServer = {
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/odata", handle _)
+    // EVERY server thread must be daemon, or a `runMain` JVM never exits:
+    // sbt's forked run waits for natural JVM death (unlike test forks,
+    // which System.exit), and DestroyJavaVM would wait on these threads
+    // forever after main returns
+    srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"odata-http-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      }))
+    // HttpServer spawns its dispatcher from the thread calling start() and
+    // the new thread INHERITS daemon status — start from a daemon thread
+    // so the dispatcher can't pin the JVM either
+    val starter = new Thread(() => srv.start(), "odata-http-starter")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
+    srv
+  }
+
+  def endpoint: String =
+    s"http://127.0.0.1:${running.getAddress.getPort}/odata"
+
+  private def respond(x: HttpExchange, code: Int, body: Array[Byte],
+      headers: (String, String)*): Unit = {
+    headers.foreach { case (k, v) => x.getResponseHeaders.set(k, v) }
+    x.sendResponseHeaders(code, body.length)
+    val os = x.getResponseBody
+    try os.write(body) finally os.close()
+  }
+
+  private def authorized(x: HttpExchange): Boolean = {
+    val expect = "Basic " + Base64.getEncoder
+      .encodeToString(s"$user:$pass".getBytes(UTF_8))
+    Option(x.getRequestHeaders.getFirst("Authorization")).contains(expect)
+  }
+
+  private def queryParams(x: HttpExchange): Map[String, String] =
+    Option(x.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        URLDecoder.decode(kv.take(i), UTF_8) ->
+          URLDecoder.decode(kv.drop(i + 1), UTF_8)
+      }.toMap
+
+  private def handle(x: HttpExchange): Unit =
+    try {
+      requestLog.add(s"${x.getRequestMethod} ${x.getRequestURI}")
+      if (!authorized(x)) {
+        respond(x, 401, """{"error":"unauthorized"}""".getBytes(UTF_8),
+          "WWW-Authenticate" -> "Basic realm=\"odata\"")
+        return
+      }
+      // path: /odata/<entity> or /odata/<entity>/$schema
+      val parts = x.getRequestURI.getPath.stripPrefix("/odata/").split('/')
+      val entity = parts(0)
+      val full = ODataTestServer.schemaOf(entity)
+      if (parts.length > 1 && parts(1) == "$schema") {
+        val body = mapper.createObjectNode()
+        body.put("schema", full.json)
+        respond(x, 200, mapper.writeValueAsBytes(body),
+          "Content-Type" -> "application/json")
+        return
+      }
+      val p = queryParams(x)
+      val required = p.get("$select") match {
+        case Some(cols) => StructType(cols.split(',').map(full(_)))
+        case None => full
+      }
+      val filters = p.get("$filter")
+        .map(ODataFilterSyntax.parse(_, full)).getOrElse(Array.empty[Filter])
+      val top = p.get("$top").map(_.toInt)
+      val pageSize = p.getOrElse("$pagesize", "1000").toInt
+      val skiptoken = p.getOrElse("$skiptoken", "0").toLong
+      require(skiptoken % pageSize == 0,
+        s"$$skiptoken=$skiptoken is not a page boundary for $$pagesize=$pageSize")
+      val pageNo = (skiptoken / pageSize).toInt
+      val (nPages, gen) =
+        ODataTestServer.preflight(entity, required, filters, top, pageSize)
+      val body = mapper.createObjectNode()
+      body.put("@graft.generation", gen)
+      body.put("@graft.pages", nPages)
+      if (!p.contains("$preflight")) {
+        val rows = ODataTestServer.fetchPage(
+          ODataPageRef(entity, required, filters, top, pageNo, pageSize, gen))
+        val arr = body.putArray("value")
+        rows.foreach(r => arr.add(ODataJson.seqToJson(mapper, required, r)))
+        if (pageNo + 1 < nPages) {
+          val nextQ = x.getRequestURI.getRawQuery.split('&')
+            .filterNot(_.startsWith("%24skiptoken="))
+            .filterNot(_.startsWith("$skiptoken=")) :+
+            s"%24skiptoken=${(pageNo + 1) * pageSize}"
+          body.put("@odata.nextLink",
+            s"$endpoint/$entity?${nextQ.mkString("&")}")
+        }
+      }
+      respond(x, 200, mapper.writeValueAsBytes(body),
+        "Content-Type" -> "application/json")
+    } catch {
+      case e: Throwable =>
+        respond(x, 500,
+          mapper.writeValueAsBytes(
+            mapper.createObjectNode().put("error", String.valueOf(e.getMessage))),
+          "Content-Type" -> "application/json")
+    }
+
+  // ---- client helpers (shared by planner and readers) --------------------
+
+  private lazy val client: HttpClient = HttpClient.newHttpClient()
+
+  def get(url: String, user: String, pass: String): JsonNode = {
+    val req = HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Authorization", "Basic " + Base64.getEncoder
+        .encodeToString(s"$user:$pass".getBytes(UTF_8)))
+      .GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() != 200)
+      sys.error(s"odata-http GET $url -> HTTP ${resp.statusCode()}: " +
+        new String(resp.body(), UTF_8).take(200))
+    mapper.readTree(resp.body())
+  }
+
+  def enc(s: String): String = URLEncoder.encode(s, UTF_8)
+}
+
+/** DataSource V2 provider for the HTTP transport. Options: `endpoint`
+  * (http://host:port/odata), `entity`, `user`, `pass`, `pageSize`.
+  * Pushdown surface: `$select` (column prune), `$filter` (comparison
+  * conjunctions), `$top` (limit); pages become input partitions fetched
+  * executor-side over the socket. */
+class ODataHttpSource extends TableProvider {
+
+  private def opt(o: CaseInsensitiveStringMap, k: String): String =
+    Option(o.get(k)).getOrElse(sys.error(s"odata-http: missing option '$k'"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val url = s"${opt(options, "endpoint")}/${opt(options, "entity")}/$$schema"
+    val node = ODataHttpServer.get(url,
+      opt(options, "user"), opt(options, "pass"))
+    DataType.fromJson(node.get("schema").asText).asInstanceOf[StructType]
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val o = new CaseInsensitiveStringMap(properties)
+    new ODataHttpTable(opt(o, "endpoint"), opt(o, "entity"), schema,
+      opt(o, "user"), opt(o, "pass"),
+      Option(o.get("pageSize")).map(_.toInt).getOrElse(1000))
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+final class ODataHttpTable(endpoint: String, entity: String,
+    schema0: StructType, user: String, pass: String, pageSize: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"odata-http:$entity"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ODataHttpScanBuilder(endpoint, entity, schema0, user, pass, pageSize)
+}
+
+final class ODataHttpScanBuilder(endpoint: String, entity: String,
+    full: StructType, user: String, pass: String, pageSize: Int)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition(f =>
+      ODataTestServer.supportsFilter(f) &&
+        f.references.forall(c => full.fields.find(_.name == c)
+          .exists(sf => ODataTestServer.comparableType(sf.dataType))))
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(requiredSchema.fields.filter(f =>
+      full.fieldNames.contains(f.name)))
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  override def build(): Scan =
+    new ODataHttpScan(endpoint, entity, required, pushed, limit,
+      user, pass, pageSize)
+}
+
+final class ODataHttpScan(endpoint: String, entity: String,
+    required: StructType, filters: Array[Filter], limit: Option[Int],
+    user: String, pass: String, pageSize: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"ODataHttpScan(endpoint=$endpoint, entity=$entity, " +
+      s"$$select=${required.fieldNames.mkString(",")}" +
+      (if (filters.isEmpty) ""
+       else s", $$filter=${ODataFilterSyntax.render(filters.toSeq)}") +
+      limit.map(n => s", $$top=$n").getOrElse("")
+
+  override def toBatch: Batch = this
+
+  private def pageUrl(pageNo: Int, preflight: Boolean): String = {
+    import ODataHttpServer.enc
+    val qs = Seq(
+      Some(s"%24select=${enc(required.fieldNames.mkString(","))}"),
+      if (filters.isEmpty) None
+      else Some(s"%24filter=${enc(ODataFilterSyntax.render(filters.toSeq))}"),
+      limit.map(n => s"%24top=$n"),
+      Some(s"%24pagesize=$pageSize"),
+      Some(s"%24skiptoken=${pageNo.toLong * pageSize}"),
+      if (preflight) Some("%24preflight=true") else None).flatten
+    s"$endpoint/$entity?${qs.mkString("&")}"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // HTTP preflight: page count + registry generation, no rows
+    val node = ODataHttpServer.get(pageUrl(0, preflight = true), user, pass)
+    val nPages = node.get("@graft.pages").asInt
+    val gen = node.get("@graft.generation").asLong
+    (0 until nPages)
+      .map(i => ODataHttpPageRef(pageUrl(i, preflight = false), required,
+        gen, user, pass): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val ref = p.asInstanceOf[ODataHttpPageRef]
+        // the page GET happens HERE, executor-side, over the socket
+        val node = ODataHttpServer.get(ref.url, ref.user, ref.pass)
+        val gen = node.get("@graft.generation").asLong
+        if (gen != ref.generation)
+          sys.error(s"odata-http: entity re-registered (generation $gen) " +
+            s"after this scan was planned (generation ${ref.generation}); " +
+            "page boundaries are stale — re-plan the scan")
+        import scala.jdk.CollectionConverters._
+        val rows = node.get("value").elements().asScala
+          .map(ODataJson.jsonToSeq(ref.required, _))
+        new ODataRowsReader(rows, ref.required)
+      }
+    }
+}
+
+/** One page fetch, shipped to the executor: the URL (with `$skiptoken`),
+  * the projected schema, auth, and the planned-against generation. */
+final case class ODataHttpPageRef(url: String, required: StructType,
+    generation: Long, user: String, pass: String) extends InputPartition

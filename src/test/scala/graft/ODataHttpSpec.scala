@@ -1,0 +1,134 @@
+package graft
+
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ODataHttpServer, ODataTestServer}
+
+/** The HTTP transport is REAL: these tests drive the localhost OData
+  * endpoint with a raw HTTP client (no connector in the loop) and then
+  * the DSv2 source end-to-end, asserting auth, paging, and pushdown all
+  * cross the socket. */
+class ODataHttpSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val mapper = new ObjectMapper()
+  private lazy val http = HttpClient.newHttpClient()
+
+  private def rawGet(url: String, auth: Option[(String, String)]): (Int, String) = {
+    val b = HttpRequest.newBuilder(java.net.URI.create(url)).GET()
+    auth.foreach { case (u, p) =>
+      b.header("Authorization", "Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"$u:$p".getBytes(UTF_8)))
+    }
+    val r = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def register(entity: String): String = {
+    ODataTestServer.register(spark, entity, s"$sf/nation.parquet")
+    s"${ODataHttpServer.endpoint}/$entity"
+  }
+
+  test("unauthenticated and wrong-password requests get 401 with a challenge") {
+    val url = register("nation_http_auth")
+    assert(rawGet(url, None)._1 == 401)
+    assert(rawGet(url, Some((ODataHttpServer.user, "wrong")))._1 == 401)
+    val (ok, _) = rawGet(url, Some((ODataHttpServer.user, ODataHttpServer.pass)))
+    assert(ok == 200)
+  }
+
+  test("$schema endpoint serves the entity schema over the wire") {
+    val url = register("nation_http_schema")
+    val (code, body) = rawGet(s"$url/$$schema",
+      Some((ODataHttpServer.user, ODataHttpServer.pass)))
+    assert(code == 200)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(mapper.readTree(body).get("schema").asText)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema.fieldNames.toSeq ==
+      H.tbl(spark, sf, "nation").schema.fieldNames.toSeq)
+  }
+
+  test("nextLink paging walks every row exactly once via $skiptoken") {
+    val url = register("nation_http_page")
+    val creds = Some((ODataHttpServer.user, ODataHttpServer.pass))
+    var next = Option(s"$url?%24pagesize=7")
+    var rows = 0
+    var pages = 0
+    while (next.isDefined) {
+      val (code, body) = rawGet(next.get, creds)
+      assert(code == 200)
+      val node = mapper.readTree(body)
+      rows += node.get("value").size()
+      pages += 1
+      next = Option(node.get("@odata.nextLink")).map(_.asText)
+      next.foreach(l => assert(l.contains("%24skiptoken="), l))
+    }
+    assert(rows == 25 && pages == 4, s"rows=$rows pages=$pages") // 7+7+7+4
+  }
+
+  test("DSv2 over HTTP: pushdown crosses the wire and results match parquet") {
+    ODataTestServer.register(spark, "nation_http_scan", s"$sf/nation.parquet")
+    ODataHttpServer.requestLog.clear()
+    val df = spark.read.format("graft.sources.ODataHttpSource")
+      .option("endpoint", ODataHttpServer.endpoint)
+      .option("entity", "nation_http_scan")
+      .option("user", ODataHttpServer.user).option("pass", ODataHttpServer.pass)
+      .option("pageSize", "5").load()
+      .filter(col("n_regionkey") >= 2L && col("n_name") > "B")
+      .select("n_nationkey", "n_name")
+    val got = df.orderBy("n_nationkey").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1))).toSeq
+    val want = H.tbl(spark, sf, "nation")
+      .filter(col("n_regionkey") >= 2L && col("n_name") > "B")
+      .select("n_nationkey", "n_name").orderBy("n_nationkey").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    // the filter reached the scan (Spark side): the DSv2 scan description
+    // renders the pushed query options, and no Filter node remains above it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("$filter=") && plan.contains("n_regionkey ge 2"), plan)
+    // ...and the WIRE carried $filter/$select/$skiptoken (server side)
+    import scala.jdk.CollectionConverters._
+    val served = ODataHttpServer.requestLog.asScala.toList
+      .filter(_.contains("nation_http_scan"))
+    assert(served.exists(r => r.contains("%24filter=") && r.contains("ge+2")),
+      served.mkString("\n"))
+    assert(served.exists(_.contains("%24select=n_nationkey%2Cn_name")),
+      served.mkString("\n"))
+    assert(served.count(_.contains("%24skiptoken=")) >= 2, // multiple page GETs
+      served.mkString("\n"))
+  }
+
+  test("timestamps, decimals, and nested $expand arrays survive the JSON wire") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:30:00.123456"),
+        new java.math.BigDecimal("12345.678"),
+        Seq((10L, "a'b\"c"), (11L, "παράθυρο"))),
+      (2L, null.asInstanceOf[java.sql.Timestamp],
+        null.asInstanceOf[java.math.BigDecimal],
+        Seq.empty[(Long, String)]))
+      .toDF("id", "ts", "amount", "items")
+      .withColumn("amount", col("amount").cast("decimal(12,3)"))
+    ODataTestServer.registerDf("typed_http", df)
+    val back = spark.read.format("graft.sources.ODataHttpSource")
+      .option("endpoint", ODataHttpServer.endpoint)
+      .option("entity", "typed_http")
+      .option("user", ODataHttpServer.user).option("pass", ODataHttpServer.pass)
+      .load().orderBy("id").collect()
+    assert(back(0).getTimestamp(1) == java.sql.Timestamp.valueOf("2024-03-01 10:30:00.123456"))
+    assert(back(0).getDecimal(2) == new java.math.BigDecimal("12345.678"))
+    val items = back(0).getSeq[org.apache.spark.sql.Row](3)
+    assert(items.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((10L, "a'b\"c"), (11L, "παράθυρο")))
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2))
+    assert(back(1).getSeq[org.apache.spark.sql.Row](3).isEmpty)
+  }
+}
