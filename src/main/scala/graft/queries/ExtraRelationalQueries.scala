@@ -143,6 +143,45 @@ object ExtraRelationalQueries extends QueryModule {
           .orderBy("o_orderpriority")
       }),
 
+    // The incremental pull over the REAL socket: same contract as o05b
+    // (row-cursor offset, checkpointed resume, append fetches only new
+    // rows) but every micro-batch range is an HTTP GET with $skip/$top —
+    // the reference's `refreshData?incremental=true` as a Structured
+    // Streaming source over actual network transport.
+    Q("o05c_dsv2_http_stream",
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val orders = tbl(s, dir, "orders")
+        val tmp = H.cleanupOnExit(java.nio.file.Files.createTempDirectory("graft_httpstream").toString)
+        val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        graft.sources.ODataTestServer.registerDf("orders_http_stream",
+          orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0))
+        val ep = graft.sources.ODataHttpServer.endpoint
+        def pullOnce(): Unit = {
+          val q = s.readStream.format("graft.sources.ODataHttpSource")
+            .option("endpoint", ep).option("entity", "orders_http_stream")
+            .option("user", graft.sources.ODataHttpServer.user)
+            .option("pass", graft.sources.ODataHttpServer.pass)
+            .option("pageSize", "5000").load()
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        pullOnce() // initial load: cursor 0 -> |subset A|
+        graft.sources.ODataTestServer.appendRows("orders_http_stream",
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+        pullOnce() // incremental: cursor resumes, fetches ONLY the new rows
+        s.read.parquet(sink)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      }),
+
     // O3 proper: the `$expand` navigation property served BY the connector —
     // child subform rows arrive nested inside the parent entity response
     // (array-of-struct column), then split into the child table via

@@ -306,9 +306,14 @@ object ODataHttpServer {
           "WWW-Authenticate" -> "Basic realm=\"odata\"")
         return
       }
-      // path: /odata/<entity> or /odata/<entity>/$schema
+      // path: /odata/$metadata, /odata/<entity>, /odata/<entity>/$schema
       val parts = x.getRequestURI.getPath.stripPrefix("/odata/").split('/')
       val entity = parts(0)
+      if (entity == "$metadata") {
+        respond(x, 200, renderMetadataEdmx().getBytes(UTF_8),
+          "Content-Type" -> "application/xml")
+        return
+      }
       val full = ODataTestServer.schemaOf(entity)
       if (parts.length > 1 && parts(1) == "$schema") {
         val body = mapper.createObjectNode()
@@ -318,6 +323,25 @@ object ODataHttpServer {
         return
       }
       val p = queryParams(x)
+      // $skip + $top: the streaming row-cursor read — a half-open row range
+      // of the entity in registry order, full schema or $select projection,
+      // no filters (Spark applies its own filters downstream of a stream)
+      if (p.contains("$skip")) {
+        val from = p("$skip").toLong
+        val until = from + p.getOrElse("$top", "1000").toLong
+        val required = p.get("$select") match {
+          case Some(cols) => StructType(cols.split(',').map(full(_)))
+          case None => full
+        }
+        val body = mapper.createObjectNode()
+        body.put("@graft.rowcount", ODataTestServer.rowCount(entity))
+        val arr = body.putArray("value")
+        ODataTestServer.fetchRange(entity, required, from, until)
+          .foreach(r => arr.add(ODataJson.seqToJson(mapper, required, r)))
+        respond(x, 200, mapper.writeValueAsBytes(body),
+          "Content-Type" -> "application/json")
+        return
+      }
       val required = p.get("$select") match {
         case Some(cols) => StructType(cols.split(',').map(full(_)))
         case None => full
@@ -335,6 +359,7 @@ object ODataHttpServer {
       val body = mapper.createObjectNode()
       body.put("@graft.generation", gen)
       body.put("@graft.pages", nPages)
+      body.put("@graft.rowcount", ODataTestServer.rowCount(entity))
       if (!p.contains("$preflight")) {
         val rows = ODataTestServer.fetchPage(
           ODataPageRef(entity, required, filters, top, pageNo, pageSize, gen))
@@ -359,11 +384,68 @@ object ODataHttpServer {
           "Content-Type" -> "application/json")
     }
 
+  /** Spark type → EDM type, the reverse of the reference's datatype
+    * dictionary (resources/static/datatypesConvert.json). Types outside
+    * the dictionary use their standard OData v4 EDM names — the parse
+    * side degrades unknown types to text exactly like the reference
+    * ([[graft.types.EdmTypes.targetFor]] fallback). */
+  private def edmTypeOf(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case LongType => "Edm.Int64"
+    case IntegerType | ShortType | ByteType => "Edm.Int32"
+    case StringType => "Edm.String"
+    case TimestampType | TimestampNTZType => "Edm.DateTimeOffset"
+    case _: DecimalType => "Edm.Decimal"
+    case DoubleType | FloatType => "Edm.Double"
+    case DateType => "Edm.Date"
+    case BooleanType => "Edm.Boolean"
+    case BinaryType => "Edm.Binary"
+    case _ => "Edm.String"
+  }
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** `GET /odata/$metadata` — the EDMX document the reference walks to
+    * discover entity schemas (priorityDataSource.py:347-458), rendered
+    * from every registered entity. Key columns come from the `keyFlag`
+    * StructField metadata ([[graft.types.EdmTypes.toStructType]] stamps
+    * it); subform array-of-struct columns are omitted (they ride as
+    * NavigationProperty/$expand in the row responses, not as scalar
+    * properties). [[graft.schema.MetadataXml.parse]] reads this document
+    * back — the full O8 discovery loop over a real socket. */
+  def renderMetadataEdmx(): String = {
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"utf-8\"?>\n"
+    sb ++= "<edmx:Edmx Version=\"4.0\" xmlns:edmx=\"http://docs.oasis-open.org/odata/ns/edmx\">\n"
+    sb ++= "  <edmx:DataServices>\n"
+    sb ++= "    <Schema Namespace=\"Priority.OData\" xmlns=\"http://docs.oasis-open.org/odata/ns/edm\">\n"
+    ODataTestServer.registeredEntities.sorted.foreach { name =>
+      val schema = ODataTestServer.schemaOf(name)
+      val scalar = schema.fields.filterNot(f => ODataTestServer.isSubform(f.dataType))
+      val keys = scalar.filter(f =>
+        f.metadata.contains("keyFlag") && f.metadata.getBoolean("keyFlag"))
+      sb ++= s"""      <EntityType Name="${xmlEscape(name)}">\n"""
+      if (keys.nonEmpty) {
+        sb ++= "        <Key>"
+        keys.foreach(k => sb ++= s"""<PropertyRef Name="${xmlEscape(k.name)}"/>""")
+        sb ++= "</Key>\n"
+      }
+      scalar.foreach { f =>
+        val nullable = if (f.nullable) "" else " Nullable=\"false\""
+        sb ++= s"""        <Property Name="${xmlEscape(f.name)}" Type="${edmTypeOf(f.dataType)}"$nullable/>\n"""
+      }
+      sb ++= "      </EntityType>\n"
+    }
+    sb ++= "    </Schema>\n  </edmx:DataServices>\n</edmx:Edmx>\n"
+    sb.toString
+  }
+
   // ---- client helpers (shared by planner and readers) --------------------
 
   private lazy val client: HttpClient = HttpClient.newHttpClient()
 
-  def get(url: String, user: String, pass: String): JsonNode = {
+  def getRaw(url: String, user: String, pass: String): Array[Byte] = {
     val req = HttpRequest.newBuilder(java.net.URI.create(url))
       .header("Authorization", "Basic " + Base64.getEncoder
         .encodeToString(s"$user:$pass".getBytes(UTF_8)))
@@ -372,8 +454,11 @@ object ODataHttpServer {
     if (resp.statusCode() != 200)
       sys.error(s"odata-http GET $url -> HTTP ${resp.statusCode()}: " +
         new String(resp.body(), UTF_8).take(200))
-    mapper.readTree(resp.body())
+    resp.body()
   }
+
+  def get(url: String, user: String, pass: String): JsonNode =
+    mapper.readTree(getRaw(url, user, pass))
 
   def enc(s: String): String = URLEncoder.encode(s, UTF_8)
 }
@@ -412,7 +497,8 @@ final class ODataHttpTable(endpoint: String, entity: String,
   override def name(): String = s"odata-http:$entity"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ODataHttpScanBuilder(endpoint, entity, schema0, user, pass, pageSize)
 }
@@ -455,6 +541,15 @@ final class ODataHttpScan(endpoint: String, entity: String,
     user: String, pass: String, pageSize: Int) extends Scan with Batch {
 
   override def readSchema(): StructType = required
+
+  /** The incremental pull (reference: `POST /refreshData?incremental=true`)
+    * over the wire: the offset is a row cursor into the entity, each
+    * micro-batch fetches its `$skip/$top` row ranges by HTTP GET —
+    * checkpointed cursor + the registry's append-preserves-prefix contract
+    * make the pull exactly-once across restarts. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ODataHttpMicroBatchStream(endpoint, entity, required, user, pass, pageSize)
 
   override def description(): String =
     s"ODataHttpScan(endpoint=$endpoint, entity=$entity, " +
@@ -512,3 +607,63 @@ final class ODataHttpScan(endpoint: String, entity: String,
   * the projected schema, auth, and the planned-against generation. */
 final case class ODataHttpPageRef(url: String, required: StructType,
     generation: Long, user: String, pass: String) extends InputPartition
+
+/** A half-open `$skip/$top` row range, fetched executor-side over HTTP —
+  * the streaming twin of [[ODataHttpPageRef]]. No generation guard: the
+  * registry's append contract keeps row indexes below the committed
+  * cursor stable, which is exactly what the cursor offset relies on. */
+final case class ODataHttpRangeRef(url: String, required: StructType,
+    user: String, pass: String) extends InputPartition
+
+final class ODataHttpMicroBatchStream(endpoint: String, entity: String,
+    required: StructType, user: String, pass: String, pageSize: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = ODataOffset(0L)
+
+  override def latestOffset(): Offset = {
+    import ODataHttpServer.enc
+    val node = ODataHttpServer.get(
+      s"$endpoint/$entity?%24select=${enc(required.fieldNames.mkString(","))}" +
+        s"&%24pagesize=$pageSize&%24preflight=true", user, pass)
+    ODataOffset(node.get("@graft.rowcount").asLong)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val pat = "\\{\"rowIdx\":(\\d+)\\}".r
+    json.trim match {
+      case pat(n) => ODataOffset(n.toLong)
+      case other => sys.error(s"bad odata offset: $other")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    import ODataHttpServer.enc
+    val from = start.asInstanceOf[ODataOffset].rowIdx
+    val until = end.asInstanceOf[ODataOffset].rowIdx
+    (from until until by pageSize.toLong)
+      .map { lo =>
+        val hi = math.min(lo + pageSize, until)
+        ODataHttpRangeRef(
+          s"$endpoint/$entity?%24select=${enc(required.fieldNames.mkString(","))}" +
+            s"&%24skip=$lo&%24top=${hi - lo}",
+          required, user, pass): InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val ref = p.asInstanceOf[ODataHttpRangeRef]
+        val node = ODataHttpServer.get(ref.url, ref.user, ref.pass)
+        import scala.jdk.CollectionConverters._
+        val rows = node.get("value").elements().asScala
+          .map(ODataJson.jsonToSeq(ref.required, _))
+        new ODataRowsReader(rows, ref.required)
+      }
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

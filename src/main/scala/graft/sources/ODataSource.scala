@@ -554,6 +554,12 @@ object ODataTestServer {
     Option(entities.get(entity))
       .getOrElse(sys.error(s"entity not registered: $entity"))
 
+  /** Names of all registered entities (the `$metadata` document scope). */
+  def registeredEntities: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    entities.keySet().asScala.toSeq
+  }
+
   def schemaOf(entity: String): StructType = entry(entity).schema
 
   def isSubform(dt: DataType): Boolean = dt match {

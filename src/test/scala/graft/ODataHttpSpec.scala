@@ -105,6 +105,77 @@ class ODataHttpSpec extends AnyFunSuite {
       served.mkString("\n"))
   }
 
+  test("$metadata EDMX over the wire round-trips through MetadataXml.parse (O8 loop)") {
+    import org.apache.spark.sql.types._
+    val spark0 = spark
+    import spark0.implicits._
+    // an ORDERS-shaped entity whose schema carries keyFlag metadata (the
+    // same channel EdmTypes.toStructType stamps)
+    val keyMeta = new MetadataBuilder().putBoolean("keyFlag", true).build()
+    val schema = StructType(Seq(
+      StructField("ordname", StringType, nullable = false, keyMeta),
+      StructField("curdate", TimestampType),
+      StructField("qprice", DecimalType(38, 3)),
+      StructField("ord", LongType)))
+    val rows = java.util.List.of(
+      org.apache.spark.sql.Row("SO25000001",
+        java.sql.Timestamp.valueOf("2024-06-12 08:00:00"),
+        new java.math.BigDecimal("100.500"), 7L))
+    ODataTestServer.registerDf("orders_meta_http",
+      spark.createDataFrame(rows, schema))
+    val xml = new String(graft.sources.ODataHttpServer.getRaw(
+      s"${ODataHttpServer.endpoint}/$$metadata",
+      ODataHttpServer.user, ODataHttpServer.pass), UTF_8)
+    val metas = graft.schema.MetadataXml.parse(xml, "priority")
+    val m = metas.find(_.entityName == "orders_meta_http").get
+    assert(m.fields.map(f => (f.fieldName, f.sourceDataType, f.keyFlag)) == Seq(
+      ("ordname", "Edm.String", true),
+      ("curdate", "Edm.DateTimeOffset", false),
+      ("qprice", "Edm.Decimal", false),
+      ("ord", "Edm.Int64", false)))
+    assert(m.entityPk == Seq("ordname"))
+    // and the parsed metadata rebuilds the same Spark types the reference's
+    // dictionary maps these EDM types to
+    val st = graft.types.EdmTypes.toStructType(m)
+    assert(st("curdate").dataType == TimestampType)
+    assert(st("ord").dataType == LongType)
+  }
+
+  test("streaming pull over HTTP: cursor resumes from checkpoint, appends fetch only new rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark0 = spark
+    import spark0.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((3L, "z")).toDF("id", "v")
+    ODataTestServer.registerDf("stream_http_spec", a)
+    val tmp = java.nio.file.Files.createTempDirectory("odata_http_stream").toString
+    val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+    ODataHttpServer.requestLog.clear()
+    def pull(): Unit = {
+      val q = spark.readStream.format("graft.sources.ODataHttpSource")
+        .option("endpoint", ODataHttpServer.endpoint)
+        .option("entity", "stream_http_spec")
+        .option("user", ODataHttpServer.user).option("pass", ODataHttpServer.pass)
+        .option("pageSize", "10").load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    pull()
+    assert(spark.read.parquet(sink).count() == 2)
+    ODataTestServer.appendRows("stream_http_spec", b)
+    pull()
+    val got = spark.read.parquet(sink).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "x"), (2L, "y"), (3L, "z"))) // no re-fetch, no dupes
+    // the second pull's range GET asked for ONLY the appended row
+    import scala.jdk.CollectionConverters._
+    val ranges = ODataHttpServer.requestLog.asScala.toList
+      .filter(r => r.contains("stream_http_spec") && r.contains("%24skip="))
+    assert(ranges.exists(_.contains("%24skip=2&%24top=1")), ranges.mkString("\n"))
+  }
+
   test("timestamps, decimals, and nested $expand arrays survive the JSON wire") {
     val spark0 = spark
     import spark0.implicits._
