@@ -244,8 +244,15 @@ object ODataHttpServer {
 
   private val mapper = new ObjectMapper()
 
-  /** Every served request line, oldest first — test observability. */
+  /** Recent served request lines, oldest first — test observability.
+    * Capped so a long bench JVM (hundreds of paged scans) doesn't grow
+    * the log without bound. */
   val requestLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val MaxLog = 10000
+  private def logRequest(line: String): Unit = {
+    requestLog.add(line)
+    while (requestLog.size > MaxLog) requestLog.poll()
+  }
 
   private lazy val running: HttpServer = {
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -300,7 +307,7 @@ object ODataHttpServer {
 
   private def handle(x: HttpExchange): Unit =
     try {
-      requestLog.add(s"${x.getRequestMethod} ${x.getRequestURI}")
+      logRequest(s"${x.getRequestMethod} ${x.getRequestURI}")
       if (!authorized(x)) {
         respond(x, 401, """{"error":"unauthorized"}""".getBytes(UTF_8),
           "WWW-Authenticate" -> "Basic realm=\"odata\"")
@@ -323,16 +330,20 @@ object ODataHttpServer {
         return
       }
       val p = queryParams(x)
+      // an EMPTY $select is a pruned-to-zero-columns scan (a bare count():
+      // Spark prunes every column and only row existence matters)
+      def selected(): StructType = p.get("$select") match {
+        case Some("") => StructType(Seq.empty[StructField])
+        case Some(cols) => StructType(cols.split(',').map(full(_)))
+        case None => full
+      }
       // $skip + $top: the streaming row-cursor read — a half-open row range
       // of the entity in registry order, full schema or $select projection,
       // no filters (Spark applies its own filters downstream of a stream)
       if (p.contains("$skip")) {
         val from = p("$skip").toLong
         val until = from + p.getOrElse("$top", "1000").toLong
-        val required = p.get("$select") match {
-          case Some(cols) => StructType(cols.split(',').map(full(_)))
-          case None => full
-        }
+        val required = selected()
         val body = mapper.createObjectNode()
         body.put("@graft.rowcount", ODataTestServer.rowCount(entity))
         val arr = body.putArray("value")
@@ -342,10 +353,7 @@ object ODataHttpServer {
           "Content-Type" -> "application/json")
         return
       }
-      val required = p.get("$select") match {
-        case Some(cols) => StructType(cols.split(',').map(full(_)))
-        case None => full
-      }
+      val required = selected()
       val filters = p.get("$filter")
         .map(ODataFilterSyntax.parse(_, full)).getOrElse(Array.empty[Filter])
       val top = p.get("$top").map(_.toInt)

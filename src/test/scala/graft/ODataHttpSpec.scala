@@ -105,6 +105,20 @@ class ODataHttpSpec extends AnyFunSuite {
       served.mkString("\n"))
   }
 
+  test("pages become parallel input partitions; bare count() survives full pruning") {
+    ODataTestServer.register(spark, "nation_http_part", s"$sf/nation.parquet")
+    val df = spark.read.format("graft.sources.ODataHttpSource")
+      .option("endpoint", ODataHttpServer.endpoint)
+      .option("entity", "nation_http_part")
+      .option("user", ODataHttpServer.user).option("pass", ODataHttpServer.pass)
+      .option("pageSize", "7").load()
+    // 25 rows at 7/page → 4 pages → 4 concurrent page GETs
+    assert(df.rdd.getNumPartitions == 4, df.rdd.getNumPartitions.toString)
+    // count() prunes EVERY column ($select is empty) — the server must
+    // answer zero-column rows, not 500
+    assert(df.count() == 25)
+  }
+
   test("$metadata EDMX over the wire round-trips through MetadataXml.parse (O8 loop)") {
     import org.apache.spark.sql.types._
     val spark0 = spark
