@@ -30,7 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * executor performs the page GET, so neither the driver's task binaries
   * nor the plan carry data). The server evaluates pushed predicates /
   * projections / limits itself; what Spark doesn't push, Spark re-applies —
-  * both halves are observable in tests.
+  * both halves are observable in tests. The same registry is ALSO served
+  * over a real TCP socket by [[ODataHttpServer]], with
+  * [[ODataHttpSource]] as the transport-true DSv2 twin of this provider
+  * (HTTP preflight, executor-side page GETs, basic auth, `$metadata`) —
+  * this in-process provider keeps the richer pushdown surface
+  * (`$apply` aggregates, TopN, `$expand`), the HTTP one proves the wire.
   *
   * Usage:
   * {{{
