@@ -205,6 +205,34 @@ object ExtraRelationalQueries extends QueryModule {
           .orderBy("o_orderkey", "l_linenumber", "l_partkey", "l_quantity")
       }),
 
+    // $expand over the REAL socket: the nested lineitems subform rides
+    // inside each parent's JSON response row (array-of-struct serde across
+    // the wire), the timestamp watermark predicate travels as a
+    // datetime'...' $filter literal, and the child table splits out with
+    // PK inheritance after the fetch — o03b's semantics, HTTP transport.
+    Q("o03f_dsv2_http_expand",
+      Some("SELECT l.l_orderkey AS o_orderkey, l.l_linenumber, l.l_partkey, " +
+        "l.l_quantity FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey " +
+        "WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' " +
+        "ORDER BY o_orderkey, l_linenumber, l_partkey, l_quantity"),
+      (s, dir) => {
+        graft.sources.ODataTestServer.registerExpanded(s, "orders_expanded_http",
+          s"$dir/orders.parquet", s"$dir/lineitem.parquet",
+          parentKey = "o_orderkey", childKey = "l_orderkey",
+          subformName = "lineitems_subform", sortCols = Seq("l_linenumber"))
+        val scan = s.read.format("graft.sources.ODataHttpSource")
+          .option("endpoint", graft.sources.ODataHttpServer.endpoint)
+          .option("entity", "orders_expanded_http")
+          .option("user", graft.sources.ODataHttpServer.user)
+          .option("pass", graft.sources.ODataHttpServer.pass)
+          .option("pageSize", "2000").load()
+          .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01 00:00:00")))
+        graft.ops.Relational.explodeSubform("lineitems_subform", Seq("o_orderkey"))(scan)
+          .select(col("o_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_quantity"))
+          .orderBy("o_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      }),
+
     // O7: JSON → typed rows with a metadata-derived schema (from_json), the
     // engine's version of response.json() parsing — never schema inference.
     Q("o07_json_decode",

@@ -166,6 +166,7 @@ object ODataFilterSyntax {
       "'" + s.toString.replace("'", "''") + "'"
     case t: java.sql.Timestamp => s"datetime'${t.toInstant}'"
     case i: java.time.Instant => s"datetime'$i'"
+    case d: java.time.LocalDateTime => s"datetime'$d'" // TIMESTAMP_NTZ literal
     case d: java.sql.Date => s"date'${d.toLocalDate}'"
     case d: java.time.LocalDate => s"date'$d'"
     case b: java.lang.Boolean => b.toString
@@ -216,6 +217,9 @@ object ODataFilterSyntax {
       require(s.startsWith("datetime'") && s.endsWith("'"), s)
       java.sql.Timestamp.from(
         java.time.Instant.parse(s.substring(9, s.length - 1)))
+    case TimestampNTZType =>
+      require(s.startsWith("datetime'") && s.endsWith("'"), s)
+      java.time.LocalDateTime.parse(s.substring(9, s.length - 1))
     case DateType =>
       require(s.startsWith("date'") && s.endsWith("'"), s)
       java.sql.Date.valueOf(java.time.LocalDate.parse(s.substring(5, s.length - 1)))

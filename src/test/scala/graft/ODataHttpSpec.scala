@@ -190,6 +190,18 @@ class ODataHttpSpec extends AnyFunSuite {
     assert(ranges.exists(_.contains("%24skip=2&%24top=1")), ranges.mkString("\n"))
   }
 
+  test("wrong credentials fail the DSv2 read with a pointed HTTP 401 error") {
+    ODataTestServer.register(spark, "nation_http_badauth", s"$sf/nation.parquet")
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.ODataHttpSource")
+        .option("endpoint", ODataHttpServer.endpoint)
+        .option("entity", "nation_http_badauth")
+        .option("user", ODataHttpServer.user).option("pass", "stale-rotated-secret")
+        .load()
+    }
+    assert(e.getMessage.contains("HTTP 401"), e.getMessage)
+  }
+
   test("timestamps, decimals, and nested $expand arrays survive the JSON wire") {
     val spark0 = spark
     import spark0.implicits._
