@@ -205,6 +205,30 @@ object ExtraRelationalQueries extends QueryModule {
           .orderBy("o_orderkey", "l_linenumber", "l_partkey", "l_quantity")
       }),
 
+    // Top-N over the REAL socket: ORDER BY + LIMIT collapse into
+    // `$orderby=...&$top=25` in the page GET (complete pushdown, no Spark
+    // sort) — the service returns the exact sorted prefix and 25 rows
+    // cross the wire, not a scan. o03c's semantics, HTTP transport.
+    Q("o03g_dsv2_http_topn",
+      Some("SELECT o_orderkey, o_totalprice FROM " +
+        "(SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25) " +
+        "ORDER BY o_orderkey"),
+      (s, dir) => {
+        graft.sources.ODataTestServer.register(
+          s, "orders_topn_http", s"$dir/orders.parquet")
+        s.read.format("graft.sources.ODataHttpSource")
+          .option("endpoint", graft.sources.ODataHttpServer.endpoint)
+          .option("entity", "orders_topn_http")
+          .option("user", graft.sources.ODataHttpServer.user)
+          .option("pass", graft.sources.ODataHttpServer.pass)
+          .option("pageSize", "5000").load()
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(25)
+          .orderBy("o_orderkey")
+      }),
+
     // $expand over the REAL socket: the nested lineitems subform rides
     // inside each parent's JSON response row (array-of-struct serde across
     // the wire), the timestamp watermark predicate travels as a

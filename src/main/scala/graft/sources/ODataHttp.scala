@@ -11,7 +11,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources._
@@ -209,6 +209,22 @@ object ODataFilterSyntax {
       case other => sys.error(s"odata-http: bad \\$$filter term '$other'")
     }.toArray
 
+  /** `$orderby` wire form: "col asc|desc nullsfirst|nullslast" keys,
+    * comma-joined — null placement is explicit so the service's sort is
+    * bit-identical to the Spark sort it replaces. */
+  def renderOrderBy(keys: Seq[ODataSortKey]): String =
+    keys.map(k => s"${k.col} ${if (k.asc) "asc" else "desc"} " +
+      (if (k.nullsFirst) "nullsfirst" else "nullslast")).mkString(",")
+
+  def parseOrderBy(s: String): Seq[ODataSortKey] =
+    s.split(',').toSeq.map { k =>
+      k.trim.split(' ') match {
+        case Array(col, dir, nulls) =>
+          ODataSortKey(col, dir == "asc", nulls == "nullsfirst")
+        case other => sys.error(s"odata-http: bad $$orderby key '$k'")
+      }
+    }
+
   private def parseLit(s: String, dt: DataType): Any = dt match {
     case StringType =>
       require(s.length >= 2 && s.head == '\'' && s.last == '\'', s)
@@ -361,20 +377,22 @@ object ODataHttpServer {
       val filters = p.get("$filter")
         .map(ODataFilterSyntax.parse(_, full)).getOrElse(Array.empty[Filter])
       val top = p.get("$top").map(_.toInt)
+      val orderBy = p.get("$orderby")
+        .map(ODataFilterSyntax.parseOrderBy).getOrElse(Seq.empty)
       val pageSize = p.getOrElse("$pagesize", "1000").toInt
       val skiptoken = p.getOrElse("$skiptoken", "0").toLong
       require(skiptoken % pageSize == 0,
         s"$$skiptoken=$skiptoken is not a page boundary for $$pagesize=$pageSize")
       val pageNo = (skiptoken / pageSize).toInt
       val (nPages, gen) =
-        ODataTestServer.preflight(entity, required, filters, top, pageSize)
+        ODataTestServer.preflight(entity, required, filters, top, pageSize, orderBy)
       val body = mapper.createObjectNode()
       body.put("@graft.generation", gen)
       body.put("@graft.pages", nPages)
       body.put("@graft.rowcount", ODataTestServer.rowCount(entity))
       if (!p.contains("$preflight")) {
         val rows = ODataTestServer.fetchPage(
-          ODataPageRef(entity, required, filters, top, pageNo, pageSize, gen))
+          ODataPageRef(entity, required, filters, top, pageNo, pageSize, gen, orderBy))
         val arr = body.putArray("value")
         rows.foreach(r => arr.add(ODataJson.seqToJson(mapper, required, r)))
         if (pageNo + 1 < nPages) {
@@ -520,11 +538,13 @@ final class ODataHttpScanBuilder(endpoint: String, entity: String,
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var topSort: Seq[ODataSortKey] = Seq.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition(f =>
@@ -543,14 +563,39 @@ final class ODataHttpScanBuilder(endpoint: String, entity: String,
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
+  /** ORDER BY + LIMIT → `$orderby=...&$top=n` over the wire, complete
+    * (no Spark sort), accepted only when the top-N fits one page — same
+    * contract as the in-memory twin. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val keys = orders.toSeq.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            full.fields.find(_.name == nr.fieldNames.head)
+              .exists(f => ODataTestServer.comparableType(f.dataType)) =>
+          Some(ODataSortKey(nr.fieldNames.head,
+            so.direction() == SortDirection.ASCENDING,
+            so.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (keys.forall(_.isDefined) && keys.nonEmpty && n <= pageSize) {
+      topSort = keys.flatten
+      limit = Some(n)
+      true
+    } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = false
+
   override def build(): Scan =
     new ODataHttpScan(endpoint, entity, required, pushed, limit,
-      user, pass, pageSize)
+      user, pass, pageSize, topSort)
 }
 
 final class ODataHttpScan(endpoint: String, entity: String,
     required: StructType, filters: Array[Filter], limit: Option[Int],
-    user: String, pass: String, pageSize: Int) extends Scan with Batch {
+    user: String, pass: String, pageSize: Int,
+    orderBy: Seq[ODataSortKey] = Seq.empty) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -568,6 +613,8 @@ final class ODataHttpScan(endpoint: String, entity: String,
       s"$$select=${required.fieldNames.mkString(",")}" +
       (if (filters.isEmpty) ""
        else s", $$filter=${ODataFilterSyntax.render(filters.toSeq)}") +
+      (if (orderBy.isEmpty) ""
+       else s", $$orderby=${ODataFilterSyntax.renderOrderBy(orderBy)}") +
       limit.map(n => s", $$top=$n").getOrElse("")
 
   override def toBatch: Batch = this
@@ -578,6 +625,8 @@ final class ODataHttpScan(endpoint: String, entity: String,
       Some(s"%24select=${enc(required.fieldNames.mkString(","))}"),
       if (filters.isEmpty) None
       else Some(s"%24filter=${enc(ODataFilterSyntax.render(filters.toSeq))}"),
+      if (orderBy.isEmpty) None
+      else Some(s"%24orderby=${enc(ODataFilterSyntax.renderOrderBy(orderBy))}"),
       limit.map(n => s"%24top=$n"),
       Some(s"%24pagesize=$pageSize"),
       Some(s"%24skiptoken=${pageNo.toLong * pageSize}"),

@@ -190,6 +190,32 @@ class ODataHttpSpec extends AnyFunSuite {
     assert(ranges.exists(_.contains("%24skip=2&%24top=1")), ranges.mkString("\n"))
   }
 
+  test("TopN pushes completely: $orderby + $top in the page GET, no Spark sort") {
+    ODataTestServer.register(spark, "nation_http_topn", s"$sf/nation.parquet")
+    ODataHttpServer.requestLog.clear()
+    val df = spark.read.format("graft.sources.ODataHttpSource")
+      .option("endpoint", ODataHttpServer.endpoint)
+      .option("entity", "nation_http_topn")
+      .option("user", ODataHttpServer.user).option("pass", ODataHttpServer.pass)
+      .option("pageSize", "100").load()
+      .select("n_nationkey", "n_name")
+      .orderBy(col("n_name").desc).limit(3)
+    val got = df.collect().map(_.getString(1)).toSeq
+    val want = H.tbl(spark, sf, "nation").select("n_name")
+      .orderBy(col("n_name").desc).limit(3).collect().map(_.getString(0)).toSeq
+    assert(got == want)
+    // complete pushdown: the ONLY sort in the plan is the service's
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("Sort "),
+      plan)
+    assert(plan.contains("$orderby=n_name desc nullslast"), plan)
+    import scala.jdk.CollectionConverters._
+    val served = ODataHttpServer.requestLog.asScala.toList
+      .filter(_.contains("nation_http_topn"))
+    assert(served.exists(r => r.contains("%24orderby=") && r.contains("%24top=3")),
+      served.mkString("\n"))
+  }
+
   test("wrong credentials fail the DSv2 read with a pointed HTTP 401 error") {
     ODataTestServer.register(spark, "nation_http_badauth", s"$sf/nation.parquet")
     val e = intercept[Exception] {
