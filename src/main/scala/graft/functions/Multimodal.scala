@@ -107,6 +107,10 @@ object Multimodal {
         return Some((readBe32(bytes, d), readBe32(bytes, d + 4),
           pngChannels(u8(bytes(d + 9)))))
       }
+      // a declared chunk length that can't fit the remaining bytes is a
+      // corrupt/adversarial container — stop, don't trust the arithmetic
+      // (len >= 2^31 would make the 32-bit step negative and loop forever)
+      if (len > bytes.length.toLong - pos - 12) return None
       pos += 8 + len.toInt + 4 // length + type + data + crc
     }
     None

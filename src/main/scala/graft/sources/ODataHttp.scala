@@ -269,9 +269,13 @@ object ODataHttpServer {
     * the log without bound. */
   val requestLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val MaxLog = 10000
+  // CLQ.size() is an O(n) traversal — track the count separately so the
+  // cap costs O(1) per request
+  private val logSize = new java.util.concurrent.atomic.AtomicInteger()
   private def logRequest(line: String): Unit = {
     requestLog.add(line)
-    while (requestLog.size > MaxLog) requestLog.poll()
+    if (logSize.incrementAndGet() > MaxLog && requestLog.poll() != null)
+      logSize.decrementAndGet()
   }
 
   private lazy val running: HttpServer = {
@@ -320,9 +324,13 @@ object ODataHttpServer {
     Option(x.getRequestURI.getRawQuery).getOrElse("").split('&')
       .filter(_.nonEmpty)
       .map { kv =>
-        val i = kv.indexOf('=')
-        URLDecoder.decode(kv.take(i), UTF_8) ->
-          URLDecoder.decode(kv.drop(i + 1), UTF_8)
+        kv.indexOf('=') match {
+          // a value-less token ("?$preflight") is a presence flag keyed by
+          // its own name, not an empty-string key
+          case -1 => URLDecoder.decode(kv, UTF_8) -> ""
+          case i => URLDecoder.decode(kv.take(i), UTF_8) ->
+            URLDecoder.decode(kv.drop(i + 1), UTF_8)
+        }
       }.toMap
 
   private def handle(x: HttpExchange): Unit =
@@ -384,22 +392,34 @@ object ODataHttpServer {
       require(skiptoken % pageSize == 0,
         s"$$skiptoken=$skiptoken is not a page boundary for $$pagesize=$pageSize")
       val pageNo = (skiptoken / pageSize).toInt
-      val (nPages, gen) =
-        ODataTestServer.preflight(entity, required, filters, top, pageSize, orderBy)
       val body = mapper.createObjectNode()
-      body.put("@graft.generation", gen)
-      body.put("@graft.pages", nPages)
-      body.put("@graft.rowcount", ODataTestServer.rowCount(entity))
-      if (!p.contains("$preflight")) {
+      if (p.contains("$preflight")) {
+        // planner path: one O(rows) count to size the scan's partitions
+        val (nPages, gen) =
+          ODataTestServer.preflight(entity, required, filters, top, pageSize, orderBy)
+        body.put("@graft.generation", gen)
+        body.put("@graft.pages", nPages)
+        body.put("@graft.rowcount", ODataTestServer.rowCount(entity))
+      } else {
+        // page path: serve the page WITHOUT re-counting the entity — the
+        // planner already paid the preflight once; a full page implies a
+        // nextLink (worst case one trailing empty page on an exact
+        // multiple, which returns no link and ends the walk)
+        val gen = ODataTestServer.generationOf(entity)
+        body.put("@graft.generation", gen)
+        body.put("@graft.rowcount", ODataTestServer.rowCount(entity))
         val rows = ODataTestServer.fetchPage(
           ODataPageRef(entity, required, filters, top, pageNo, pageSize, gen, orderBy))
         val arr = body.putArray("value")
-        rows.foreach(r => arr.add(ODataJson.seqToJson(mapper, required, r)))
-        if (pageNo + 1 < nPages) {
-          val nextQ = x.getRequestURI.getRawQuery.split('&')
+        var served = 0
+        rows.foreach { r => arr.add(ODataJson.seqToJson(mapper, required, r)); served += 1 }
+        val limitExhausted = top.exists(n => (pageNo + 1).toLong * pageSize >= n)
+        if (served == pageSize && !limitExhausted) {
+          val nextQ = Option(x.getRequestURI.getRawQuery).getOrElse("").split('&')
+            .filter(_.nonEmpty)
             .filterNot(_.startsWith("%24skiptoken="))
             .filterNot(_.startsWith("$skiptoken=")) :+
-            s"%24skiptoken=${(pageNo + 1) * pageSize}"
+            s"%24skiptoken=${(pageNo + 1).toLong * pageSize}"
           body.put("@odata.nextLink",
             s"$endpoint/$entity?${nextQ.mkString("&")}")
         }

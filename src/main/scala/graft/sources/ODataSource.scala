@@ -559,6 +559,10 @@ object ODataTestServer {
     Option(entities.get(entity))
       .getOrElse(sys.error(s"entity not registered: $entity"))
 
+  /** Current registration generation of an entity — cheap (no row
+    * materialization), for per-page response stamping. */
+  def generationOf(entity: String): Long = entry(entity).gen
+
   /** Names of all registered entities (the `$metadata` document scope). */
   def registeredEntities: Seq[String] = {
     import scala.jdk.CollectionConverters._

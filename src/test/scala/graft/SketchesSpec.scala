@@ -128,7 +128,7 @@ class SketchesSpec extends AnyFunSuite {
       assert(candFull >= 4000L, s"planted clusters not detected: $candFull")
       assert(incrPairs.length >= 80 && incrPairs.length <= 100, incrPairs.length.toString)
       assert(incrPairs.length <= candFull / 20,
-        s"incremental candidates ($incrPairs.length) not proportional to |delta| (full: $candFull)")
+        s"incremental candidates (${incrPairs.length}) not proportional to |delta| (full: $candFull)")
       // the corpus is never self-paired: every candidate is delta-anchored
       assert(incrPairs.forall(_._1 % 100 == 0))
     } finally bands.unpersist()
@@ -199,6 +199,13 @@ class SketchesSpec extends AnyFunSuite {
     val trunc = Multimodal.decodeMeta(9L,
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
     assert(trunc.format == "application/octet-stream" && trunc.width == 0L)
+    // an adversarial chunk length >= 2^31 (0xFFFFFFF4) must terminate, not
+    // loop: the 32-bit step would be negative without the bounds guard
+    val evil = Multimodal.decodeMeta(10L,
+      (Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
+        Seq(0xff, 0xff, 0xff, 0xf4) ++ Seq('A', 'A', 'A', 'A').map(_.toInt))
+        .map(_.toByte).toArray)
+    assert(evil.format == "application/octet-stream" && evil.width == 0L)
   }
 
   test("KLL sketches: shard-merge quantiles stay within the rank bound") {
