@@ -143,6 +143,34 @@ object ExtraRelationalQueries extends QueryModule {
           .orderBy("o_orderpriority")
       }),
 
+    // GROUP BY over the REAL socket: the whole aggregate collapses into
+    // one $applyaggs/$applygroups GET (complete pushdown — Spark plans NO
+    // aggregation) and |groups| rows cross the wire, with the watermark
+    // predicate riding as $filter. o03d's semantics, HTTP transport.
+    Q("o03h_dsv2_http_agg",
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_cust FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, dir) => {
+        graft.sources.ODataTestServer.register(
+          s, "orders_gagg_http", s"$dir/orders.parquet")
+        s.read.format("graft.sources.ODataHttpSource")
+          .option("endpoint", graft.sources.ODataHttpServer.endpoint)
+          .option("entity", "orders_gagg_http")
+          .option("user", graft.sources.ODataHttpServer.user)
+          .option("pass", graft.sources.ODataHttpServer.pass)
+          .option("pageSize", "5000").load()
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"),
+            sum(col("o_custkey")).as("sum_cust"))
+          .orderBy("o_orderpriority")
+      }),
+
     // The incremental pull over the REAL socket: same contract as o05b
     // (row-cursor offset, checkpointed resume, append fetches only new
     // rows) but every micro-batch range is an HTTP GET with $skip/$top —

@@ -12,6 +12,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources._
@@ -209,6 +210,40 @@ object ODataFilterSyntax {
       case other => sys.error(s"odata-http: bad \\$$filter term '$other'")
     }.toArray
 
+  /** `$apply` aggregate wire form: "count" | "min:col" | "max:col" |
+    * "sum:col", comma-joined (a canonical compaction of OData's
+    * `aggregate(col with min as a, ...)` — both ends are ours). */
+  def renderAggs(specs: Seq[ODataAgg]): String = specs.map {
+    case ODataAgg.CountAll => "count"
+    case ODataAgg.MinOf(c) => s"min:$c"
+    case ODataAgg.MaxOf(c) => s"max:$c"
+    case ODataAgg.SumOf(c) => s"sum:$c"
+  }.mkString(",")
+
+  def parseAggs(s: String): Seq[ODataAgg] =
+    s.split(',').toSeq.map(_.trim).map {
+      case "count" => ODataAgg.CountAll
+      case spec if spec.startsWith("min:") => ODataAgg.MinOf(spec.drop(4))
+      case spec if spec.startsWith("max:") => ODataAgg.MaxOf(spec.drop(4))
+      case spec if spec.startsWith("sum:") => ODataAgg.SumOf(spec.drop(4))
+      case other => sys.error(s"odata-http: bad aggregate spec '$other'")
+    }
+
+  /** Result schema of a pushed aggregate: group keys first, aggregates
+    * after — the contract both the server's serialization and the
+    * client's parse share (mirrors ODataAggScan.readSchema). */
+  def aggSchema(full: StructType, specs: Seq[ODataAgg],
+      groupCols: Seq[String]): StructType = StructType(
+    groupCols.map(c => full(c)) ++ specs.zipWithIndex.map {
+      case (ODataAgg.CountAll, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (ODataAgg.MinOf(c), i) => StructField(s"agg_$i", full(c).dataType)
+      case (ODataAgg.MaxOf(c), i) => StructField(s"agg_$i", full(c).dataType)
+      case (ODataAgg.SumOf(c), i) => StructField(s"agg_$i", full(c).dataType match {
+        case DoubleType => DoubleType
+        case _ => LongType
+      })
+    })
+
   /** `$orderby` wire form: "col asc|desc nullsfirst|nullslast" keys,
     * comma-joined — null placement is explicit so the service's sort is
     * bit-identical to the Spark sort it replaces. */
@@ -377,6 +412,26 @@ object ODataHttpServer {
         val arr = body.putArray("value")
         ODataTestServer.fetchRange(entity, required, from, until)
           .foreach(r => arr.add(ODataJson.seqToJson(mapper, required, r)))
+        respond(x, 200, mapper.writeValueAsBytes(body),
+          "Content-Type" -> "application/json")
+        return
+      }
+      // pushed aggregation: the service computes the whole aggregate and
+      // answers |groups| rows (group keys first, aggregates after)
+      if (p.contains("$applyaggs")) {
+        val specs = ODataFilterSyntax.parseAggs(p("$applyaggs"))
+        val groups = p.get("$applygroups").filter(_.nonEmpty)
+          .map(_.split(',').toSeq).getOrElse(Seq.empty)
+        val afilters = p.get("$filter")
+          .map(ODataFilterSyntax.parse(_, full)).getOrElse(Array.empty[Filter])
+        val schema = ODataFilterSyntax.aggSchema(full, specs, groups)
+        val body = mapper.createObjectNode()
+        body.put("@graft.generation", ODataTestServer.generationOf(entity))
+        if (!p.contains("$preflight")) {
+          val rows = ODataTestServer.aggregate(entity, afilters, specs, groups)
+          val arr = body.putArray("value")
+          rows.foreach(r => arr.add(ODataJson.seqToJson(mapper, schema, r)))
+        }
         respond(x, 200, mapper.writeValueAsBytes(body),
           "Content-Type" -> "application/json")
         return
@@ -559,12 +614,65 @@ final class ODataHttpScanBuilder(endpoint: String, entity: String,
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownLimit
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var topSort: Seq[ODataSortKey] = Seq.empty
+  private var aggs: Option[Seq[ODataAgg]] = None
+  private var groupCols: Seq[String] = Seq.empty
+
+  private def translateGroupBy(agg: Aggregation): Option[Seq[String]] = {
+    val cols = agg.groupByExpressions.toSeq.map {
+      case n: NamedReference if n.fieldNames.length == 1 &&
+          full.fields.find(_.name == n.fieldNames.head)
+            .exists(f => ODataTestServer.comparableType(f.dataType)) =>
+        Some(n.fieldNames.head)
+      case _ => None
+    }
+    if (cols.forall(_.isDefined)) Some(cols.flatten) else None
+  }
+
+  private def sumType(col: String): Option[DataType] =
+    full.fields.find(_.name == col).map(_.dataType).collect {
+      case LongType | IntegerType | ShortType | ByteType => LongType
+      case DoubleType => DoubleType
+    }
+
+  private def translateAggs(agg: Aggregation): Option[Seq[ODataAgg]] = {
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(ODataAgg.CountAll)
+      case m: Min => m.column match {
+        case n: NamedReference if n.fieldNames.length == 1 =>
+          Some(ODataAgg.MinOf(n.fieldNames.head))
+        case _ => None
+      }
+      case m: Max => m.column match {
+        case n: NamedReference if n.fieldNames.length == 1 =>
+          Some(ODataAgg.MaxOf(n.fieldNames.head))
+        case _ => None
+      }
+      case sm: Sum if !sm.isDistinct => sm.column match {
+        case n: NamedReference if n.fieldNames.length == 1 &&
+            sumType(n.fieldNames.head).isDefined =>
+          Some(ODataAgg.SumOf(n.fieldNames.head))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) Some(specs.flatten) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAggs(agg).isDefined && translateGroupBy(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    (translateAggs(agg), translateGroupBy(agg)) match {
+      case (some @ Some(_), Some(g)) => aggs = some; groupCols = g; true
+      case _ => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition(f =>
@@ -581,12 +689,15 @@ final class ODataHttpScanBuilder(endpoint: String, entity: String,
     required = StructType(requiredSchema.fields.filter(f =>
       full.fieldNames.contains(f.name)))
 
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean =
+    if (aggs.nonEmpty) false // a limit over a pushed aggregate must run in Spark
+    else { limit = Some(n); true }
 
   /** ORDER BY + LIMIT → `$orderby=...&$top=n` over the wire, complete
     * (no Spark sort), accepted only when the top-N fits one page — same
     * contract as the in-memory twin. */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (aggs.nonEmpty) return false // see pushLimit
     val keys = orders.toSeq.map { so =>
       so.expression() match {
         case nr: NamedReference if nr.fieldNames.length == 1 &&
@@ -607,9 +718,58 @@ final class ODataHttpScanBuilder(endpoint: String, entity: String,
 
   override def isPartiallyPushed(): Boolean = false
 
-  override def build(): Scan =
-    new ODataHttpScan(endpoint, entity, required, pushed, limit,
-      user, pass, pageSize, topSort)
+  override def build(): Scan = aggs match {
+    case Some(specs) =>
+      new ODataHttpAggScan(endpoint, entity, full, pushed, specs, groupCols,
+        user, pass)
+    case None =>
+      new ODataHttpScan(endpoint, entity, required, pushed, limit,
+        user, pass, pageSize, topSort)
+  }
+}
+
+/** A completely-pushed aggregate over the wire: ONE partition whose
+  * executor-side GET carries `$applyaggs`/`$applygroups` (+ `$filter`)
+  * and receives |groups| result rows — a per-status rollup over a
+  * billion-row entity moves |groups| rows, not a scan. */
+final class ODataHttpAggScan(endpoint: String, entity: String,
+    full: StructType, filters: Array[Filter], specs: Seq[ODataAgg],
+    groupCols: Seq[String], user: String, pass: String)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    ODataFilterSyntax.aggSchema(full, specs, groupCols)
+
+  override def description(): String =
+    s"ODataHttpAggScan(endpoint=$endpoint, entity=$entity, " +
+      s"$$apply=${ODataFilterSyntax.renderAggs(specs)}" +
+      (if (groupCols.isEmpty) "" else s" groupby ${groupCols.mkString(",")}") +
+      (if (filters.isEmpty) ""
+       else s", $$filter=${ODataFilterSyntax.render(filters.toSeq)}") + ")"
+
+  override def toBatch: Batch = this
+
+  private def aggUrl(preflight: Boolean): String = {
+    import ODataHttpServer.enc
+    val qs = Seq(
+      Some(s"%24applyaggs=${enc(ODataFilterSyntax.renderAggs(specs))}"),
+      if (groupCols.isEmpty) None
+      else Some(s"%24applygroups=${enc(groupCols.mkString(","))}"),
+      if (filters.isEmpty) None
+      else Some(s"%24filter=${enc(ODataFilterSyntax.render(filters.toSeq))}"),
+      if (preflight) Some("%24preflight=true") else None).flatten
+    s"$endpoint/$entity?${qs.mkString("&")}"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val node = ODataHttpServer.get(aggUrl(preflight = true), user, pass)
+    val gen = node.get("@graft.generation").asLong
+    Array(ODataHttpPageRef(aggUrl(preflight = false), readSchema(), gen,
+      user, pass))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ODataHttpPageRef.readerFactory
 }
 
 final class ODataHttpScan(endpoint: String, entity: String,
@@ -666,28 +826,34 @@ final class ODataHttpScan(endpoint: String, entity: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val ref = p.asInstanceOf[ODataHttpPageRef]
-        // the page GET happens HERE, executor-side, over the socket
-        val node = ODataHttpServer.get(ref.url, ref.user, ref.pass)
-        val gen = node.get("@graft.generation").asLong
-        if (gen != ref.generation)
-          sys.error(s"odata-http: entity re-registered (generation $gen) " +
-            s"after this scan was planned (generation ${ref.generation}); " +
-            "page boundaries are stale — re-plan the scan")
-        import scala.jdk.CollectionConverters._
-        val rows = node.get("value").elements().asScala
-          .map(ODataJson.jsonToSeq(ref.required, _))
-        new ODataRowsReader(rows, ref.required)
-      }
-    }
+    ODataHttpPageRef.readerFactory
 }
 
 /** One page fetch, shipped to the executor: the URL (with `$skiptoken`),
   * the projected schema, auth, and the planned-against generation. */
 final case class ODataHttpPageRef(url: String, required: StructType,
     generation: Long, user: String, pass: String) extends InputPartition
+
+object ODataHttpPageRef {
+  /** Executor-side page fetch shared by row scans and aggregate scans:
+    * GET the ref's URL over the socket, verify the registry generation
+    * still matches the planned one, parse the rows by the ref's schema. */
+  val readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val ref = p.asInstanceOf[ODataHttpPageRef]
+      val node = ODataHttpServer.get(ref.url, ref.user, ref.pass)
+      val gen = node.get("@graft.generation").asLong
+      if (gen != ref.generation)
+        sys.error(s"odata-http: entity re-registered (generation $gen) " +
+          s"after this scan was planned (generation ${ref.generation}); " +
+          "page boundaries are stale — re-plan the scan")
+      import scala.jdk.CollectionConverters._
+      val rows = node.get("value").elements().asScala
+        .map(ODataJson.jsonToSeq(ref.required, _))
+      new ODataRowsReader(rows, ref.required)
+    }
+  }
+}
 
 /** A half-open `$skip/$top` row range, fetched executor-side over HTTP —
   * the streaming twin of [[ODataHttpPageRef]]. No generation guard: the

@@ -34,8 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * over a real TCP socket by [[ODataHttpServer]], with
   * [[ODataHttpSource]] as the transport-true DSv2 twin of this provider
   * (HTTP preflight, executor-side page GETs, basic auth, `$metadata`) —
-  * this in-process provider keeps the richer pushdown surface
-  * (`$apply` aggregates, TopN, `$expand`), the HTTP one proves the wire.
+  * the twin carries the full pushdown surface too ($select/$filter/$top,
+  * complete TopN, complete `$apply` aggregates, `$expand` serde, the
+  * streaming row cursor), so the wire path and the in-process path are
+  * feature-equal and every pushed query shape is proven over the socket.
   *
   * Usage:
   * {{{

@@ -216,6 +216,36 @@ class ODataHttpSpec extends AnyFunSuite {
       served.mkString("\n"))
   }
 
+  test("grouped aggregate pushes completely: one $applyaggs GET, no Spark aggregation") {
+    ODataTestServer.register(spark, "nation_http_agg", s"$sf/nation.parquet")
+    ODataHttpServer.requestLog.clear()
+    val df = spark.read.format("graft.sources.ODataHttpSource")
+      .option("endpoint", ODataHttpServer.endpoint)
+      .option("entity", "nation_http_agg")
+      .option("user", ODataHttpServer.user).option("pass", ODataHttpServer.pass)
+      .load()
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"))
+      .orderBy("n_regionkey")
+    val got = df.collect().map(r =>
+      (r.getAs[Number](0).longValue, r.getLong(1), r.getString(2))).toSeq
+    val want = H.tbl(spark, sf, "nation")
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"))
+      .orderBy("n_regionkey").collect().map(r =>
+        (r.getAs[Number](0).longValue, r.getLong(1), r.getString(2))).toSeq
+    assert(got == want && got.length == 5)
+    // complete pushdown: no HashAggregate in the plan, the scan answers groups
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(plan.contains("ODataHttpAggScan"), plan)
+    import scala.jdk.CollectionConverters._
+    val served = ODataHttpServer.requestLog.asScala.toList
+      .filter(_.contains("nation_http_agg"))
+    assert(served.exists(r => r.contains("%24applyaggs=") &&
+      r.contains("%24applygroups=n_regionkey")), served.mkString("\n"))
+  }
+
   test("wrong credentials fail the DSv2 read with a pointed HTTP 401 error") {
     ODataTestServer.register(spark, "nation_http_badauth", s"$sf/nation.parquet")
     val e = intercept[Exception] {
