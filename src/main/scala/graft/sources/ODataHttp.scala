@@ -220,8 +220,10 @@ object ODataFilterSyntax {
     case ODataAgg.SumOf(c) => s"sum:$c"
   }.mkString(",")
 
+  /** An empty spec list is legal: a zero-aggregate groupby is how Spark
+    * pushes DISTINCT-on-group-keys (e.g. count() over a grouped result). */
   def parseAggs(s: String): Seq[ODataAgg] =
-    s.split(',').toSeq.map(_.trim).map {
+    s.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map {
       case "count" => ODataAgg.CountAll
       case spec if spec.startsWith("min:") => ODataAgg.MinOf(spec.drop(4))
       case spec if spec.startsWith("max:") => ODataAgg.MaxOf(spec.drop(4))

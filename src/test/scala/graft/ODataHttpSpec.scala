@@ -246,6 +246,17 @@ class ODataHttpSpec extends AnyFunSuite {
       r.contains("%24applygroups=n_regionkey")), served.mkString("\n"))
   }
 
+  test("zero-aggregate groupby (pushed DISTINCT) works over the wire") {
+    ODataTestServer.register(spark, "nation_http_distinct", s"$sf/nation.parquet")
+    val df = spark.read.format("graft.sources.ODataHttpSource")
+      .option("endpoint", ODataHttpServer.endpoint)
+      .option("entity", "nation_http_distinct")
+      .option("user", ODataHttpServer.user).option("pass", ODataHttpServer.pass)
+      .load()
+      .select("n_regionkey").distinct()
+    assert(df.count() == 5) // the count() shape that pushes groupby-with-no-aggs
+  }
+
   test("wrong credentials fail the DSv2 read with a pointed HTTP 401 error") {
     ODataTestServer.register(spark, "nation_http_badauth", s"$sf/nation.parquet")
     val e = intercept[Exception] {
