@@ -106,30 +106,30 @@ object DedupSketches {
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString(" UNION ALL ")
 
-  /** DuckDB twin of `candidatePairs` over a `bands` CTE. (DuckDB has no
-    * higher-order pair expansion, so the twin is the equivalent bucket
-    * self-join — fine for the oracle at sf0.01; the Spark side is the
-    * single-aggregation shape.) */
+  /** DuckDB twin of `candidatePairs` over a `bands` CTE — the SAME bucket
+    * self-join algorithm as the Spark side. */
   def candidatePairsSql: String =
     "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key " +
       "AND a.doc_id < b.doc_id"
 
-  /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket.
-    * One aggregation per bucket + in-bucket pair expansion — no self-join,
-    * so the signature subtree is computed once, not twice. LSH bucket sizes
-    * are tiny by construction (skewed hub buckets would mean the banding is
-    * too coarse), so the quadratic in-bucket expansion is bounded. */
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket, via
+    * a band equi-join. The join form (not a per-bucket `collect_list` +
+    * in-row pair expansion) is deliberate for 100 TB: a boilerplate /
+    * empty-doc cluster can put thousands of documents into ONE band bucket,
+    * and a collect_list aggregation would hold that bucket's O(b²) pairs in
+    * a single unsplittable row on one executor. A shuffle-join partition,
+    * by contrast, is exactly what AQE's skew-join rule knows how to split
+    * (proved under a planted hot band in ScaleTechniquesSpec). Callers
+    * should cache the signature feeding `bands` — the join recomputes its
+    * input once per side, and everything below the (cheap, map-side) band
+    * expansion is shared through the cache. */
   def candidatePairs(bands: DataFrame): DataFrame =
-    bands
-      .groupBy("band", "key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+    bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
 
   /** Connected components over an undirected pair list — the GROUP step of
     * dedup: verified near-dup pairs cluster into components and the min
@@ -233,11 +233,14 @@ object DedupSketches {
   // -------------------------------------------------------------------------
   // SimHash (64-bit): md5(token) hex digits → bit vector; weighted by token
   // frequency; sign of the per-bit sum. Convention: bit j comes from hex
-  // digit j/4 (1-based digit j/4+1), shifted (3 - j%4); output is 16 hex
-  // chars, nibble c = b[4c]*8 + b[4c+1]*4 + b[4c+2]*2 + b[4c+3].
+  // digit j/4 (1-based digit j/4+1), shifted (3 - j%4). Output is ONE BIGINT
+  // with bit j at position 63-j (j=0 is the most significant bit) — two's
+  // complement on both engines, so hamming distance is a single
+  // `bit_count(ha ^ hb)` per pair instead of 16 substr/conv/XOR rounds, and
+  // the signature is 8 bytes on the shuffle wire, not a 16-char string.
   // -------------------------------------------------------------------------
 
-  /** (doc_id, simhash) from a documents frame. */
+  /** (doc_id, simhash BIGINT) from a documents frame. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -253,12 +256,10 @@ object DedupSketches {
     val withBits = v.select(
       col("doc_id") +:
         (0 until 64).map(j =>
-          when(col(s"v$j") > 0, 1).otherwise(0).as(s"b$j")): _*)
+          when(col(s"v$j") > 0, 1L).otherwise(0L).as(s"b$j")): _*)
     withBits.select(col("doc_id"),
-      concat((0 until 16).map { c =>
-        expr(s"substr('0123456789abcdef', b${4 * c} * 8 + b${4 * c + 1} * 4 + " +
-          s"b${4 * c + 2} * 2 + b${4 * c + 3} + 1, 1)")
-      }: _*).as("simhash"))
+      (0 until 64).map(j => shiftleft(col(s"b$j"), 63 - j))
+        .reduce(_ bitwiseOR _).as("simhash"))
   }
 
   private def sumBit(j: Int): Column = {
@@ -267,7 +268,11 @@ object DedupSketches {
     sum(expr(s"((d$digit div $div) % 2 * 2 - 1) * cnt"))
   }
 
-  /** DuckDB twin of `simhash` over `documents`. */
+  /** DuckDB twin of `simhash` over `documents`. DuckDB raises on
+    * `1::BIGINT << 63`, so the sign bit (j=0) is contributed by
+    * multiply-by-Long.MinValue (written `-max-1` — the literal
+    * -9223372036854775808 would itself overflow during parse); bits 1..63
+    * shift normally and are OR-free-summable (disjoint bit positions). */
   def simhashSql: String = {
     val digits = (1 to 16)
       .map(k => s"strpos('0123456789abcdef', substr(h, $k, 1)) - 1 AS d$k")
@@ -279,10 +284,8 @@ object DedupSketches {
     }.mkString(", ")
     val bits = (0 until 64)
       .map(j => s"CASE WHEN v$j > 0 THEN 1 ELSE 0 END AS b$j").mkString(", ")
-    val hexChars = (0 until 16).map { c =>
-      s"substr('0123456789abcdef', b${4 * c} * 8 + b${4 * c + 1} * 4 + " +
-        s"b${4 * c + 2} * 2 + b${4 * c + 3} + 1, 1)"
-    }.mkString(" || ")
+    val packed = "(b0 * (-9223372036854775807 - 1)) + " +
+      (1 until 64).map(j => s"(b$j::BIGINT << ${63 - j})").mkString(" + ")
     "WITH tok AS (SELECT doc_id, t AS tok, count(*) AS cnt FROM " +
       "(SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) " +
       "GROUP BY 1, 2), " +
@@ -290,6 +293,6 @@ object DedupSketches {
       s"d AS (SELECT doc_id, cnt, $digits FROM dig), " +
       s"v AS (SELECT doc_id, $sums FROM d GROUP BY doc_id), " +
       s"b AS (SELECT doc_id, $bits FROM v) " +
-      s"SELECT doc_id, $hexChars AS simhash FROM b ORDER BY doc_id"
+      s"SELECT doc_id, $packed AS simhash FROM b ORDER BY doc_id"
   }
 }

@@ -128,19 +128,22 @@ object LlmQueries2 extends QueryModule {
       (s, dir) => {
         import graft.functions.{DedupSketches => DS}
         val docs = tbl(s, dir, "documents")
-        val cand = DS.candidatePairs(DS.lshBands(
-          DS.minhashSignature(DS.shingles(docs, 3))))
+        // cached: the candidate self-join reads the band frame twice
+        val sig = DS.minhashSignature(DS.shingles(docs, 3)).cache()
+        val cand = DS.candidatePairs(DS.lshBands(sig))
         val a = docs.select(col("doc_id").as("doc_a"),
           substring(col("text"), 1, 60).as("head_a"),
           length(col("text")).as("len_a"))
         val b = docs.select(col("doc_id").as("doc_b"),
           substring(col("text"), 1, 60).as("head_b"),
           length(col("text")).as("len_b"))
-        cand.join(a, "doc_a").join(b, "doc_b")
-          .filter(abs(col("len_a") - col("len_b")) <= 40)
-          .select(col("doc_a"), col("doc_b"),
-            levenshtein(col("head_a"), col("head_b")).cast("long").as("edit_dist"))
-          .orderBy("doc_a", "doc_b")
+        graft.H.materialized(
+          cand.join(a, "doc_a").join(b, "doc_b")
+            .filter(abs(col("len_a") - col("len_b")) <= 40)
+            .select(col("doc_a"), col("doc_b"),
+              levenshtein(col("head_a"), col("head_b")).cast("long").as("edit_dist"))
+            .orderBy("doc_a", "doc_b"),
+          caches = Seq(sig))
       }),
 
     // Dedup GROUP resolution: verified near-dup pairs (MinHash candidates,

@@ -566,48 +566,42 @@ object ScaleOpsQueries extends QueryModule {
     // bands (pigeonhole), so candidates come from equi-joining band
     // substrings — never an all-pairs hamming scan. Verification is then
     // a per-pair popcount of the XOR, integer-exact on both engines.
-    // Complements dedup_minhash_lsh: simhash is one 8-byte signature per
-    // doc (vs 12 minhash values), the cheapest near-dup index that fits
-    // a 100 TB corpus in memory.
+    // Complements dedup_minhash_lsh: simhash is one 8-byte BIGINT per doc
+    // (vs 12 minhash values), the cheapest near-dup index that fits a
+    // 100 TB corpus in memory; hamming is one bit_count(XOR) per pair.
     Q("dedup_simhash_hamming",
       Some {
         import graft.functions.{DedupSketches => DS}
-        def dig(side: String, k: Int) =
-          s"(strpos('0123456789abcdef', substr($side.simhash, $k, 1)) - 1)::BIGINT"
-        val hamming = (1 to 16)
-          .map(k => s"bit_count(xor(${dig("sa", k)}, ${dig("sb", k)}))")
-          .mkString(" + ")
         s"WITH sim AS (SELECT doc_id, simhash FROM (${DS.simhashSql}) t), " +
           "bands AS (SELECT doc_id, b AS band, " +
-          "substr(simhash, b * 4 + 1, 4) AS key FROM sim, " +
+          "((simhash >> (48 - 16 * b)) & 65535) AS key FROM sim, " +
           "(SELECT unnest([0, 1, 2, 3]) AS b)), " +
           "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
           "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key " +
           "AND a.doc_id < b.doc_id) " +
-          s"SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming " +
+          "SELECT doc_a, doc_b, " +
+          "CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming " +
           "FROM cand JOIN sim sa ON sa.doc_id = doc_a " +
           "JOIN sim sb ON sb.doc_id = doc_b " +
-          s"WHERE $hamming <= 3 ORDER BY doc_a, doc_b"
+          "WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3 " +
+          "ORDER BY doc_a, doc_b"
       },
       (s, dir) => {
         import graft.functions.{DedupSketches => DS}
         val sim = DS.simhash(tbl(s, dir, "documents")).cache()
         val bands = sim
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, 3), b -> " +
-              "struct(b AS band, substring(simhash, b * 4 + 1, 4) AS key))"))
+            "transform(sequence(0, 3), b -> struct(b AS band, " +
+              "(shiftright(simhash, 48 - 16 * b) & 65535) AS key))"))
             .as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
         val cand = DS.candidatePairs(bands)
-        val hamming = (1 to 16).map { k =>
-          s"bit_count(CAST(conv(substring(ha, $k, 1), 16, 10) AS INT) ^ " +
-            s"CAST(conv(substring(hb, $k, 1), 16, 10) AS INT))"
-        }.mkString(" + ")
         graft.H.materialized(
           cand
             .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
             .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
-            .withColumn("hamming", expr(hamming).cast("long"))
+            .withColumn("hamming",
+              expr("bit_count(ha ^ hb)").cast("long"))
             .filter(col("hamming") <= 3)
             .select("doc_a", "doc_b", "hamming")
             .orderBy("doc_a", "doc_b"),

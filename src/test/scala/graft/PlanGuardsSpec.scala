@@ -62,6 +62,30 @@ class PlanGuardsSpec extends AnyFunSuite {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("dedup candidate generation is a band equi-join, not a collect_list expand") {
+    // The skew-safety of the whole dedup family rests on candidates coming
+    // from a shuffle JOIN on (band, key) — the partition AQE's skew rule
+    // can split. A per-bucket collect_list feeding a Generate would hold a
+    // hot bucket's O(b²) pairs in one unsplittable aggregation row; guard
+    // the shape so it cannot regress. (Spark side and the DuckDB oracle
+    // are the same algorithm — candidatePairsSql is the literal self-join.)
+    // the judged queries end in a localCheckpoint (their executed plan is
+    // an opaque Scan ExistingRDD), so assert on the ONE shared code path
+    // every dedup_* query calls: DedupSketches.candidatePairs itself
+    import graft.functions.{DedupSketches => DS}
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cand = DS.candidatePairs(
+      DS.lshBands(DS.minhashSignature(DS.shingles(docs, 3))))
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"collect_list pair expansion is back:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"no equi-join in candidate generation:\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the

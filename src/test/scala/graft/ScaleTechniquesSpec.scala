@@ -268,6 +268,41 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     } finally bands.unpersist()
   }
 
+  test("AQE splits a hot LSH band in the BATCH candidate self-join") {
+    // Same planted hot band, but through DedupSketches.candidatePairs —
+    // the batch path every dedup_* query uses. The self-join form exists
+    // precisely so this partition is skew-splittable; the former
+    // collect_list + in-row pair expansion held the hot bucket's O(b²)
+    // pairs in ONE aggregation row no rewrite could split.
+    import graft.functions.{DedupSketches => DS}
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2000")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1000")
+    ss.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    ss.conf.set("spark.sql.shuffle.partitions", "32")
+    import ss.implicits._
+    val docs = ss.range(0L, 6000L).select($"id".as("doc_id"),
+      when($"id" % 100 < 50, lit("the same boilerplate page text repeated across mirrors"))
+        .otherwise(concat(lit("unique document body number "), $"id",
+          lit(" with distinct shingle content "), $"id" * 7)).as("text"))
+    val bands = DS.lshBands(DS.minhashSignature(DS.shingles(docs, 3))).cache()
+    val cand = DS.candidatePairs(bands)
+    try {
+      val n = cand.queryExecution.toRdd.count()
+      // 3000 hot docs → C(3000,2) ≈ 4.5M ordered pairs survive doc_a<doc_b
+      assert(n > 1000000L, s"hot band produced only $n candidate pairs")
+      val finalPlan = cand.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      assert(finalPlan.contains("skew=true"),
+        s"skew-join split did not trigger on the hot band:\n$finalPlan")
+      assert(finalPlan.linesIterator.count(_.contains("AQEShuffleRead skewed")) >= 2,
+        finalPlan)
+    } finally bands.unpersist()
+  }
+
   // graph_triangles relies on degree-ordered orientation enumerating each
   // triangle exactly once; pin it against the naive a<b<c three-way join
   // on a fixture with a hub node (where naive wedge fan-out explodes).

@@ -45,12 +45,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(j == 1.0)
   }
 
-  test("simhash: 16 lowercase hex chars, equal docs equal, stable") {
+  test("simhash: 64-bit BIGINT pins the md5 bit convention, equal docs equal") {
     val d = docs((1L, "a b c a b"), (2L, "a b c a b"), (3L, "z z z z z"))
-    val out = DS.simhash(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out.values.forall(_.matches("[0-9a-f]{16}")))
+    val out = DS.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out(1L) == out(2L))
     assert(out(1L) != out(3L))
+    // a doc with ONE distinct token has every per-bit sum sign equal to the
+    // corresponding md5(token) bit, so its simhash IS the first 8 bytes of
+    // md5("z") — pins bit j ↦ BIGINT position 63-j exactly
+    val md5z = java.security.MessageDigest.getInstance("MD5")
+      .digest("z".getBytes("UTF-8")).take(8)
+      .foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    assert(out(3L) == md5z)
   }
 
   test("cosine machinery: dot/norm on a known vector") {
