@@ -121,10 +121,17 @@ object Multimodal {
   private def isSofMarker(m: Int): Boolean =
     m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
 
-  /** Walk JPEG marker segments for the first SOFn frame header. */
+  /** Walk JPEG marker segments for the first SOFn frame header
+    * (ITU-T T.81 §B.1): skip 0xFF fill bytes before each marker; SOI/EOI
+    * (D8/D9), RSTn (D0-D7), and TEM (01) are standalone (no length
+    * field) — EOI additionally ends the stream; every other marker
+    * carries a 2-byte length that includes itself. */
   private def parseJpeg(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
     var pos = 2 // past SOI
-    while (pos + 4 <= bytes.length && u8(bytes(pos)) == 0xff) {
+    while (pos + 2 <= bytes.length && u8(bytes(pos)) == 0xff) {
+      // optional fill bytes: any run of 0xFF before the marker code
+      while (pos + 2 <= bytes.length && u8(bytes(pos + 1)) == 0xff) pos += 1
+      if (pos + 2 > bytes.length) return None
       val marker = u8(bytes(pos + 1))
       if (isSofMarker(marker)) {
         // segment: FF Cn LL LL precision H H W W ncomp ...
@@ -134,9 +141,13 @@ object Multimodal {
           val ncomp = u8(bytes(pos + 9)).toLong
           return Some((width, height, ncomp))
         } else return None
-      } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+      } else if (marker == 0xd9) {
+        return None // EOI: end of image, no SOF seen
+      } else if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) {
         pos += 2 // standalone marker, no length field
       } else {
+        if (pos + 4 > bytes.length) return None
         pos += 2 + readBe16(bytes, pos + 2) // marker + segment (length includes itself)
       }
     }

@@ -36,13 +36,22 @@ final case class FieldMeta(
     fieldName: String,
     sourceDataType: String,
     keyFlag: Boolean,
-    desc: String = "")
+    desc: String = "",
+    nullable: Boolean = true,
+    // OData v4 Edm.Decimal facets, when the document carries them
+    precision: Option[Int] = None,
+    scale: Option[Int] = None)
+
+/** `<NavigationProperty Name=.. Type="Collection(Ns.Target)"/>` — a nested
+  * subform relation; `target` is the referenced EntityType's simple name. */
+final case class NavMeta(navName: String, target: String)
 
 final case class EntityMeta(
     entityName: String,
     sourceSystem: String,
     fields: Seq[FieldMeta],
-    entityPk: Seq[String])
+    entityPk: Seq[String],
+    navs: Seq[NavMeta] = Nil)
 
 object Fixtures {
   /** The canonical fixture config (FIXTURES.md A1). */

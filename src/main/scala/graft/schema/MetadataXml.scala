@@ -7,7 +7,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.w3c.dom.Element
 
-import graft.model.{EntityMeta, FieldMeta}
+import graft.model.{EntityMeta, FieldMeta, NavMeta}
 
 /** OData `$metadata` (EDMX) → per-entity schema documents — the engine's
   * version of the reference's xmltodict walk over
@@ -51,10 +51,28 @@ object MetadataXml {
             .find(_.getAttribute("Term").endsWith("Description"))
             .map(_.getAttribute("String")).getOrElse("")
         }
+        def intAttr(a: String): Option[Int] =
+          Option(prop.getAttribute(a)).filter(_.nonEmpty).map(_.toInt)
         fields += FieldMeta(pname, prop.getAttribute("Type"),
-          keyFlag = keyRefs.contains(pname), desc = desc)
+          keyFlag = keyRefs.contains(pname), desc = desc,
+          // OData v4 default: a Property without Nullable is nullable
+          nullable = prop.getAttribute("Nullable") != "false",
+          precision = intAttr("Precision"), scale = intAttr("Scale"))
       }
-      entities += EntityMeta(name, sourceSystem, fields.toSeq, keyRefs.toSeq)
+
+      // NavigationProperty → nested subform relation; Type is
+      // "Collection(Namespace.Target)" — keep the simple target name
+      val navs = ArrayBuffer.empty[NavMeta]
+      val navEls = et.getElementsByTagName("NavigationProperty")
+      for (n <- 0 until navEls.getLength) {
+        val nav = navEls.item(n).asInstanceOf[Element]
+        val target = nav.getAttribute("Type")
+          .stripPrefix("Collection(").stripSuffix(")")
+          .split('.').last
+        navs += NavMeta(nav.getAttribute("Name"), target)
+      }
+      entities += EntityMeta(name, sourceSystem, fields.toSeq, keyRefs.toSeq,
+        navs.toSeq)
     }
     entities.toSeq
   }

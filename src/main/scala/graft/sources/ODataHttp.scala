@@ -40,10 +40,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     EXECUTOR-side, over a real TCP socket, with auth headers.
   *
   * What stays simulated: the dataset behind the server (a demo tenant in
-  * this JVM's memory — the same boundary as before) and the schema
-  * channel (`/$schema` serves the Spark DDL JSON; a production Priority
-  * connector reads `$metadata` EDMX, which [[graft.schema.MetadataXml]]
-  * covers separately).
+  * this JVM's memory — the same boundary as before). The schema channel is
+  * the real contract end-to-end: `GET $metadata` serves EDMX (entity
+  * Properties + Key refs + NavigationProperty subforms), and
+  * [[ODataHttpSource.inferSchema]] walks that wire document with
+  * [[graft.schema.MetadataXml]] — the reference's discovery loop
+  * (priorityDataSource.py:347-458) over an actual socket.
   */
 object ODataJson {
 
@@ -370,6 +372,11 @@ object ODataHttpServer {
         }
       }.toMap
 
+  /** Fault injection for specs: the next N authorized requests are
+    * answered 503 before any handling — drives the reader's
+    * transient-retry path over a real socket. */
+  @volatile var failNext: Int = 0
+
   private def handle(x: HttpExchange): Unit =
     try {
       logRequest(s"${x.getRequestMethod} ${x.getRequestURI}")
@@ -378,7 +385,16 @@ object ODataHttpServer {
           "WWW-Authenticate" -> "Basic realm=\"odata\"")
         return
       }
-      // path: /odata/$metadata, /odata/<entity>, /odata/<entity>/$schema
+      if (failNext > 0) synchronized {
+        if (failNext > 0) {
+          failNext -= 1
+          respond(x, 503, """{"error":"injected transient failure"}""".getBytes(UTF_8),
+            "Content-Type" -> "application/json")
+          return
+        }
+      }
+      // path: /odata/$metadata (the ONLY schema channel — EDMX, exactly
+      // like a real Priority endpoint) or /odata/<entity>
       val parts = x.getRequestURI.getPath.stripPrefix("/odata/").split('/')
       val entity = parts(0)
       if (entity == "$metadata") {
@@ -387,13 +403,6 @@ object ODataHttpServer {
         return
       }
       val full = ODataTestServer.schemaOf(entity)
-      if (parts.length > 1 && parts(1) == "$schema") {
-        val body = mapper.createObjectNode()
-        body.put("schema", full.json)
-        respond(x, 200, mapper.writeValueAsBytes(body),
-          "Content-Type" -> "application/json")
-        return
-      }
       val p = queryParams(x)
       // an EMPTY $select is a pruned-to-zero-columns scan (a bare count():
       // Spark prunes every column and only row existence matters)
@@ -485,10 +494,16 @@ object ODataHttpServer {
         "Content-Type" -> "application/json")
     } catch {
       case e: Throwable =>
-        respond(x, 500,
+        // if the failure struck AFTER sendResponseHeaders committed the
+        // response, this second send throws — swallow it so the original
+        // error still lands in the request log instead of being replaced
+        // by an IllegalStateException and a dropped connection
+        logRequest(s"ERROR ${x.getRequestURI}: ${String.valueOf(e.getMessage)}")
+        try respond(x, 500,
           mapper.writeValueAsBytes(
             mapper.createObjectNode().put("error", String.valueOf(e.getMessage))),
           "Content-Type" -> "application/json")
+        catch { case _: Throwable => () }
     }
 
   /** Spark type → EDM type, the reverse of the reference's datatype
@@ -498,15 +513,34 @@ object ODataHttpServer {
     * ([[graft.types.EdmTypes.targetFor]] fallback). */
   private def edmTypeOf(dt: org.apache.spark.sql.types.DataType): String = dt match {
     case LongType => "Edm.Int64"
-    case IntegerType | ShortType | ByteType => "Edm.Int32"
+    case IntegerType => "Edm.Int32"
+    case ShortType => "Edm.Int16"
+    case ByteType => "Edm.SByte"
     case StringType => "Edm.String"
-    case TimestampType | TimestampNTZType => "Edm.DateTimeOffset"
+    case TimestampType => "Edm.DateTimeOffset"
+    // OData v4 has no naive-datetime scalar; v2's Edm.DateTime is the
+    // established wire name for one (still emitted by legacy producers),
+    // and collapsing NTZ into DateTimeOffset would silently shift values
+    case TimestampNTZType => "Edm.DateTime"
     case _: DecimalType => "Edm.Decimal"
-    case DoubleType | FloatType => "Edm.Double"
+    case DoubleType => "Edm.Double"
+    case FloatType => "Edm.Single"
     case DateType => "Edm.Date"
     case BooleanType => "Edm.Boolean"
     case BinaryType => "Edm.Binary"
     case _ => "Edm.String"
+  }
+
+  /** Property attributes beyond Type: OData v4 Precision/Scale for
+    * Edm.Decimal (so the client rebuilds the exact DecimalType) and
+    * Nullable="false" (v4 default is nullable). */
+  private def propAttrs(f: org.apache.spark.sql.types.StructField): String = {
+    val dec = f.dataType match {
+      case d: DecimalType => s""" Precision="${d.precision}" Scale="${d.scale}""""
+      case _ => ""
+    }
+    val nullable = if (f.nullable) "" else " Nullable=\"false\""
+    dec + nullable
   }
 
   private def xmlEscape(s: String): String =
@@ -527,9 +561,12 @@ object ODataHttpServer {
     sb ++= "<edmx:Edmx Version=\"4.0\" xmlns:edmx=\"http://docs.oasis-open.org/odata/ns/edmx\">\n"
     sb ++= "  <edmx:DataServices>\n"
     sb ++= "    <Schema Namespace=\"Priority.OData\" xmlns=\"http://docs.oasis-open.org/odata/ns/edm\">\n"
+    def property(f: org.apache.spark.sql.types.StructField, indent: String): Unit =
+      sb ++= s"""$indent<Property Name="${xmlEscape(f.name)}" Type="${edmTypeOf(f.dataType)}"${propAttrs(f)}/>\n"""
     ODataTestServer.registeredEntities.sorted.foreach { name =>
       val schema = ODataTestServer.schemaOf(name)
-      val scalar = schema.fields.filterNot(f => ODataTestServer.isSubform(f.dataType))
+      val (subforms, scalar) =
+        schema.fields.partition(f => ODataTestServer.isSubform(f.dataType))
       val keys = scalar.filter(f =>
         f.metadata.contains("keyFlag") && f.metadata.getBoolean("keyFlag"))
       sb ++= s"""      <EntityType Name="${xmlEscape(name)}">\n"""
@@ -538,11 +575,22 @@ object ODataHttpServer {
         keys.foreach(k => sb ++= s"""<PropertyRef Name="${xmlEscape(k.name)}"/>""")
         sb ++= "</Key>\n"
       }
-      scalar.foreach { f =>
-        val nullable = if (f.nullable) "" else " Nullable=\"false\""
-        sb ++= s"""        <Property Name="${xmlEscape(f.name)}" Type="${edmTypeOf(f.dataType)}"$nullable/>\n"""
+      scalar.foreach(property(_, "        "))
+      // nested subform columns ride as NavigationProperty → a dedicated
+      // EntityType, the reference's parent-entity/subform-entity split
+      // (subform entities are EntityTypes of their own in Priority's
+      // $metadata; readme.md names them <NAME>_SUBFORM)
+      subforms.foreach { f =>
+        sb ++= s"""        <NavigationProperty Name="${xmlEscape(f.name)}" Type="Collection(Priority.OData.${xmlEscape(s"${name}_${f.name}")})"/>\n"""
       }
       sb ++= "      </EntityType>\n"
+      subforms.foreach { f =>
+        val child = f.dataType.asInstanceOf[ArrayType]
+          .elementType.asInstanceOf[StructType]
+        sb ++= s"""      <EntityType Name="${xmlEscape(s"${name}_${f.name}")}">\n"""
+        child.fields.foreach(property(_, "        "))
+        sb ++= "      </EntityType>\n"
+      }
     }
     sb ++= "    </Schema>\n  </edmx:DataServices>\n</edmx:Edmx>\n"
     sb.toString
@@ -552,16 +600,43 @@ object ODataHttpServer {
 
   private lazy val client: HttpClient = HttpClient.newHttpClient()
 
+  /** Bounded page-GET retries on transient failures. The reference
+    * isolates a failed entity and carries on (priorityDataSource.py:
+    * 185-195); executor-side this engine additionally absorbs transient
+    * 5xx / connection resets INSIDE the reader, so a server blip costs one
+    * page re-GET after a short backoff instead of a whole Spark task retry
+    * (which would re-fetch the page anyway — with scheduler latency and,
+    * at default task-retry limits, query death on the 4th blip). 4xx is
+    * never retried: an auth or grammar error is deterministic and must
+    * surface immediately. */
+  private val MaxAttempts = 3
+
   def getRaw(url: String, user: String, pass: String): Array[Byte] = {
     val req = HttpRequest.newBuilder(java.net.URI.create(url))
       .header("Authorization", "Basic " + Base64.getEncoder
         .encodeToString(s"$user:$pass".getBytes(UTF_8)))
       .GET().build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
-    if (resp.statusCode() != 200)
-      sys.error(s"odata-http GET $url -> HTTP ${resp.statusCode()}: " +
-        new String(resp.body(), UTF_8).take(200))
-    resp.body()
+    var attempt = 1
+    while (true) {
+      val failure: String =
+        try {
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+          val code = resp.statusCode()
+          if (code == 200) return resp.body()
+          val detail = s"HTTP $code: " + new String(resp.body(), UTF_8).take(200)
+          if (code < 500) sys.error(s"odata-http GET $url -> $detail")
+          detail // 5xx: transient until proven otherwise
+        } catch {
+          case e: java.io.IOException => // connect reset / refused / EOF
+            s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
+      if (attempt >= MaxAttempts)
+        sys.error(s"odata-http GET $url failed after $MaxAttempts attempts " +
+          s"(last: $failure)")
+      Thread.sleep(50L << (attempt - 1)) // 50 ms, 100 ms
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def get(url: String, user: String, pass: String): JsonNode =
@@ -580,11 +655,43 @@ class ODataHttpSource extends TableProvider {
   private def opt(o: CaseInsensitiveStringMap, k: String): String =
     Option(o.get(k)).getOrElse(sys.error(s"odata-http: missing option '$k'"))
 
+  /** Schema discovery over the wire: GET `$metadata`, walk the EDMX with
+    * [[graft.schema.MetadataXml]] (the same parser the catalog bootstrap
+    * judged by o08 uses — reference contract
+    * priorityDataSource.py:347-458), then rebuild the NATIVE Spark schema:
+    * scalar Properties via [[EdmTypes.nativeSpark]] (Decimal re-bounded
+    * from the wire's Precision/Scale), NavigationProperty subforms as
+    * array-of-struct columns resolved against their own EntityType. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val url = s"${opt(options, "endpoint")}/${opt(options, "entity")}/$$schema"
-    val node = ODataHttpServer.get(url,
-      opt(options, "user"), opt(options, "pass"))
-    DataType.fromJson(node.get("schema").asText).asInstanceOf[StructType]
+    val xml = new String(ODataHttpServer.getRaw(
+      s"${opt(options, "endpoint")}/$$metadata",
+      opt(options, "user"), opt(options, "pass")), java.nio.charset.StandardCharsets.UTF_8)
+    val entity = opt(options, "entity")
+    val all = graft.schema.MetadataXml.parse(xml, "priority")
+    val byName = all.map(e => e.entityName -> e).toMap
+    val meta = byName.getOrElse(entity,
+      sys.error(s"odata-http: entity '$entity' absent from \\$$metadata"))
+    def scalarFields(m: graft.model.EntityMeta): Seq[StructField] =
+      m.fields.map { f =>
+        val dt = (f.sourceDataType, f.precision, f.scale) match {
+          case ("Edm.Decimal", Some(p), Some(s)) =>
+            org.apache.spark.sql.types.DecimalType(p, s)
+          case ("Edm.Decimal", _, _) => // facet-less wire document
+            org.apache.spark.sql.types.DecimalType(38, 18)
+          case _ => graft.types.EdmTypes.nativeSpark
+            .getOrElse(f.sourceDataType, StringType)
+        }
+        StructField(f.fieldName, dt, nullable = f.nullable,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putBoolean("keyFlag", f.keyFlag).build())
+      }
+    val navFields = meta.navs.map { nav =>
+      val child = byName.getOrElse(nav.target,
+        sys.error(s"odata-http: subform EntityType '${nav.target}' missing"))
+      StructField(nav.navName,
+        org.apache.spark.sql.types.ArrayType(StructType(scalarFields(child))))
+    }
+    StructType(scalarFields(meta) ++ navFields)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -677,10 +784,22 @@ final class ODataHttpScanBuilder(endpoint: String, entity: String,
     }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // A filter only rides the wire if its rendered $filter string parses
+    // back to the same render — the server speaks exactly the grammar
+    // ODataFilterSyntax.parse accepts, so a literal the Term regex can't
+    // round-trip (a newline in a string literal, a non-\w column name)
+    // must stay a Spark-side residual instead of dying as an HTTP 500
+    // after pushdown promised the source would apply it.
+    def roundTrips(f: Filter): Boolean = scala.util.Try {
+      val wire = ODataFilterSyntax.render(Seq(f))
+      ODataFilterSyntax.render(
+        ODataFilterSyntax.parse(wire, full).toSeq) == wire
+    }.getOrElse(false)
     val (accepted, residual) = filters.partition(f =>
       ODataTestServer.supportsFilter(f) &&
         f.references.forall(c => full.fields.find(_.name == c)
-          .exists(sf => ODataTestServer.comparableType(sf.dataType))))
+          .exists(sf => ODataTestServer.comparableType(sf.dataType))) &&
+        roundTrips(f))
     pushed = accepted
     residual
   }
@@ -787,8 +906,18 @@ final class ODataHttpScan(endpoint: String, entity: String,
     * checkpointed cursor + the registry's append-preserves-prefix contract
     * make the pull exactly-once across restarts. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // Spark's current pushdown rules never push filters/limit/orderBy into
+    // a streaming scan (it applies them downstream of the source) — but if
+    // that ever changes, streaming the FULL entity here would silently
+    // return rows Spark believes were already filtered at the source.
+    // Fail loudly instead of returning wrong rows.
+    require(filters.isEmpty && limit.isEmpty && orderBy.isEmpty,
+      "odata-http streaming scan cannot honor pushed " +
+        s"filters=${filters.mkString(",")} limit=$limit orderBy=$orderBy — " +
+        "the micro-batch cursor reads raw row ranges")
     new ODataHttpMicroBatchStream(endpoint, entity, required, user, pass, pageSize)
+  }
 
   override def description(): String =
     s"ODataHttpScan(endpoint=$endpoint, entity=$entity, " +

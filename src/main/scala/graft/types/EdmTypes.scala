@@ -29,6 +29,27 @@ object EdmTypes {
     ("SBO", "SBO_text") -> Target("VARCHAR", StringType),
     ("SBO", "SBO_num") -> Target("NUMERIC", DecimalType(38, 3)))
 
+  /** Edm → NATIVE Spark type, the DSv2 connector's schema channel — the
+    * inverse of the transport's Spark→Edm render, lossless over every
+    * scalar the wire serves. Deliberately distinct from `mapping`, which is
+    * the reference's WAREHOUSE dictionary (keys→VARCHAR(255), every number
+    * →NUMERIC): a connector schema must reproduce the source table exactly,
+    * not its DWH landing shape. Edm.Decimal carries Precision/Scale
+    * attributes on the wire, resolved by the caller. */
+  val nativeSpark: Map[String, DataType] = Map(
+    "Edm.String" -> StringType,
+    "Edm.Int64" -> LongType,
+    "Edm.Int32" -> IntegerType,
+    "Edm.Int16" -> ShortType,
+    "Edm.SByte" -> ByteType,
+    "Edm.Double" -> DoubleType,
+    "Edm.Single" -> FloatType,
+    "Edm.DateTimeOffset" -> TimestampType,
+    "Edm.DateTime" -> TimestampNTZType, // OData v2 naive datetime
+    "Edm.Date" -> DateType,
+    "Edm.Boolean" -> BooleanType,
+    "Edm.Binary" -> BinaryType)
+
   /** PK columns are uniformly stringly-typed, length 255
     * (reference rule, sqlDwh.py:368-370). */
   val pkAzureType = "VARCHAR(255)"

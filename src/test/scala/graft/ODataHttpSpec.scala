@@ -42,16 +42,78 @@ class ODataHttpSpec extends AnyFunSuite {
     assert(ok == 200)
   }
 
-  test("$schema endpoint serves the entity schema over the wire") {
-    val url = register("nation_http_schema")
-    val (code, body) = rawGet(s"$url/$$schema",
+  test("$metadata serves EDMX; the connector schema comes from that wire document") {
+    register("nation_http_schema")
+    val (code, body) = rawGet(s"${ODataHttpServer.endpoint}/$$metadata",
       Some((ODataHttpServer.user, ODataHttpServer.pass)))
     assert(code == 200)
-    val schema = org.apache.spark.sql.types.DataType
-      .fromJson(mapper.readTree(body).get("schema").asText)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    assert(schema.fieldNames.toSeq ==
+    assert(body.startsWith("<?xml") && body.contains("edmx:Edmx"), body.take(200))
+    // the SAME parser the catalog bootstrap uses reads the wire document
+    val metas = graft.schema.MetadataXml.parse(body, "priority")
+    val nation = metas.find(_.entityName == "nation_http_schema").get
+    assert(nation.fields.map(_.fieldName) ==
       H.tbl(spark, sf, "nation").schema.fieldNames.toSeq)
+    // and the DSv2 source's inferSchema resolves the NATIVE types from it
+    val viaSource = spark.read.format("graft.sources.ODataHttpSource")
+      .option("endpoint", ODataHttpServer.endpoint)
+      .option("entity", "nation_http_schema")
+      .option("user", ODataHttpServer.user)
+      .option("pass", ODataHttpServer.pass).load().schema
+    assert(viaSource.map(f => (f.name, f.dataType)) ==
+      H.tbl(spark, sf, "nation").schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("$metadata round-trips a composite-PK entity with typed columns") {
+    import graft.model.{EntityMeta, FieldMeta}
+    import graft.types.EdmTypes
+    // a composite-key entity in the reference's own shape (ORDERS + line):
+    // schema built through the Edm dictionary, so keyFlag metadata is real
+    val meta = EntityMeta("orders_pk_http", "priority",
+      Seq(FieldMeta("ordname", "Edm.String", keyFlag = true),
+        FieldMeta("line", "Edm.Int64", keyFlag = true),
+        FieldMeta("qprice", "Edm.Decimal", keyFlag = false)),
+      Seq("ordname", "line"))
+    val schema = org.apache.spark.sql.types.StructType(
+      EdmTypes.toStructType(meta).fields.filterNot(f =>
+        EdmTypes.auditColumns.exists(_._1 == f.name)))
+    val rows = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row("A1", "1", new java.math.BigDecimal("10.500")),
+        org.apache.spark.sql.Row("A1", "2", new java.math.BigDecimal("3.250"))),
+      schema)
+    ODataTestServer.registerDf("orders_pk_http", rows)
+    val (_, body) = rawGet(s"${ODataHttpServer.endpoint}/$$metadata",
+      Some((ODataHttpServer.user, ODataHttpServer.pass)))
+    val m = graft.schema.MetadataXml.parse(body, "priority")
+      .find(_.entityName == "orders_pk_http").get
+    assert(m.entityPk == Seq("ordname", "line")) // composite <Key> survives
+    val got = spark.read.format("graft.sources.ODataHttpSource")
+      .option("endpoint", ODataHttpServer.endpoint)
+      .option("entity", "orders_pk_http")
+      .option("user", ODataHttpServer.user)
+      .option("pass", ODataHttpServer.pass).load()
+    assert(got.schema("qprice").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 3)) // facets round-trip
+    assert(got.orderBy("ordname", "line").collect().map(_.toSeq).toSeq ==
+      rows.orderBy("ordname", "line").collect().map(_.toSeq).toSeq)
+  }
+
+  test("transient 503s are absorbed by reader retry, not task failure") {
+    register("nation_http_retry")
+    // local master runs with task maxFailures=1: ANY task-level failure
+    // kills the job, so a successful read with injected 503s proves the
+    // retry happened inside the page reader (reference behavior: isolate
+    // and continue on non-200, priorityDataSource.py:185-195)
+    ODataHttpServer.failNext = 2
+    val got = spark.read.format("graft.sources.ODataHttpSource")
+      .option("endpoint", ODataHttpServer.endpoint)
+      .option("entity", "nation_http_retry")
+      .option("user", ODataHttpServer.user)
+      .option("pass", ODataHttpServer.pass).load().count()
+    assert(got == 25)
+    assert(ODataHttpServer.failNext == 0) // the injected failures were served
+    // a deterministic 4xx still fails fast (wrong-credentials test covers
+    // the no-retry-on-auth-error path)
   }
 
   test("nextLink paging walks every row exactly once via $skiptoken") {

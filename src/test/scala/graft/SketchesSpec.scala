@@ -177,6 +177,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(m.first_byte == 0xffL)
   }
 
+  test("multimodal decode: JPEG fill bytes, TEM, and EOI-before-SOF (T.81 edges)") {
+    // TEM (FF 01) and RSTn are standalone; fill bytes (FF FF FF) pad before
+    // a marker; a stream whose EOI arrives before any SOF has no dims
+    val withTemAndFill: Array[Byte] = (Seq(0xff, 0xd8) ++ // SOI
+      Seq(0xff, 0x01) ++ // TEM, standalone — must NOT be read as a segment
+      Seq(0xff, 0xff, 0xff, 0xe0, 0x00, 0x04, 0, 0) ++ // fill bytes + APP0 len 4
+      Seq(0xff, 0xc0, 0x00, 0x11, 0x08) ++
+      Seq(0x00, 0x07) ++ Seq(0x00, 0x09) ++ // height 7, width 9
+      Seq(0x03) ++ Seq(1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+      .map(_.toByte).toArray
+    val m = Multimodal.decodeMeta(8L, withTemAndFill)
+    assert(m.format == "image/jpeg" && m.width == 9L && m.height == 7L)
+    // EOI straight after SOI: previously parsed as a length-bearing segment
+    // (reading payload bytes as a length); must cleanly report no dims
+    val eoiOnly = Seq(0xff, 0xd8, 0xff, 0xd9).map(_.toByte).toArray
+    val e = Multimodal.decodeMeta(9L, eoiOnly)
+    assert(e.format == "application/octet-stream" && e.width == 0L)
+  }
+
   test("multimodal decode: synthesized containers round-trip their declared dims") {
     val body = "hello world, the entropy-coded stand-in".getBytes("UTF-8")
     val png = Multimodal.decodeMeta(3L, Multimodal.synthesizePng(1023, 7, body))
