@@ -210,6 +210,57 @@ object ExtraRelationalQueries extends QueryModule {
           .orderBy("o_orderpriority")
       }),
 
+    // O14 + §2.2 JDBC sink/scan EXECUTED: a deterministic orders slice is
+    // written into an embedded Derby warehouse through the reference's
+    // typed-DDL path (PK VARCHAR(255), NUMERIC money, audit columns —
+    // to_sql at priorityDataSource.py:891-896), then read back with a
+    // range-partitioned spark.read.jdbc (8 strides over the numeric key,
+    // the §2.2 parallel-readback shape) and compared hash-exact against
+    // the parquet the table was loaded from. Only the dialect differs from
+    // the Azure SQL production target — same options, same DDL author.
+    Q("o14_jdbc_roundtrip",
+      Some("SELECT CAST(o_orderkey AS VARCHAR) AS ordname, " +
+        "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS curdate, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(31,3)) AS DOUBLE) AS qprice, " +
+        "o_custkey AS ord " +
+        "FROM orders WHERE o_orderkey % 20 = 0 ORDER BY ordname"),
+      (s, dir) => {
+        val home = H.cleanupOnExit(
+          Files.createTempDirectory("graft_derby").toString)
+        // absolute db path: derby.system.home is only read at engine boot,
+        // so a relative URL would pin every later run to the first run's dir
+        val url = s"jdbc:derby:$home/db;create=true"
+        val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+        val df = tbl(s, dir, "orders")
+          .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+          .select(
+            col("o_orderkey").cast("string").as("ordname"),
+            col("o_orderdate").cast("timestamp").as("curdate"),
+            col("o_totalprice").cast("decimal(31,3)").as("qprice"),
+            col("o_custkey").as("ord"))
+          .withColumn("extractionid",
+            lit("00000000-0000-4000-8000-000000000000"))
+          .withColumn("extractiontimestamputc",
+            to_timestamp(lit("2026-01-01 00:00:00")))
+        df.write.format("jdbc")
+          .options(graft.pipeline.Sinks.jdbcOptions(
+            graft.model.Fixtures.ordersMeta, url, "stg_orders",
+            dialect = "derby") + ("driver" -> DerbyDriver))
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+        val bounds = df.agg(min(col("ord")), max(col("ord"))).collect()(0)
+        val back = s.read.format("jdbc")
+          .options(graft.pipeline.Sinks.jdbcScanOptions(url, "stg_orders",
+            "ord", bounds.getLong(0), bounds.getLong(1) + 1,
+            numPartitions = 8) + ("driver" -> DerbyDriver))
+          .load()
+        back.select(col("ordname"),
+            date_format(col("curdate"), "yyyy-MM-dd HH:mm:ss").as("curdate"),
+            // engine-exact convention: the money column crosses the compare
+            // as double (the decimal carried exactness through the warehouse)
+            col("qprice").cast("double").as("qprice"), col("ord"))
+          .orderBy("ordname")
+      }),
+
     // O3 proper: the `$expand` navigation property served BY the connector —
     // child subform rows arrive nested inside the parent entity response
     // (array-of-struct column), then split into the child table via
