@@ -198,39 +198,170 @@ object Multimodal {
       }
   }
 
+  // ---- real PNG pixel codec ---------------------------------------------
+  //
+  // zlib via java.util.zip (pure JDK — no external codec needed), scanline
+  // filters per the PNG specification §9 (RFC 2083 §6). The ENCODER below
+  // is the simulation boundary (the "camera" producing test containers);
+  // the DECODER is the product — it sees container bytes only, and is
+  // pinned against hand-built spec fixtures for every filter type in
+  // SketchesSpec, independently of the encoder.
+
+  private val Bpp = 3 // truecolor, 8-bit: 3 bytes per pixel
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Predictor for byte x of a scanline (left / above / upper-left inputs
+    * follow PNG §9; bytes before the first pixel read as zero). */
+  private def predictor(ft: Int, cur: Array[Byte], prior: Array[Byte], x: Int): Int = {
+    def left = if (x >= Bpp) u8(cur(x - Bpp)) else 0
+    def up = u8(prior(x))
+    def upLeft = if (x >= Bpp) u8(prior(x - Bpp)) else 0
+    ft match {
+      case 0 => 0 // None
+      case 1 => left // Sub
+      case 2 => up // Up
+      case 3 => (left + up) / 2 // Average
+      case 4 => paeth(left, up, upLeft) // Paeth
+      case other => sys.error(s"png: invalid filter type $other")
+    }
+  }
+
+  /** Deterministic pixel stream: byte i of the w*h*3 raster is
+    * `(i*31 + seed) % 256` — closed-form, so the DuckDB oracle predicts
+    * every decoded pixel without a PNG decoder of its own. */
+  def pixelByte(i: Long, seed: Long): Int =
+    (((i * 31 + seed) % 256) + 256).toInt % 256
+
+  /** A fully REAL PNG: filtered scanlines (filter type cycles y % 5, so
+    * one image exercises None/Sub/Up/Average/Paeth), zlib-deflated, split
+    * across TWO IDAT chunks (decoders must reassemble), real CRCs. */
+  def synthesizePngPixels(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val rowLen = width * Bpp
+    val filtered = new java.io.ByteArrayOutputStream()
+    var prior = new Array[Byte](rowLen)
+    for (y <- 0 until height) {
+      val raw = Array.tabulate(rowLen)(x =>
+        pixelByte(y.toLong * rowLen + x, seed).toByte)
+      val ft = y % 5
+      filtered.write(ft)
+      for (x <- 0 until rowLen)
+        filtered.write((u8(raw(x)) - predictor(ft, raw, prior, x)) & 0xff)
+      prior = raw
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered.toByteArray); defl.finish()
+    val buf = new Array[Byte](8192)
+    val z = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val zb = z.toByteArray
+    val ihdr = be32(width) ++ be32(height) ++ Array[Byte](8, 2, 0, 0, 0)
+    PngSignature ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", zb.take(zb.length / 2)) ++
+      pngChunk("IDAT", zb.drop(zb.length / 2)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Assemble a truecolor-8 container around an already-deflated stream —
+    * lets the decoder spec feed hand-computed filtered scanlines (fixtures
+    * authored against the spec, not against our encoder). */
+  def pngFixture(width: Int, height: Int, zlib: Array[Byte]): Array[Byte] = {
+    val ihdr = be32(width) ++ be32(height) ++ Array[Byte](8, 2, 0, 0, 0)
+    PngSignature ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", zlib) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decode a truecolor 8-bit PNG to its raw pixel bytes (w*h*3), from the
+    * container bytes alone: walk chunks, concatenate every IDAT, inflate
+    * the zlib stream, un-filter each scanline (§9, all five types). */
+  def decodePngPixels(bytes: Array[Byte]): Array[Byte] = {
+    require(hasPngSignature(bytes), "png: bad signature")
+    var pos = 8
+    var width = 0; var height = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && pos + 8 <= bytes.length) {
+      val len = readBe32(bytes, pos)
+      val ty = new String(bytes, pos + 4, 4, "US-ASCII")
+      if (len > bytes.length.toLong - pos - 12) sys.error("png: truncated chunk")
+      ty match {
+        case "IHDR" =>
+          width = readBe32(bytes, pos + 8).toInt
+          height = readBe32(bytes, pos + 12).toInt
+          val depth = u8(bytes(pos + 16)); val color = u8(bytes(pos + 17))
+          require(depth == 8 && color == 2,
+            s"png: decoder handles truecolor-8 only (depth=$depth color=$color)")
+          require(u8(bytes(pos + 20)) == 0, "png: interlace unsupported")
+        case "IDAT" => idat.write(bytes, pos + 8, len.toInt)
+        case "IEND" => done = true
+        case _ => () // ancillary chunk: skip
+      }
+      pos += 12 + len.toInt
+    }
+    require(width > 0 && height > 0, "png: no IHDR before IDAT")
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    val rowLen = width * Bpp
+    val raw = new Array[Byte]((rowLen + 1) * height)
+    var off = 0
+    while (!infl.finished() && off < raw.length) {
+      val n = infl.inflate(raw, off, raw.length - off)
+      if (n == 0 && infl.needsInput()) sys.error("png: zlib stream truncated")
+      off += n
+    }
+    infl.end()
+    require(off == raw.length, s"png: inflated $off of ${raw.length} bytes")
+    val out = new Array[Byte](rowLen * height)
+    var prior = new Array[Byte](rowLen)
+    for (y <- 0 until height) {
+      val ft = u8(raw(y * (rowLen + 1)))
+      val cur = new Array[Byte](rowLen)
+      for (x <- 0 until rowLen) {
+        val d = u8(raw(y * (rowLen + 1) + 1 + x))
+        cur(x) = ((d + predictor(ft, cur, prior, x)) & 0xff).toByte
+      }
+      System.arraycopy(cur, 0, out, y * rowLen, rowLen)
+      prior = cur
+    }
+    out
+  }
+
   final case class MediaTransform(
       doc_id: Long,
-      resized_len: Long,
-      resized_md5: String,
-      n_vowel: Long,
-      n_space: Long,
-      n_other: Long)
+      n_px: Long,
+      px_md5: String,
+      px_sum: Long,
+      px_min: Long,
+      px_max: Long)
 
-  /** Resize + feature-extract over the real bytes: "resize" keeps every
-    * 4th byte (a deterministic stand-in for pixel subsampling — actual
-    * pixel access would need the codec's decompressor) and hashes the
-    * result; features are byte-class counts. All real executor-side
-    * byte-array work in one mapPartitions batch. */
+  /** Resize + feature-extract over TRUE pixels: every document is wrapped
+    * in a real PNG (deterministic raster, all five filter types, real
+    * zlib), the decoder recovers the pixel bytes from the container alone,
+    * and "resize" subsamples every 4th pixel byte. The md5 rides over the
+    * comma-joined integer values so the oracle can predict it closed-form;
+    * sum/min/max pin the arithmetic. One mapPartitions batch,
+    * executor-side byte work only. */
   def transform(spark: SparkSession, docs: DataFrame): Dataset[MediaTransform] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) =>
-          val resized = bytes.indices.collect {
-            case i if i % 4 == 0 => bytes(i)
-          }.toArray
+        it.map { case (id, body) =>
+          val w = (1L + id % 32L).toInt
+          val h = (1L + (id * 7L + body.length) % 32L).toInt
+          val px = decodePngPixels(synthesizePngPixels(w, h, id))
+          val sub = Array.range(0, px.length, 4).map(i => px(i) & 0xff)
           md.reset()
-          val hex = md.digest(resized).map("%02x".format(_)).mkString
-          var vowel = 0L; var space = 0L; var other = 0L
-          bytes.foreach { b =>
-            val c = (b & 0xff).toChar
-            if ("aeiou".indexOf(c) >= 0) vowel += 1
-            else if (c == ' ') space += 1
-            else other += 1
-          }
-          MediaTransform(id, resized.length.toLong, hex, vowel, space, other)
+          val hex = md.digest(sub.mkString(",").getBytes("US-ASCII"))
+            .map("%02x".format(_)).mkString
+          MediaTransform(id, sub.length.toLong, hex,
+            sub.foldLeft(0L)(_ + _), sub.min.toLong, sub.max.toLong)
         }
       }
   }

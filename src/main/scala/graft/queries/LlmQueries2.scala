@@ -89,19 +89,23 @@ object LlmQueries2 extends QueryModule {
           caches = Seq(n))
       }),
 
-    // Multimodal resize + feature-extract: stride-4 byte subsampling (the
-    // pixel-subsample stand-in) hashed, plus byte-class counts — all real
-    // executor-side byte work in one mapPartitions batch.
+    // Multimodal resize + feature-extract over TRUE pixels: each doc is
+    // wrapped in a REAL PNG (zlib stream, scanline filters cycling all 5
+    // spec types, two IDAT chunks), the decoder inflates + unfilters the
+    // container bytes back to the raster, and "resize" subsamples every
+    // 4th pixel byte. The oracle predicts the decoded pixels closed-form
+    // (byte i = (i*31 + doc_id) % 256), so any codec bug — filter math,
+    // zlib reassembly, chunk walk — breaks the hash.
     Q("multimodal_transform",
-      Some("SELECT doc_id, " +
-        "CAST((length(text) + 3) // 4 AS BIGINT) AS resized_len, " +
-        "md5(array_to_string(list_apply(range(1, length(text) + 1, 4), " +
-        "i -> substr(text, CAST(i AS INT), 1)), '')) AS resized_md5, " +
-        "CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS n_vowel, " +
-        "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space, " +
-        "CAST(length(replace(text, ' ', '')) " +
-        "- length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS n_other " +
-        "FROM documents ORDER BY doc_id"),
+      Some("SELECT doc_id, CAST(len(vs) AS BIGINT) AS n_px, " +
+        "md5(array_to_string(vs, ',')) AS px_md5, " +
+        "CAST(list_sum(vs) AS BIGINT) AS px_sum, " +
+        "CAST(list_min(vs) AS BIGINT) AS px_min, " +
+        "CAST(list_max(vs) AS BIGINT) AS px_max FROM " +
+        "(SELECT doc_id, list_transform(range(0, " +
+        "(1 + doc_id % 32) * (1 + (doc_id * 7 + octet_length(encode(text))) % 32) * 3, " +
+        "4), i -> (i * 31 + doc_id) % 256) AS vs FROM documents) " +
+        "ORDER BY doc_id"),
       (s, dir) =>
         graft.functions.Multimodal.transform(s, tbl(s, dir, "documents"))
           .toDF().orderBy("doc_id")),

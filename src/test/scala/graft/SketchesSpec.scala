@@ -212,6 +212,65 @@ class SketchesSpec extends AnyFunSuite {
     assert(odd.format == "image/jpeg" && odd.width == 12L)
   }
 
+  test("png pixel decoder: hand-built fixtures pin all 5 filter types (spec §9)") {
+    // decoder vs the PNG SPEC, not vs our encoder: filtered bytes below are
+    // computed by hand so a symmetric filter/unfilter bug cannot hide.
+    // 2-pixel-wide truecolor rows, bpp=3; prior row for non-first rows.
+    def onePng(height: Int, filtered: Array[Byte], width: Int = 2): Array[Byte] = {
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(filtered); defl.finish()
+      val buf = new Array[Byte](1024)
+      val z = new java.io.ByteArrayOutputStream()
+      while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      Multimodal.pngFixture(width, height, z.toByteArray)
+    }
+    // row0 raw = [10 20 30 | 40 50 60]
+    // Sub (ft=1): d[x] = raw[x] - raw[x-3] → [10 20 30 | 30 30 30]
+    val sub = onePng(1, Array[Byte](1, 10, 20, 30, 30, 30, 30))
+    assert(Multimodal.decodePngPixels(sub).map(_ & 0xff).toSeq ==
+      Seq(10, 20, 30, 40, 50, 60))
+    // Up (ft=2) row1 raw = [11 22 33 | 44 55 66] over prior row0 None
+    // d[x] = raw[x] - prior[x] → [1 2 3 | 4 5 6]
+    val up = onePng(2, Array[Byte](0, 10, 20, 30, 40, 50, 60,
+      2, 1, 2, 3, 4, 5, 6))
+    assert(Multimodal.decodePngPixels(up).map(_ & 0xff).toSeq ==
+      Seq(10, 20, 30, 40, 50, 60, 11, 22, 33, 44, 55, 66))
+    // Average (ft=3) row1 raw = [12 24 36 | 48 60 72] over row0
+    // d[0..2] = raw - floor((0 + prior)/2) = [12-5 24-10 36-15] = [7 14 21]
+    // d[3..5] = raw - floor((left + prior)/2) = [48-(12+40)/2 60-(24+50)/2 72-(36+60)/2] = [22 23 24]
+    val avg = onePng(2, Array[Byte](0, 10, 20, 30, 40, 50, 60,
+      3, 7, 14, 21, 22, 23, 24))
+    assert(Multimodal.decodePngPixels(avg).map(_ & 0xff).toSeq ==
+      Seq(10, 20, 30, 40, 50, 60, 12, 24, 36, 48, 60, 72))
+    // Paeth (ft=4) row1 raw = [13 26 39 | 52 65 78] over row0.
+    // x<3: a=0,c=0 → p=b → predictor=b(prior): d = raw - prior = [3 6 9]
+    // x>=3: a=left raw, b=prior, c=prior-left:
+    //  x=3: a=13 b=40 c=10 p=43 pa=30 pb=3 pc=33 → b → d=52-40=12
+    //  x=4: a=26 b=50 c=20 p=56 pa=30 pb=6 pc=36 → b → d=65-50=15
+    //  x=5: a=39 b=60 c=30 p=69 pa=30 pb=9 pc=39 → b → d=78-60=18
+    val pae = onePng(2, Array[Byte](0, 10, 20, 30, 40, 50, 60,
+      4, 3, 6, 9, 12, 15, 18))
+    assert(Multimodal.decodePngPixels(pae).map(_ & 0xff).toSeq ==
+      Seq(10, 20, 30, 40, 50, 60, 13, 26, 39, 52, 65, 78))
+    // modulo-256 wraparound on Sub: raw = [200 0 0 | 100 0 0] → d[3] = 100-200 = -100 ≡ 156
+    val wrap = onePng(1, Array[Byte](1, 200.toByte, 0, 0, 156.toByte, 0, 0))
+    assert(Multimodal.decodePngPixels(wrap).map(_ & 0xff).toSeq ==
+      Seq(200, 0, 0, 100, 0, 0))
+  }
+
+  test("png pixel codec: encoder→decoder round-trip equals the closed-form raster") {
+    // the e2e contract the multimodal_transform oracle relies on
+    for ((w, h, seed) <- Seq((1, 1, 0L), (5, 7, 3L), (32, 32, 123L))) {
+      val px = Multimodal.decodePngPixels(Multimodal.synthesizePngPixels(w, h, seed))
+      assert(px.length == w * h * 3)
+      px.indices.foreach { i =>
+        assert((px(i) & 0xff) == Multimodal.pixelByte(i.toLong, seed),
+          s"w=$w h=$h i=$i")
+      }
+    }
+  }
+
   test("multimodal decode: non-media bytes fall through to opaque binary") {
     val m = Multimodal.decodeMeta(7L, "hello world, not a png payload!!".getBytes("UTF-8"))
     assert(m.format == "application/octet-stream")
