@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence harness: measures how the heavy judged queries scale
+  * BEYOND the driver's sf0.1, so 100×-claims rest on a measured slope, not
+  * plan inspection alone.
+  *
+  * `gen <srcSf> <outDir> <k>` synthesizes a k× dataset from an existing sf
+  * directory:
+  *   - `documents` is replicated k times with offset doc_ids and per-copy
+  *     token salting (`tok` → `tok§c` for copy c>0): every shingle/token of
+  *     a copy is distinct from every other copy's, so the near-dup cluster
+  *     structure of the base corpus replicates per copy instead of pairing
+  *     across copies — candidate count and verified pairs grow k-LINEARLY,
+  *     which is exactly the slope a scale-correct dedup must track. (Plain
+  *     duplication would near-dup every copy against every other: a k²
+  *     blow-up by construction, measuring the dataset, not the engine.)
+  *   - `orders`/`lineitem` replicate k times with offset order keys (join
+  *     integrity preserved; customers/suppliers/parts stay fixed, so each
+  *     dimension row simply sees k× the facts — the TPC-H-ish shape).
+  *   - all other tables copy through unchanged.
+  *
+  * `run <dir1> <dir2> <query,query,...>` runs each named SparkEntry query
+  * against both directories in the SAME JVM (one boot, one calibration,
+  * warm codegen) and prints per-query seconds + the dir2/dir1 slope as one
+  * JSON line — appended to PLANS.md as the round's scaling datapoint.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.local.dir", H.scratchDir)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.toList match {
+      case "gen" :: srcSf :: outDir :: k :: Nil => gen(spark, srcSf, outDir, k.toInt)
+      case "run" :: dir1 :: dir2 :: queries :: Nil =>
+        run(spark, dir1, dir2, queries.split(',').toSeq)
+      case other => sys.error(s"usage: gen <srcSf> <outDir> <k> | " +
+        s"run <dir1> <dir2> <q1,q2,...> (got: $other)")
+    }
+    spark.stop()
+  }
+
+  private def gen(spark: SparkSession, srcSf: String, outDir: String, k: Int): Unit = {
+    new java.io.File(outDir).mkdirs()
+    val docs = spark.read.parquet(s"$srcSf/documents.parquet")
+    val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    (0 until k).map { c =>
+      if (c == 0) docs
+      else docs.select(
+        Seq((col("doc_id") + lit(c * nDocs)).as("doc_id"),
+          // salt every token: copy-c shingles never collide with copy-0's
+          regexp_replace(col("text"), lit(" "), lit(s"§$c ")).as("text")) ++
+          docs.columns.filterNot(Set("doc_id", "text")).map(col): _*)
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+
+    val orders = spark.read.parquet(s"$srcSf/orders.parquet")
+    val lineitem = spark.read.parquet(s"$srcSf/lineitem.parquet")
+    val nOrd = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+    (0 until k).map(c => orders.withColumn("o_orderkey", col("o_orderkey") + lit(c * nOrd)))
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/orders.parquet")
+    (0 until k).map(c => lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(c * nOrd)))
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part", "events", "embeddings")
+      .foreach { t =>
+        val p = s"$srcSf/$t.parquet"
+        if (new java.io.File(p).exists())
+          spark.read.parquet(p).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
+      }
+    println(s"""{"gen":"$outDir","k":$k}""")
+  }
+
+  private def run(spark: SparkSession, dir1: String, dir2: String,
+      queries: Seq[String]): Unit = {
+    // same calibration workload as Bench, so runs are comparable across boots
+    val calibMs = {
+      val t0 = System.nanoTime()
+      var x = 0L; var i = 0
+      while (i < 200000000) { x += (i.toLong * i) ^ (x >>> 31); i += 1 }
+      System.err.println(s"[probe] calib x=$x")
+      (System.nanoTime() - t0) / 1e6
+    }
+    def once(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = queries.map { q =>
+      val a = once(q, dir1) // warm-up + base measurement, best of 2
+      val a2 = once(q, dir1)
+      val b = once(q, dir2)
+      val b2 = once(q, dir2)
+      val (ba, bb) = (math.min(a, a2), math.min(b, b2))
+      System.err.println(f"[probe] $q%-28s $ba%7.2f -> $bb%7.2f s  slope ${bb / ba}%.2f")
+      (q, ba, bb)
+    }
+    val qj = rows.map { case (q, a, b) =>
+      f""""$q":{"base":$a%.2f,"scaled":$b%.2f,"slope":${b / a}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","dir1":"$dir1","dir2":"$dir2",""" +
+      s""""calib_ms":${"%.0f".format(calibMs)},"queries":$qj}""")
+  }
+}
