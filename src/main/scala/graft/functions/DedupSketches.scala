@@ -59,17 +59,27 @@ object DedupSketches {
     * feeds Jaccard verification; folding it here saves a second aggregation
     * over the shingle set). The digests are computed once per shingle in a
     * pre-aggregation projection (not per agg expression), then min-folded
-    * chunk-wise — map-side combine keeps the shuffle at |docs|×n_hashes. */
+    * chunk-wise — map-side combine keeps the shuffle at |docs|×n_hashes.
+    *
+    * Each chunk converts hex → BIGINT BEFORE the min: `min` over strings
+    * has an immutable aggregation buffer, so Spark plans a SortAggregate
+    * (per-partition sort of |docs|×|shingles| rows — CPU and spill risk at
+    * corpus scale); over longs it plans the hash-based partial+final pair,
+    * and the shuffle rows are fixed-width. Numeric min == lexicographic min
+    * on fixed-width hex, so the DuckDB twin keeps the hex form — the h
+    * columns are internal (band keys, never output), and a bijection per
+    * chunk preserves both per-doc minima and band-key equality. */
   def minhashSignature(sh: DataFrame): DataFrame = {
     val digested = sh.select(
       col("doc_id") +:
         (0 until NumDigests).map(j =>
           md5(concat(lit(s"$j:"), col("shingle"))).as(s"m$j")): _*)
+    def chunk(i: Int) = expr(
+      s"cast(conv(substring(m${i / 4}, ${(i % 4) * 8 + 1}, 8), 16, 10) as bigint)")
     digested.groupBy("doc_id").agg(
-      min(substring(col("m0"), 1, 8)).as("h0"),
-      (1 until NumHashes).map { i =>
-        min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")
-      } :+ count(lit(1)).as("n"): _*)
+      min(chunk(0)).as("h0"),
+      (1 until NumHashes).map(i => min(chunk(i)).as(s"h$i"))
+        :+ count(lit(1)).as("n"): _*)
   }
 
   // Measured alternative, rejected: computing the signature ARRAY-NATIVELY

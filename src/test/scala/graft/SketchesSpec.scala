@@ -23,7 +23,7 @@ class SketchesSpec extends AnyFunSuite {
   test("minhash: identical docs get identical signatures; disjoint docs differ") {
     val d = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
     val sig = DS.minhashSignature(DS.shingles(d, 3)).collect()
-      .map(r => r.getLong(0) -> (1 to DS.NumHashes).map(i => r.getString(i)))
+      .map(r => r.getLong(0) -> (1 to DS.NumHashes).map(i => r.getLong(i)))
       .toMap
     assert(sig(1L) == sig(2L))
     assert(sig(1L) != sig(3L))
