@@ -50,7 +50,25 @@ object H {
   def sumMoney(c: Column): Column = sum(dec2(c)).cast("double")
 
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    canonicalTypes(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Canonicalize physically-encoding-dependent column types at the load
+    * boundary, so every query downstream sees one schema regardless of how
+    * the parquet writer annotated the data. The reference does the same
+    * thing one level up — schema comes from $metadata, never from the file
+    * (reference/resources/priorityDataSource.py:375-458). Current rules:
+    *   - TIMESTAMP_NTZ (micros, isAdjustedToUTC=false) → TimestampType.
+    *     All harness sessions run UTC, so NTZ wall-time → UTC instant is
+    *     deterministic and matches DuckDB's naive-timestamp read.
+    * Nanos-as-long is handled per-table (see `events`): a bare LongType
+    * can't be distinguished from a genuine integer column generically. */
+  def canonicalTypes(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+  }
 
   /** Spark scratch (shuffle files, spills, block-manager disk store) for
     * the single-JVM harness: RAM-backed tmpfs when available. On this box
@@ -118,16 +136,18 @@ object H {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4 only
-    * reads via spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench and
-    * test sessions). Convert nanos → TimestampType (micros) here; integer
-    * `div` so no double-precision loss on ~1.7e18 nano values. */
+  /** The events table's `ts` column has shipped in two different physical
+    * encodings across driver provisions: TIMESTAMP(NANOS) (readable only via
+    * spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench and test
+    * sessions, surfacing as LongType) and TIMESTAMP_NTZ micros (canonicalized
+    * by `tbl`). Normalize both to TimestampType here; integer `div` so no
+    * double-precision loss on ~1.7e18 nano values. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = tbl(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => df
+      case _ => df // TimestampType already, incl. NTZ via canonicalTypes
     }
   }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver has re-provisioned /root/testdata with a different physical
+  * timestamp encoding twice (TIMESTAMP(NANOS) in r1, TIMESTAMP_NTZ micros in
+  * r6), and each time an un-normalized loader broke the whole event-time
+  * query family. This spec pins the loader contract: the SAME logical fixture
+  * written in every encoding the driver has ever shipped must come out of
+  * H.events with the SAME schema and the SAME values. The reference avoids
+  * the problem by never trusting file encodings at all — schema always comes
+  * from $metadata (reference/resources/priorityDataSource.py:375-458);
+  * H.canonicalTypes/H.events are this engine's equivalent boundary.
+  */
+class LoaderEncodingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeFixture(encode: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "2024-03-01 10:30:00.123456", 7L, "click", 1.5, "{}"),
+      (2L, "2024-03-01 10:30:01.000001", 8L, "view", 2.5, "{}"),
+      (3L, "2024-12-31 23:59:59.999999", 7L, "click", 3.5, "{}")
+    ).toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp($"ts_s"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = H.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("enc_fix").toString)
+    encode(base).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def loadNormalized(dir: String): Seq[String] = {
+    val ev = H.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"ts not canonicalized in $dir: ${ev.schema("ts").dataType}")
+    ev.select(H.fmtTs(col("ts"))).orderBy("event_id")
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("same fixture in micros-UTC, NTZ-micros, and nanos-as-long encodings loads identically") {
+    // encoding 1: plain TIMESTAMP (isAdjustedToUTC=true, micros) — the default
+    val utcDir = writeFixture(identity)
+    // encoding 2: TIMESTAMP_NTZ (isAdjustedToUTC=false, micros) — the r6 shape
+    val ntzDir = writeFixture(df =>
+      df.withColumn("ts", col("ts").cast("timestamp_ntz")))
+    // encoding 3: TIMESTAMP(NANOS) surfaces as LongType under
+    // spark.sql.legacy.parquet.nanosAsLong (set in TestSpark) — the r1 shape.
+    // Spark can't WRITE nanos parquet, so write the post-read shape directly:
+    // a BIGINT nanos column, exactly what H.events receives from the flag.
+    val nanosDir = writeFixture(df =>
+      df.withColumn("ts", expr("unix_micros(ts) * 1000L")))
+
+    val utc = loadNormalized(utcDir)
+    assert(utc == loadNormalized(ntzDir), "NTZ-micros encoding diverged")
+    assert(utc == loadNormalized(nanosDir), "nanos-as-long encoding diverged")
+    assert(utc.head == "2024-03-01 10:30:00.123456")
+  }
+
+  test("canonicalTypes coerces every NTZ column, not just events.ts") {
+    import spark.implicits._
+    val dir = H.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("enc_multi").toString)
+    Seq((1L, "2024-06-12 08:00:00", "2024-06-12 09:00:00"))
+      .toDF("id", "a_s", "b_s")
+      .select($"id",
+        to_timestamp($"a_s").cast("timestamp_ntz").as("created"),
+        to_timestamp($"b_s").cast("timestamp_ntz").as("updated"))
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val back = H.tbl(spark, dir, "t")
+    assert(back.schema("created").dataType == TimestampType)
+    assert(back.schema("updated").dataType == TimestampType)
+    val r = back.select(H.fmtTsSec($"created"), H.fmtTsSec($"updated")).collect()(0)
+    assert(r.getString(0) == "2024-06-12 08:00:00")
+    assert(r.getString(1) == "2024-06-12 09:00:00")
+  }
+}
