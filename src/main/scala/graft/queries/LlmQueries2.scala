@@ -185,7 +185,8 @@ object LlmQueries2 extends QueryModule {
         import graft.functions.{DedupSketches => DS}
         val sh = DS.shingles(tbl(s, dir, "documents"), 3).cache()
         val sig = DS.minhashSignature(sh).cache()
-        val cand = DS.candidatePairs(DS.lshBands(sig))
+        // cached: double-referenced inside verifiedJaccard (see dedup_minhash_lsh)
+        val cand = DS.candidatePairs(DS.lshBands(sig)).cache()
         val pairs = DS.verifiedJaccard(cand, sh, Some(sig.select(col("doc_id"), col("n"))))
           .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
         val labels = DS.connectedComponents(pairs)
@@ -194,7 +195,7 @@ object LlmQueries2 extends QueryModule {
             .select(col("node").as("doc_id"), col("label").as("canonical_id"),
               (col("node") === col("label")).cast("int").as("is_canonical"))
             .orderBy("doc_id"),
-          caches = Seq(sh, sig), checkpoints = Seq(labels))
+          caches = Seq(sh, sig, cand), checkpoints = Seq(labels))
       }),
 
     // CAPSTONE: the end-to-end training-set selection a real data pipeline
@@ -262,8 +263,9 @@ object LlmQueries2 extends QueryModule {
               .as("quality_score"))
         val sh = DS.shingles(docs, 3).cache()
         val sig = DS.minhashSignature(sh).cache()
-        val pairs = DS.verifiedJaccard(
-            DS.candidatePairs(DS.lshBands(sig)), sh,
+        // cached: double-referenced inside verifiedJaccard (see dedup_minhash_lsh)
+        val cand = DS.candidatePairs(DS.lshBands(sig)).cache()
+        val pairs = DS.verifiedJaccard(cand, sh,
             Some(sig.select(col("doc_id"), col("n"))))
           .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
         val labels = DS.connectedComponents(pairs)
@@ -278,7 +280,7 @@ object LlmQueries2 extends QueryModule {
                 .when(col("quality_score") < 2, "drop_low_quality")
                 .otherwise("keep").as("decision"))
             .orderBy("doc_id"),
-          caches = Seq(sh, sig), checkpoints = Seq(labels))
+          caches = Seq(sh, sig, cand), checkpoints = Seq(labels))
       }),
 
     // Benchmark decontamination: flag corpus documents sharing >= 3 distinct
@@ -408,7 +410,10 @@ object LlmQueries2 extends QueryModule {
         import graft.functions.{DedupSketches => DS}
         val sh = DS.shingles(tbl(s, dir, "documents"), 3).cache()
         val sig = DS.minhashSignature(sh).cache()
-        val cand = DS.candidatePairs(DS.lshBands(sig))
+        // cached: cand feeds BOTH the intersection join and the scoring join
+        // below; without it the band self-join executes twice (this was the
+        // bench's single most expensive stage)
+        val cand = DS.candidatePairs(DS.lshBands(sig)).cache()
         val counts = sig.select(col("doc_id"), col("n"))
         val inter = cand
           .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
@@ -424,7 +429,7 @@ object LlmQueries2 extends QueryModule {
         graft.H.materialized(
           j.filter(col("containment") >= 0.6)
             .select("doc_a", "doc_b", "containment").orderBy("doc_a", "doc_b"),
-          caches = Seq(sh, sig))
+          caches = Seq(sh, sig, cand))
       }),
 
     // Product-quantization ANN (the memory-bound scale path beyond IVF/LSH):

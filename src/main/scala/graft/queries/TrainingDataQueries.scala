@@ -973,8 +973,9 @@ object TrainingDataQueries extends QueryModule {
               .cast("long").as("n_clean"))
         val sh = DS.shingles(docs, 3).cache()
         val sig = DS.minhashSignature(sh).cache()
-        val pairs = DS.verifiedJaccard(
-            DS.candidatePairs(DS.lshBands(sig)), sh,
+        // cached: double-referenced inside verifiedJaccard (see dedup_minhash_lsh)
+        val cand = DS.candidatePairs(DS.lshBands(sig)).cache()
+        val pairs = DS.verifiedJaccard(cand, sh,
             Some(sig.select(col("doc_id"), col("n"))))
           .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
         val labels = DS.connectedComponents(pairs)
@@ -1002,7 +1003,7 @@ object TrainingDataQueries extends QueryModule {
             .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_clean"),
               col("decision"), col("split"), col("pack_id"))
             .orderBy("doc_id"),
-          caches = Seq(sh, sig), checkpoints = Seq(labels))
+          caches = Seq(sh, sig, cand), checkpoints = Seq(labels))
       }),
 
     // Spark 4.1 SQL pipe syntax — the same logical plan as the plain-SQL

@@ -94,6 +94,15 @@ class ODataHttpSpec extends AnyFunSuite {
       .option("pass", ODataHttpServer.pass).load()
     assert(got.schema("qprice").dataType ==
       org.apache.spark.sql.types.DecimalType(38, 3)) // facets round-trip
+    // field ORDER survives the wire (the reference preserves declaration
+    // order, priorityDataSource.py:390-399), and BOTH key fields carry the
+    // keyFlag metadata stamp after the EDMX → StructType rebuild — this is
+    // what the DDL generator and JDBC sink read to place the PK columns
+    assert(got.schema.fieldNames.toSeq.take(3) ==
+      Seq("ordname", "line", "qprice"))
+    assert(got.schema.fields.filter(f =>
+      f.metadata.contains("keyFlag") && f.metadata.getBoolean("keyFlag"))
+      .map(_.name).toSeq == Seq("ordname", "line"))
     assert(got.orderBy("ordname", "line").collect().map(_.toSeq).toSeq ==
       rows.orderBy("ordname", "line").collect().map(_.toSeq).toSeq)
   }
