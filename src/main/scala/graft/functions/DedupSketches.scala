@@ -222,11 +222,18 @@ object DedupSketches {
     * `countsOpt`: pre-computed (doc_id, n) shingle-set sizes (e.g. from the
     * signature pass); derived from `sh` when absent.
     *
-    * Caller contract: CACHE `cand` (and `sh`). Both are referenced twice —
-    * cand by the intersection join and the scoring join, sh by the two sides
-    * of the intersection — and Spark does not common-subexpression-eliminate
-    * across DAG branches, so an uncached cand re-executes the band self-join
-    * (the most expensive stage of the dedup pipeline) once per reference. */
+    * Caller contract: pass `cand` through an EAGER `.localCheckpoint()` and
+    * `.cache()` `sh`. Both are referenced twice — cand by the intersection
+    * join and the scoring join, sh by the two sides of the intersection —
+    * and Spark does not common-subexpression-eliminate across DAG branches,
+    * so an unmaterialized cand re-executes the band self-join (the most
+    * expensive stage of the dedup pipeline) once per reference. cand must
+    * be checkpointed rather than cached: caching freezes the cached
+    * subplan's output partitioning and disables AQE skew-splitting inside
+    * the InMemoryRelation build — the exact protection the hot-bucket band
+    * join needs (measured 3x slower at 10x sf0.1 when cached); the
+    * checkpoint runs the join as a normal AQE job and pins only its result
+    * blocks. Free via H.materialized(checkpoints = Seq(cand)). */
   def verifiedJaccard(cand: DataFrame, sh: DataFrame,
       countsOpt: Option[DataFrame] = None): DataFrame = {
     val counts = countsOpt.getOrElse(

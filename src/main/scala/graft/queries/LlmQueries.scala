@@ -59,15 +59,18 @@ object LlmQueries extends QueryModule {
       (s, dir) => {
         val sh = DS.shingles(tbl(s, dir, "documents"), 3).cache()
         val sig = DS.minhashSignature(sh).cache()
-        // cached: verifiedJaccard references cand twice (intersection +
-        // scoring joins) and Spark does not CSE across DAG branches — without
-        // this the band self-join, the plan's most expensive stage, runs twice
-        val cand = DS.candidatePairs(DS.lshBands(sig)).cache()
+        // eagerly checkpointed: verifiedJaccard references cand twice and
+        // Spark does not CSE across DAG branches, so without materialization
+        // the band self-join — the plan's most expensive stage — runs twice.
+        // localCheckpoint, NOT cache: a cached subplan freezes its output
+        // partitioning and loses AQE skew-splitting inside the build
+        // (measured 3x slower at 10x sf0.1 on dedup_containment).
+        val cand = DS.candidatePairs(DS.lshBands(sig)).localCheckpoint()
         graft.H.materialized(
           DS.verifiedJaccard(cand, sh, Some(sig.select(col("doc_id"), col("n"))))
             .filter(col("jaccard") >= 0.5)
             .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b"),
-          caches = Seq(sh, sig, cand))
+          caches = Seq(sh, sig), checkpoints = Seq(cand))
       }),
 
     // 64-bit SimHash fingerprints (md5-bit convention, oracle-exact).
@@ -102,12 +105,13 @@ object LlmQueries extends QueryModule {
       (s, dir) => {
         val sh = DS.shingles(tbl(s, dir, "documents"), 2).cache()
         val sig = DS.minhashSignature(sh).cache()
-        // cached: double-referenced inside verifiedJaccard (see dedup_minhash_lsh)
-        val cand = DS.candidatePairs(DS.lshBands(sig)).cache()
+        // checkpointed: double-referenced inside verifiedJaccard (see
+        // dedup_minhash_lsh for why localCheckpoint, not cache)
+        val cand = DS.candidatePairs(DS.lshBands(sig)).localCheckpoint()
         graft.H.materialized(
           DS.verifiedJaccard(cand, sh, Some(sig.select(col("doc_id"), col("n"))))
             .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b"),
-          caches = Seq(sh, sig, cand))
+          caches = Seq(sh, sig), checkpoints = Seq(cand))
       }),
 
     // ---- similarity search ----------------------------------------------

@@ -110,6 +110,30 @@ object LlmQueries2 extends QueryModule {
         graft.functions.Multimodal.transform(s, tbl(s, dir, "documents"))
           .toDF().orderBy("doc_id")),
 
+    // The JPEG sibling of multimodal_transform: each doc becomes a REAL
+    // baseline grayscale JPEG (Annex K Huffman tables on the wire, DC-diff
+    // coding, 0xFF00 stuffing) whose 8x8 blocks are constant-valued — a
+    // pattern the DCT round-trips exactly — and the full decoder (marker
+    // walk -> Huffman -> dequant -> IDCT -> clamp -> crop) recovers the
+    // raster from container bytes alone. Dimensions avoid multiples of 8
+    // so edge cropping runs on every image. The oracle predicts pixel
+    // (x, y) = (doc_id*11 + (x//8)*37 + (y//8)*101) % 256 closed-form.
+    Q("multimodal_jpeg",
+      Some("WITH dims AS (SELECT doc_id, 5 + doc_id % 28 AS w, " +
+        "5 + (doc_id * 5 + octet_length(encode(text))) % 28 AS h " +
+        "FROM documents), " +
+        "px AS (SELECT doc_id, list_transform(range(0, w * h), " +
+        "i -> (doc_id * 11 + ((i % w) // 8) * 37 + ((i // w) // 8) * 101) % 256) " +
+        "AS vs FROM dims) " +
+        "SELECT doc_id, CAST(len(vs) AS BIGINT) AS n_px, " +
+        "md5(array_to_string(vs, ',')) AS px_md5, " +
+        "CAST(list_sum(vs) AS BIGINT) AS px_sum, " +
+        "CAST(list_min(vs) AS BIGINT) AS px_min, " +
+        "CAST(list_max(vs) AS BIGINT) AS px_max FROM px ORDER BY doc_id"),
+      (s, dir) =>
+        graft.functions.Multimodal.transformJpeg(s, tbl(s, dir, "documents"))
+          .toDF().orderBy("doc_id")),
+
     // Fuzzy matching: edit distance over CANDIDATE pairs only. Candidates
     // come from MinHash-band buckets (3-gram shingles, the near-dup
     // generator) narrowed by a ±40-char length band — both prefilters are
@@ -185,8 +209,9 @@ object LlmQueries2 extends QueryModule {
         import graft.functions.{DedupSketches => DS}
         val sh = DS.shingles(tbl(s, dir, "documents"), 3).cache()
         val sig = DS.minhashSignature(sh).cache()
-        // cached: double-referenced inside verifiedJaccard (see dedup_minhash_lsh)
-        val cand = DS.candidatePairs(DS.lshBands(sig)).cache()
+        // checkpointed: double-referenced inside verifiedJaccard (see
+        // dedup_minhash_lsh for why localCheckpoint, not cache)
+        val cand = DS.candidatePairs(DS.lshBands(sig)).localCheckpoint()
         val pairs = DS.verifiedJaccard(cand, sh, Some(sig.select(col("doc_id"), col("n"))))
           .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
         val labels = DS.connectedComponents(pairs)
@@ -195,7 +220,7 @@ object LlmQueries2 extends QueryModule {
             .select(col("node").as("doc_id"), col("label").as("canonical_id"),
               (col("node") === col("label")).cast("int").as("is_canonical"))
             .orderBy("doc_id"),
-          caches = Seq(sh, sig, cand), checkpoints = Seq(labels))
+          caches = Seq(sh, sig), checkpoints = Seq(labels, cand))
       }),
 
     // CAPSTONE: the end-to-end training-set selection a real data pipeline
@@ -263,8 +288,9 @@ object LlmQueries2 extends QueryModule {
               .as("quality_score"))
         val sh = DS.shingles(docs, 3).cache()
         val sig = DS.minhashSignature(sh).cache()
-        // cached: double-referenced inside verifiedJaccard (see dedup_minhash_lsh)
-        val cand = DS.candidatePairs(DS.lshBands(sig)).cache()
+        // checkpointed: double-referenced inside verifiedJaccard (see
+        // dedup_minhash_lsh for why localCheckpoint, not cache)
+        val cand = DS.candidatePairs(DS.lshBands(sig)).localCheckpoint()
         val pairs = DS.verifiedJaccard(cand, sh,
             Some(sig.select(col("doc_id"), col("n"))))
           .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
@@ -280,7 +306,7 @@ object LlmQueries2 extends QueryModule {
                 .when(col("quality_score") < 2, "drop_low_quality")
                 .otherwise("keep").as("decision"))
             .orderBy("doc_id"),
-          caches = Seq(sh, sig, cand), checkpoints = Seq(labels))
+          caches = Seq(sh, sig), checkpoints = Seq(labels, cand))
       }),
 
     // Benchmark decontamination: flag corpus documents sharing >= 3 distinct
@@ -410,10 +436,14 @@ object LlmQueries2 extends QueryModule {
         import graft.functions.{DedupSketches => DS}
         val sh = DS.shingles(tbl(s, dir, "documents"), 3).cache()
         val sig = DS.minhashSignature(sh).cache()
-        // cached: cand feeds BOTH the intersection join and the scoring join
-        // below; without it the band self-join executes twice (this was the
-        // bench's single most expensive stage)
-        val cand = DS.candidatePairs(DS.lshBands(sig)).cache()
+        // materialized ONCE via eager localCheckpoint: cand feeds BOTH the
+        // intersection join and the scoring join (Spark does not CSE across
+        // DAG branches), and .cache() is the WRONG fix here — a cached
+        // subplan's output partitioning is frozen and AQE skew-splitting is
+        // disabled inside the InMemoryRelation build (measured 3x slower at
+        // 10x sf0.1), while a checkpoint runs the band join as a normal
+        // AQE job and pins only the result blocks.
+        val cand = DS.candidatePairs(DS.lshBands(sig)).localCheckpoint()
         val counts = sig.select(col("doc_id"), col("n"))
         val inter = cand
           .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
@@ -429,7 +459,7 @@ object LlmQueries2 extends QueryModule {
         graft.H.materialized(
           j.filter(col("containment") >= 0.6)
             .select("doc_a", "doc_b", "containment").orderBy("doc_a", "doc_b"),
-          caches = Seq(sh, sig, cand))
+          caches = Seq(sh, sig), checkpoints = Seq(cand))
       }),
 
     // Product-quantization ANN (the memory-bound scale path beyond IVF/LSH):

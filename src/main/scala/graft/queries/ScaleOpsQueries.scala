@@ -481,16 +481,17 @@ object ScaleOpsQueries extends QueryModule {
             .select(col("band"), col("key"), col("doc_id").as("doc_b")),
             Seq("band", "key"))
           .select("doc_a", "doc_b").distinct()
-          // cached: double-referenced inside verifiedJaccard (intersection +
-          // scoring joins) — Spark does not CSE across DAG branches
-          .cache()
+          // checkpointed: double-referenced inside verifiedJaccard
+          // (intersection + scoring joins; Spark does not CSE across DAG
+          // branches). localCheckpoint, not cache — see dedup_minhash_lsh.
+          .localCheckpoint()
         graft.H.materialized(
           DS.verifiedJaccard(cand, sh)
             .filter(col("jaccard") >= 0.5)
             .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_base"),
               col("jaccard"))
             .orderBy("doc_new", "doc_base"),
-          caches = Seq(sh, bands, cand))
+          caches = Seq(sh, bands), checkpoints = Seq(cand))
       }),
 
     // ---- Sliding-window document chunking (RAG prep) --------------------

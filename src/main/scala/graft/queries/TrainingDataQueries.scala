@@ -973,8 +973,9 @@ object TrainingDataQueries extends QueryModule {
               .cast("long").as("n_clean"))
         val sh = DS.shingles(docs, 3).cache()
         val sig = DS.minhashSignature(sh).cache()
-        // cached: double-referenced inside verifiedJaccard (see dedup_minhash_lsh)
-        val cand = DS.candidatePairs(DS.lshBands(sig)).cache()
+        // checkpointed: double-referenced inside verifiedJaccard (see
+        // dedup_minhash_lsh for why localCheckpoint, not cache)
+        val cand = DS.candidatePairs(DS.lshBands(sig)).localCheckpoint()
         val pairs = DS.verifiedJaccard(cand, sh,
             Some(sig.select(col("doc_id"), col("n"))))
           .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
@@ -1003,7 +1004,7 @@ object TrainingDataQueries extends QueryModule {
             .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_clean"),
               col("decision"), col("split"), col("pack_id"))
             .orderBy("doc_id"),
-          caches = Seq(sh, sig, cand), checkpoints = Seq(labels))
+          caches = Seq(sh, sig), checkpoints = Seq(labels, cand))
       }),
 
     // Spark 4.1 SQL pipe syntax — the same logical plan as the plain-SQL

@@ -86,34 +86,35 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"no equi-join in candidate generation:\n$plan")
   }
 
-  test("verifiedJaccard over a cached cand reads the cache at BOTH references") {
+  test("verifiedJaccard over a checkpointed cand never re-executes the band join") {
     // dedup_containment was the bench's most expensive query because cand
-    // fed two joins uncached — the band self-join executed twice. The query
-    // programs now cache cand (call-site contract in DedupSketches scaladoc);
-    // this guard pins the mechanism on the shared code path: with cand
-    // cached, the verification plan must read InMemoryTableScan at both
-    // reference points, and the band join itself must appear only inside
-    // the (once-executed) InMemoryRelation, not in the live plan.
+    // fed two joins unmaterialized — the band self-join executed twice
+    // (Spark does not CSE across DAG branches). The fix is an EAGER
+    // localCheckpoint, not .cache(): a cached subplan's output partitioning
+    // is frozen and AQE skew-splitting is disabled inside the
+    // InMemoryRelation build (measured 3x slower at 10x sf0.1), while the
+    // checkpoint runs the band join as one normal AQE job and downstream
+    // references read only the materialized blocks. Guard the mechanism on
+    // the shared code path: after the checkpoint, the verification plan
+    // must contain NO band join at all — both cand references are opaque
+    // RDD scans.
     import graft.functions.{DedupSketches => DS}
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
     val sh = DS.shingles(docs, 3)
     val sig = DS.minhashSignature(sh)
-    val cand = DS.candidatePairs(DS.lshBands(sig)).cache()
+    val cand = DS.candidatePairs(DS.lshBands(sig)).localCheckpoint()
     try {
       val vj = DS.verifiedJaccard(cand, sh,
         Some(sig.select(col("doc_id"), col("n"))))
       val plan = vj.queryExecution.executedPlan.toString
-      val scans = "InMemoryTableScan".r.findAllIn(plan).size
-      assert(scans >= 2,
-        s"expected both cand references to read the cache, saw $scans InMemoryTableScan:\n$plan")
-      // the live plan (everything outside InMemoryRelation's cached child)
-      // must not rebuild candidates: no band-key join above the cache scans
-      val live = plan.split("InMemoryRelation").head
-      assert(!live.contains("band"),
-        s"band join re-executed outside the cache:\n$plan")
-    } finally cand.unpersist()
+      val rddScans = "Scan ExistingRDD".r.findAllIn(plan).size
+      assert(rddScans >= 2,
+        s"expected both cand references to read the checkpoint, saw $rddScans RDD scans:\n$plan")
+      assert(!plan.contains("band"),
+        s"band join re-planned above the checkpoint:\n$plan")
+    } finally H.freeLocalCheckpoint(cand)
   }
 
   test("no registered query plans a CartesianProduct") {
