@@ -75,7 +75,24 @@ object ScaleProbe {
       .reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
 
-    Seq("region", "nation", "customer", "supplier", "part", "events", "embeddings")
+    // events replicate k times with offset event_id AND user_id: offsetting
+    // the user replicates the per-user session/event-time structure k-fold
+    // (k x the groups, same per-group history) — the linear-growth shape a
+    // scale-correct sessionization/watermark pipeline must track. Copying
+    // timestamps unchanged keeps watermark semantics identical per copy.
+    val eventsPath = s"$srcSf/events.parquet"
+    if (new java.io.File(eventsPath).exists()) {
+      val events = H.canonicalTypes(spark.read.parquet(eventsPath))
+      val nEv = events.agg(max(col("event_id"))).head.getLong(0) + 1
+      val nUser = events.agg(max(col("user_id"))).head.getLong(0) + 1
+      (0 until k).map(c => events
+          .withColumn("event_id", col("event_id") + lit(c * nEv))
+          .withColumn("user_id", col("user_id") + lit(c * nUser)))
+        .reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+    }
+
+    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
       .foreach { t =>
         val p = s"$srcSf/$t.parquet"
         if (new java.io.File(p).exists())
