@@ -643,6 +643,118 @@ object Multimodal {
     out
   }
 
+  // ---- real WAV / PCM audio codec ---------------------------------------
+  //
+  // RIFF/WAVE per the public Microsoft/IBM multimedia spec: little-endian
+  // chunk sizes, word (2-byte) alignment with pad bytes after odd-sized
+  // chunks, `fmt ` (PCM, format tag 1) + `data`. The decoder walks chunks
+  // from the bytes alone — ancillary chunks (LIST/INFO etc.) are skipped
+  // via their declared size, exactly how a corpus scanner survives
+  // arbitrary in-the-wild WAV metadata. Only integer PCM-16 mono is in
+  // scope (the training-pipeline normal form); anything else must be
+  // rejected loudly, never mis-decoded.
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+  private def readLe32(a: Array[Byte], off: Int): Long =
+    (u8(a(off)) | (u8(a(off + 1)) << 8) | (u8(a(off + 2)) << 16) |
+      (u8(a(off + 3)).toLong << 24)) & 0xffffffffL
+  private def readLe16(a: Array[Byte], off: Int): Int =
+    u8(a(off)) | (u8(a(off + 1)) << 8)
+
+  /** A real PCM-16 mono WAV around `samples`, with an odd-sized ancillary
+    * LIST chunk BEFORE `data` so decoders must honor RIFF word alignment
+    * (a walker that forgets the pad byte desyncs and fails). */
+  def synthesizeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = le16(1) ++ le16(1) ++ le32(sampleRate) ++
+      le32(sampleRate * 2) ++ le16(2) ++ le16(16) // PCM, mono, 16-bit
+    val note = "odd".getBytes("US-ASCII") // 3 bytes: forces a pad byte
+    val data = samples.flatMap(s => le16(s & 0xffff))
+    val body = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(fmt.length) ++ fmt ++
+      "LIST".getBytes("US-ASCII") ++ le32(note.length) ++ note ++
+      Array(0.toByte) ++ // word-alignment pad after the odd-sized chunk
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** Decode a PCM-16 mono WAV to (sampleRate, samples) from the container
+    * bytes alone: RIFF walk with word alignment, fmt validation, data
+    * extraction. Rejects float/compressed/multi-channel/other-depth audio. */
+  def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "wav: bad RIFF/WAVE header")
+    var pos = 12
+    var rate = -1
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val ty = new String(bytes, pos, 4, "US-ASCII")
+      val len = readLe32(bytes, pos + 4)
+      require(len <= bytes.length.toLong - pos - 8, s"wav: truncated chunk $ty")
+      val d = pos + 8
+      ty match {
+        case "fmt " =>
+          require(len >= 16, "wav: fmt chunk too short")
+          val tag = readLe16(bytes, d)
+          val ch = readLe16(bytes, d + 2)
+          val bits = readLe16(bytes, d + 14)
+          require(tag == 1, s"wav: only integer PCM supported (format tag $tag)")
+          require(ch == 1, s"wav: mono only ($ch channels)")
+          require(bits == 16, s"wav: 16-bit only ($bits)")
+          rate = readLe32(bytes, d + 4).toInt
+        case "data" =>
+          require(rate > 0, "wav: data before fmt")
+          require(len % 2 == 0, "wav: odd PCM-16 data length")
+          samples = Array.tabulate(len.toInt / 2)(i =>
+            readLe16(bytes, d + 2 * i).toShort)
+        case _ => () // ancillary (LIST/INFO/...): skip by declared size
+      }
+      pos = d + len.toInt + (len.toInt & 1) // word alignment: pad after odd
+    }
+    require(samples != null, "wav: no data chunk")
+    (rate, samples)
+  }
+
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      pcm_md5: String,
+      pcm_sum: Long,
+      pcm_min: Long,
+      pcm_max: Long)
+
+  /** Audio sibling of `transform`: each document becomes a real PCM-16
+    * mono WAV with closed-form samples
+    * `((doc_id·7 + i·13) mod 65536) − 32768`, the decoder recovers them
+    * from container bytes alone (chunk walk, alignment, fmt validation),
+    * and the features are exact integer aggregates the oracle predicts
+    * without an audio library. */
+  def transformAudio(spark: SparkSession, docs: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, body) =>
+          val n = (64L + (id * 3L + body.length) % 192L).toInt
+          val wav = synthesizeWav(8000, Array.tabulate(n)(i =>
+            (((id * 7L + i * 13L) % 65536L) - 32768L).toShort))
+          val (rate, pcm) = decodeWavSamples(wav)
+          val ints = pcm.map(_.toInt)
+          md.reset()
+          val hex = md.digest(ints.mkString(",").getBytes("US-ASCII"))
+            .map("%02x".format(_)).mkString
+          AudioFeatures(id, rate.toLong, ints.length.toLong, hex,
+            ints.foldLeft(0L)(_ + _), ints.min.toLong, ints.max.toLong)
+        }
+      }
+  }
+
   final case class MediaTransform(
       doc_id: Long,
       n_px: Long,

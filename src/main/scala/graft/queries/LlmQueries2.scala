@@ -134,6 +134,27 @@ object LlmQueries2 extends QueryModule {
         graft.functions.Multimodal.transformJpeg(s, tbl(s, dir, "documents"))
           .toDF().orderBy("doc_id")),
 
+    // The audio leg of the multimodal family: each doc becomes a real
+    // RIFF/WAVE container (PCM-16 mono, little-endian chunk sizes, an
+    // odd-sized ancillary chunk forcing word-alignment handling) with
+    // closed-form samples; the decoder walks the chunks from bytes alone
+    // and the integer feature aggregates are oracle-exact.
+    Q("multimodal_audio",
+      Some("WITH dims AS (SELECT doc_id, " +
+        "64 + (doc_id * 3 + octet_length(encode(text))) % 192 AS n " +
+        "FROM documents), " +
+        "pcm AS (SELECT doc_id, list_transform(range(0, n), " +
+        "i -> (doc_id * 7 + i * 13) % 65536 - 32768) AS vs FROM dims) " +
+        "SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, " +
+        "CAST(len(vs) AS BIGINT) AS n_samples, " +
+        "md5(array_to_string(vs, ',')) AS pcm_md5, " +
+        "CAST(list_sum(vs) AS BIGINT) AS pcm_sum, " +
+        "CAST(list_min(vs) AS BIGINT) AS pcm_min, " +
+        "CAST(list_max(vs) AS BIGINT) AS pcm_max FROM pcm ORDER BY doc_id"),
+      (s, dir) =>
+        graft.functions.Multimodal.transformAudio(s, tbl(s, dir, "documents"))
+          .toDF().orderBy("doc_id")),
+
     // Fuzzy matching: edit distance over CANDIDATE pairs only. Candidates
     // come from MinHash-band buckets (3-gram shingles, the near-dup
     // generator) narrowed by a ±40-char length band — both prefilters are
