@@ -57,17 +57,23 @@ object H {
     * the parquet writer annotated the data. The reference does the same
     * thing one level up — schema comes from $metadata, never from the file
     * (reference/resources/priorityDataSource.py:375-458). Current rules:
-    *   - TIMESTAMP_NTZ (micros, isAdjustedToUTC=false) → TimestampType.
-    *     All harness sessions run UTC, so NTZ wall-time → UTC instant is
+    *   - TIMESTAMP_NTZ (micros, isAdjustedToUTC=0) → TimestampType. All
+    *     harness sessions run UTC, so NTZ wall-time → UTC instant is
     *     deterministic and matches DuckDB's naive-timestamp read.
+    *   - DATE → TimestampType (midnight UTC). The date-valued columns
+    *     (o_orderdate, l_shipdate, …) have always shipped as timestamps;
+    *     if a future provision ships parquet DATE, every timestamp
+    *     comparison/format downstream keeps working, and DuckDB agrees
+    *     because it casts DATE to midnight in timestamp comparisons and
+    *     strftime alike.
     * Nanos-as-long is handled per-table (see `events`): a bare LongType
     * can't be distinguished from a genuine integer column generically. */
   def canonicalTypes(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.TimestampNTZType
-    val ntz = df.schema.fields.collect {
-      case f if f.dataType == TimestampNTZType => f.name
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType}
+    val coerce = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType || f.dataType == DateType => f.name
     }
-    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+    coerce.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
   }
 
   /** Spark scratch (shuffle files, spills, block-manager disk store) for

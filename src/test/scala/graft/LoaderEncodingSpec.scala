@@ -59,6 +59,24 @@ class LoaderEncodingSpec extends AnyFunSuite {
     assert(utc.head == "2024-03-01 10:30:00.123456")
   }
 
+  test("parquet DATE columns load as midnight timestamps (future-provision guard)") {
+    import spark.implicits._
+    val dir = H.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("enc_date").toString)
+    Seq((1L, "1995-03-15"), (2L, "1998-12-01"))
+      .toDF("id", "d_s")
+      .select($"id", to_date($"d_s").as("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val back = H.tbl(spark, dir, "t")
+    assert(back.schema("o_orderdate").dataType == TimestampType)
+    // the comparisons the relational queries actually run must keep working
+    assert(back.filter(col("o_orderdate") >=
+      lit("1995-01-01").cast("timestamp")).count() == 2)
+    assert(back.select(date_format(col("o_orderdate"), "yyyy-MM"))
+      .orderBy("id").collect().map(_.getString(0)).toSeq ==
+      Seq("1995-03", "1998-12"))
+  }
+
   test("canonicalTypes coerces every NTZ column, not just events.ts") {
     import spark.implicits._
     val dir = H.cleanupOnExit(
