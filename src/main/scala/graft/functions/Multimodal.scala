@@ -719,6 +719,115 @@ object Multimodal {
     (rate, samples)
   }
 
+  // ---- real AVI (Motion-JPEG) video container ---------------------------
+  //
+  // RIFF 'AVI ' per the public Microsoft AVI spec: LIST('hdrl') carrying a
+  // real 56-byte 'avih' MainAVIHeader (dwTotalFrames/dwWidth/dwHeight used
+  // and cross-checked), LIST('movi') carrying one '00dc' compressed-video
+  // chunk per frame — each frame a REAL baseline grayscale JPEG decoded by
+  // the codec above. Word alignment applies to every chunk. This is the
+  // video leg of the multimodal family: container walk + per-frame decode
+  // + frame sampling, all from the bytes alone.
+
+  private def fourCC(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] =
+    fourCC(id) ++ le32(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+  private def riffList(listType: String, payload: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fourCC(listType) ++ payload)
+
+  /** A real AVI around per-frame JPEG payloads. */
+  def synthesizeAvi(width: Int, height: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val avih = le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++ // 25 fps, flags 0
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++ // totalFrames, streams=1
+      le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = riffList("hdrl", riffChunk("avih", avih))
+    val movi = riffList("movi",
+      frames.toArray.flatMap(f => riffChunk("00dc", f)))
+    val body = fourCC("AVI ") ++ hdrl ++ movi
+    fourCC("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Decode every video frame of a Motion-JPEG AVI: RIFF walk to 'hdrl'
+    * (header cross-check) and 'movi' ('00dc' frame chunks), then the
+    * baseline JPEG decoder per frame. Returns (width, height, rasters). */
+  def decodeAviFrames(bytes: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "AVI ", "avi: bad RIFF/AVI header")
+    var declaredFrames = -1; var width = -1; var height = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val len = readLe32(bytes, pos + 4)
+        require(len <= to.toLong - pos - 8, s"avi: truncated chunk $id")
+        val d = pos + 8
+        id match {
+          case "LIST" => walk(d + 4, d + len.toInt) // skip the list type tag
+          case "avih" =>
+            require(len >= 56, "avi: short MainAVIHeader")
+            declaredFrames = readLe32(bytes, d + 16).toInt
+            width = readLe32(bytes, d + 32).toInt
+            height = readLe32(bytes, d + 36).toInt
+          case "00dc" =>
+            frames += decodeJpegGrayPixels(
+              java.util.Arrays.copyOfRange(bytes, d, d + len.toInt))
+          case _ => () // other streams/index chunks: skip
+        }
+        pos = d + len.toInt + (len.toInt & 1) // word alignment
+      }
+    }
+    walk(12, bytes.length)
+    require(width > 0 && height > 0, "avi: no avih header")
+    require(frames.length == declaredFrames,
+      s"avi: header declares $declaredFrames frames, movi carries ${frames.length}")
+    (width, height, frames.toArray)
+  }
+
+  final case class VideoFeatures(
+      doc_id: Long,
+      n_frames: Long,
+      n_px: Long,
+      px_md5: String,
+      px_sum: Long,
+      px_min: Long,
+      px_max: Long)
+
+  /** Video sibling of `transform`: each document becomes a real
+    * Motion-JPEG AVI of `2 + doc_id % 4` frames with block-constant
+    * rasters `(doc_id·11 + f·59 + bx·37 + by·101) mod 256`; the decoder
+    * recovers every frame from the container bytes alone, and FRAME
+    * SAMPLING keeps every 2nd frame (0, 2, …) — the standard video
+    * pipeline stride — before the exact feature aggregates. */
+  def transformVideo(spark: SparkSession, docs: DataFrame): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, body) =>
+          val w = (5L + id % 28L).toInt
+          val h = (5L + (id * 5L + body.length) % 28L).toInt
+          val nf = (2L + id % 4L).toInt
+          val avi = synthesizeAvi(w, h, (0 until nf).map(f =>
+            synthesizeJpegGrayBlocks(w, h, (bx, by) =>
+              ((id * 11L + f * 59L + bx * 37L + by * 101L) % 256L).toInt)))
+          val (dw, dh, frames) = decodeAviFrames(avi)
+          require(dw == w && dh == h)
+          val sampled = frames.indices.by(2).toArray
+            .flatMap(f => frames(f).map(_ & 0xff))
+          md.reset()
+          val hex = md.digest(sampled.mkString(",").getBytes("US-ASCII"))
+            .map("%02x".format(_)).mkString
+          VideoFeatures(id, frames.length.toLong, sampled.length.toLong, hex,
+            sampled.foldLeft(0L)(_ + _), sampled.min.toLong, sampled.max.toLong)
+        }
+      }
+  }
+
   final case class AudioFeatures(
       doc_id: Long,
       sample_rate: Long,

@@ -155,6 +155,29 @@ object LlmQueries2 extends QueryModule {
         graft.functions.Multimodal.transformAudio(s, tbl(s, dir, "documents"))
           .toDF().orderBy("doc_id")),
 
+    // The video leg: each doc becomes a real Motion-JPEG AVI (RIFF walk,
+    // LIST hdrl/movi, word alignment, avih cross-check) whose frames are
+    // baseline JPEGs; frame sampling keeps every 2nd frame before exact
+    // feature aggregates. Container walk + per-frame codec + stride
+    // sampling, the standard video-pipeline shape, all oracle-exact.
+    Q("multimodal_video",
+      Some("WITH dims AS (SELECT doc_id, 5 + doc_id % 28 AS w, " +
+        "5 + (doc_id * 5 + octet_length(encode(text))) % 28 AS h, " +
+        "2 + doc_id % 4 AS nf FROM documents), " +
+        "px AS (SELECT doc_id, nf, flatten(list_transform(range(0, nf, 2), " +
+        "f -> list_transform(range(0, w * h), " +
+        "i -> (doc_id * 11 + f * 59 + ((i % w) // 8) * 37 + ((i // w) // 8) * 101) % 256))) " +
+        "AS vs FROM dims) " +
+        "SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, " +
+        "CAST(len(vs) AS BIGINT) AS n_px, " +
+        "md5(array_to_string(vs, ',')) AS px_md5, " +
+        "CAST(list_sum(vs) AS BIGINT) AS px_sum, " +
+        "CAST(list_min(vs) AS BIGINT) AS px_min, " +
+        "CAST(list_max(vs) AS BIGINT) AS px_max FROM px ORDER BY doc_id"),
+      (s, dir) =>
+        graft.functions.Multimodal.transformVideo(s, tbl(s, dir, "documents"))
+          .toDF().orderBy("doc_id")),
+
     // Fuzzy matching: edit distance over CANDIDATE pairs only. Candidates
     // come from MinHash-band buckets (3-gram shingles, the near-dup
     // generator) narrowed by a ±40-char length band — both prefilters are
