@@ -90,6 +90,11 @@ object Bench {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
       require(txt.contains("\"errors\":[]"), "reference run has errors")
+      require(txt.contains("\"stall_suspect\":[]"), "reference run has stalls")
+      // a reference from a different scale factor would mis-trigger every
+      // retry AND, if this run is clean, get overwritten with wrong-scale
+      // times — only same-sf references are usable
+      require(txt.contains(s""""sf":"$sfDir""""), "reference run is another sf")
       val refCalib = """"calib_ms":(\d+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toDouble).getOrElse(calibMs)
       val scale = calibMs / refCalib

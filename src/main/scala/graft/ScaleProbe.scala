@@ -83,8 +83,13 @@ object ScaleProbe {
     val eventsPath = s"$srcSf/events.parquet"
     if (new java.io.File(eventsPath).exists()) {
       val events = H.canonicalTypes(spark.read.parquet(eventsPath))
-      val nEv = events.agg(max(col("event_id"))).head.getLong(0) + 1
-      val nUser = events.agg(max(col("user_id"))).head.getLong(0) + 1
+      // coalesce: max over an empty table is null, and a half-written
+      // output dir from a mid-gen crash is worse than replicating nothing
+      val bounds = events.agg(
+        coalesce(max(col("event_id")), lit(-1L)).as("e"),
+        coalesce(max(col("user_id")), lit(-1L)).as("u")).head
+      val nEv = bounds.getLong(0) + 1
+      val nUser = bounds.getLong(1) + 1
       (0 until k).map(c => events
           .withColumn("event_id", col("event_id") + lit(c * nEv))
           .withColumn("user_id", col("user_id") + lit(c * nUser)))

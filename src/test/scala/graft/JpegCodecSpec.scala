@@ -67,13 +67,13 @@ class JpegCodecSpec extends AnyFunSuite {
     // entropy byte — the encoder must stuff it with 0x00 and the decoder
     // must read through the stuffing transparently
     val found = (for {
-      v1 <- 0 to 255; v2 <- 0 to 255
+      v1 <- (0 to 255).iterator; v2 <- (0 to 255).iterator
       jpeg = Multimodal.synthesizeJpegGrayBlocks(16, 8,
         (bx, _) => if (bx == 0) v1 else v2)
       sb = scanBytes(jpeg)
       i <- sb.indices.dropRight(1)
       if sb(i) == 0xff.toByte && sb(i + 1) == 0x00.toByte
-    } yield (v1, v2, jpeg)).headOption
+    } yield (v1, v2, jpeg)).nextOption()
     assert(found.isDefined,
       "no two-block image produced a stuffed 0xFF byte — widen the search")
     val (v1, v2, jpeg) = found.get
