@@ -146,14 +146,31 @@ object H {
     * encodings across driver provisions: TIMESTAMP(NANOS) (readable only via
     * spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench and test
     * sessions, surfacing as LongType) and TIMESTAMP_NTZ micros (canonicalized
-    * by `tbl`). Normalize both to TimestampType here; integer `div` so no
-    * double-precision loss on ~1.7e18 nano values. */
+    * by `tbl`). Normalize every shape a future provision could plausibly
+    * ship to TimestampType here:
+    *   - LongType: an epoch integer whose unit is undeclared (bare INT64,
+    *     or nanos surfaced by the legacy flag). Dispatch on magnitude
+    *     per-row — nanos ≥1e17, micros ≥1e14, millis ≥1e11, else seconds —
+    *     which is unambiguous for any epoch between 1973 and 5138, far
+    *     beyond the data's range. Integer arithmetic only (`div`), so no
+    *     double-precision loss on ~1.7e18 nano values; pure columnar, no
+    *     driver-side sampling job.
+    *   - StringType: ISO text → to_timestamp.
+    *   - INT96 / TIMESTAMP(MILLIS|MICROS) / NTZ / DATE: already
+    *     TimestampType after `canonicalTypes` — pass through. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = tbl(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => df // TimestampType already, incl. NTZ via canonicalTypes
+        df.withColumn("ts", expr(
+          "timestamp_micros(CASE" +
+            " WHEN abs(ts) >= 100000000000000000 THEN ts div 1000" +
+            " WHEN abs(ts) >= 100000000000000 THEN ts" +
+            " WHEN abs(ts) >= 100000000000 THEN ts * 1000" +
+            " ELSE ts * 1000000 END)"))
+      case org.apache.spark.sql.types.StringType =>
+        df.withColumn("ts", to_timestamp(col("ts")))
+      case _ => df // TimestampType already, incl. NTZ/DATE via canonicalTypes
     }
   }
 }

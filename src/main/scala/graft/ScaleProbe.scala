@@ -97,7 +97,32 @@ object ScaleProbe {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
     }
 
-    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+    // embeddings replicate k times with offset vec_id and a per-copy
+    // cyclic rotation of the vector: rotation preserves the norm (so
+    // normalization/scoring cost is identical per copy) while giving each
+    // copy an unrelated direction — LSH buckets, IVF cells, and PQ codes
+    // spread instead of collapsing onto copy-0's, which is the shape a
+    // k x-larger real corpus has. The 10 fixed query vectors (vec_id < 10)
+    // stay in copy 0, so the sim_* family scans a k x corpus for the same
+    // query set — cost must track corpus size linearly.
+    val embPath = s"$srcSf/embeddings.parquet"
+    if (new java.io.File(embPath).exists()) {
+      val emb = spark.read.parquet(embPath)
+      val nVec = emb.agg(coalesce(max(col("vec_id")), lit(-1L))).head.getLong(0) + 1
+      (0 until k).map { c =>
+        if (c == 0) emb
+        else {
+          val r = pmod(lit(c), size(col("embedding")))
+          emb.withColumn("vec_id", col("vec_id") + lit(c * nVec))
+            .withColumn("embedding", concat(
+              slice(col("embedding"), r + lit(1), size(col("embedding")) - r),
+              slice(col("embedding"), lit(1), r)))
+        }
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+    }
+
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         val p = s"$srcSf/$t.parquet"
         if (new java.io.File(p).exists())

@@ -59,6 +59,70 @@ class LoaderEncodingSpec extends AnyFunSuite {
     assert(utc.head == "2024-03-01 10:30:00.123456")
   }
 
+  test("bare-integer epoch units (nanos/micros/millis/seconds) and ISO strings all normalize") {
+    import spark.implicits._
+    // whole-second fixture values so every unit represents them exactly
+    def fix(encode: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+      val base = Seq(
+        (1L, "2024-03-01 10:30:00", 7L), (2L, "2024-03-01 10:30:01", 8L),
+        (3L, "2024-12-31 23:59:59", 7L))
+        .toDF("event_id", "ts_s", "user_id")
+        .select($"event_id", to_timestamp($"ts_s").as("ts"), $"user_id")
+      val dir = H.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("enc_unit").toString)
+      encode(base).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    def loaded(dir: String): Seq[String] = {
+      val ev = H.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"ts not canonicalized in $dir: ${ev.schema("ts").dataType}")
+      ev.select(H.fmtTsSec(col("ts"))).orderBy("event_id")
+        .collect().map(_.getString(0)).toSeq
+    }
+    val expect = loaded(fix(identity))
+    assert(expect.head == "2024-03-01 10:30:00")
+    val variants = Seq(
+      "nanos" -> ((df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("ts", expr("unix_micros(ts) * 1000L"))),
+      "micros" -> ((df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("ts", expr("unix_micros(ts)"))),
+      "millis" -> ((df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("ts", expr("unix_millis(ts)"))),
+      "seconds" -> ((df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("ts", expr("unix_seconds(ts)"))),
+      "iso-string" -> ((df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("ts", H.fmtTsSec(col("ts")))))
+    variants.foreach { case (name, enc) =>
+      assert(loaded(fix(enc)) == expect, s"$name encoding diverged")
+    }
+  }
+
+  test("INT96 and TIMESTAMP_MILLIS physical writes load identically") {
+    import spark.implicits._
+    def fix(outType: String): String = {
+      val base = Seq((1L, "2024-03-01 10:30:00"), (2L, "2024-12-31 23:59:59"))
+        .toDF("event_id", "ts_s")
+        .select($"event_id", to_timestamp($"ts_s").as("ts"))
+      val dir = H.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("enc_phys").toString)
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.get(key)
+      try {
+        spark.conf.set(key, outType)
+        base.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      } finally spark.conf.set(key, prev)
+      dir
+    }
+    val expect = Seq("2024-03-01 10:30:00", "2024-12-31 23:59:59")
+    Seq("INT96", "TIMESTAMP_MILLIS", "TIMESTAMP_MICROS").foreach { t =>
+      val ev = H.events(spark, fix(t))
+      assert(ev.schema("ts").dataType == TimestampType, s"$t type")
+      assert(ev.select(H.fmtTsSec(col("ts"))).orderBy("event_id")
+        .collect().map(_.getString(0)).toSeq == expect, s"$t values")
+    }
+  }
+
   test("parquet DATE columns load as midnight timestamps (future-provision guard)") {
     import spark.implicits._
     val dir = H.cleanupOnExit(

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed-determinism gate: a query's RESULT must not depend on how
+  * the work was partitioned. On a real cluster the partition count is an
+  * ops knob (executor count, AQE coalescing, input splits) — any query
+  * whose output shifts with it is silently wrong at scale, and the
+  * determinism rules in `H` (decimal-summed doubles, total-order sorts,
+  * formatted timestamps) exist precisely to prevent that. This spec runs a
+  * representative slice of the judged surface — double-heavy aggregation,
+  * sketch merges, LSH dedup + connected components, windowing, top-k
+  * similarity, packing — under 1 partition (serial merge order), 7
+  * partitions (prime, uneven merge trees), and 7-with-AQE-off, and
+  * asserts bit-identical rows. Partition-count bugs this catches include:
+  * raw double partial-aggregation reorder, non-commutative sketch merge,
+  * rank ties broken by arrival order, and limit-without-sort.
+  */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val sample = Seq(
+    "q1_pricing_summary",     // decimal-summed double aggregation
+    "q18_big_orders",         // join + having + topn
+    "agg_regression",         // corr/slope doubles per group
+    "agg_approx_percentile",  // KLL-backed percentile
+    "agg_hll_union",          // HLL sketch merge
+    "agg_freq_topk",          // frequent-items sketch merge
+    "dedup_minhash_lsh",      // band self-join candidates + verify
+    "dedup_groups",           // iterative connected components
+    "dedup_simhash_hamming",  // banded hamming join
+    "win_running",            // running window frames
+    "text_tfidf",             // idf doubles over corpus stats
+    "sim_cosine_topk",        // float dot-product ranking, tie discipline
+    "mix_temperature",        // weighted-sampling selection
+    "pack_contexts",          // prefix-sum pack assignment
+    "emb_kmeans"              // centroid update step
+  )
+
+  private def rows(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect().map(_.toString).toSeq
+  }
+
+  test("results are identical under 1 partition, 7 partitions, and AQE off") {
+    val confs = Seq(
+      ("p1-aqe", "1", "true"),
+      ("p7-aqe", "7", "true"),
+      ("p7-noaqe", "7", "false"))
+    val sp = "spark.sql.shuffle.partitions"
+    val aqe = "spark.sql.adaptive.enabled"
+    val prevSp = spark.conf.get(sp)
+    val prevAqe = spark.conf.get(aqe)
+    try {
+      sample.foreach { name =>
+        val results = confs.map { case (label, parts, adaptive) =>
+          spark.conf.set(sp, parts)
+          spark.conf.set(aqe, adaptive)
+          (label, rows(name))
+        }
+        val (refLabel, ref) = results.head
+        assert(ref.nonEmpty, s"$name returned no rows at sf0.001")
+        results.tail.foreach { case (label, r) =>
+          assert(r == ref,
+            s"$name: $label diverged from $refLabel " +
+              s"(${r.size} vs ${ref.size} rows; first diff: " +
+              s"${r.zipAll(ref, "<missing>", "<missing>")
+                 .find { case (a, b) => a != b }})")
+        }
+      }
+    } finally {
+      spark.conf.set(sp, prevSp)
+      spark.conf.set(aqe, prevAqe)
+    }
+  }
+}
