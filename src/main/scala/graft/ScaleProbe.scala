@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   *     which is exactly the slope a scale-correct dedup must track. (Plain
   *     duplication would near-dup every copy against every other: a k²
   *     blow-up by construction, measuring the dataset, not the engine.)
-  *   - `orders`/`lineitem` replicate k times with offset order keys (join
-  *     integrity preserved; customers/suppliers/parts stay fixed, so each
-  *     dimension row simply sees k× the facts — the TPC-H-ish shape).
+  *   - `orders`/`lineitem`/`supplier` replicate k times with offset order
+  *     and supplier keys (join integrity preserved; disjoint per-copy
+  *     supplier universes keep the co-occurrence graph replicating
+  *     k-linearly instead of densifying). Customers/parts stay fixed, so
+  *     each sees k× the facts — the TPC-H-ish shape.
+  *   - `embeddings` replicate k times with offset vec_id and a per-copy
+  *     cyclic rotation (norm-preserving, direction-diversifying).
   *   - all other tables copy through unchanged.
   *
   * `run <dir1> <dir2> <query,query,...>` runs each named SparkEntry query
@@ -71,7 +75,23 @@ object ScaleProbe {
     (0 until k).map(c => orders.withColumn("o_orderkey", col("o_orderkey") + lit(c * nOrd)))
       .reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/orders.parquet")
-    (0 until k).map(c => lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(c * nOrd)))
+    // suppliers replicate with offset keys, and each lineitem copy points at
+    // its own supplier copy. Keeping suppliers FIXED while facts grow k x
+    // DENSIFIES every supplier-co-occurrence structure (k x the co-orders per
+    // supplier pair) — a k=10 probe of graph_triangles on that gen measured
+    // slope 19: the dataset's graph was getting quadratically denser, not the
+    // engine slower. Disjoint per-copy supplier universes keep co-occurrence
+    // structure replicating k-linearly, the same principle as the token
+    // salting above. Customers stay fixed (each sees k x the orders — the
+    // TPC-H-ish shape the relational heads are probed on).
+    val supplier = spark.read.parquet(s"$srcSf/supplier.parquet")
+    val nSupp = supplier.agg(max(col("s_suppkey"))).head.getLong(0) + 1
+    (0 until k).map(c => supplier.withColumn("s_suppkey", col("s_suppkey") + lit(c * nSupp)))
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/supplier.parquet")
+    (0 until k).map(c => lineitem
+        .withColumn("l_orderkey", col("l_orderkey") + lit(c * nOrd))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(c * nSupp)))
       .reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
 
@@ -122,7 +142,7 @@ object ScaleProbe {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
     }
 
-    Seq("region", "nation", "customer", "supplier", "part")
+    Seq("region", "nation", "customer", "part")
       .foreach { t =>
         val p = s"$srcSf/$t.parquet"
         if (new java.io.File(p).exists())
