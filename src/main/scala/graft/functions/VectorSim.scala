@@ -51,13 +51,39 @@ object VectorSim {
     ((1103515245L * (p * Dim + i) + 12345L) % 2147483648L).toDouble /
       2147483648.0 - 0.5
 
-  /** 8-char '0'/'1' bucket signature from hyperplane sign bits. */
-  def lshBucket(v: String): Column =
-    concat((0 until NumPlanes).map { p =>
+  /** '0'/'1' bucket signature from `planes` hyperplane sign bits. */
+  def lshBucketN(v: String, planes: Int): Column =
+    concat((0 until planes).map { p =>
       val d = (1 to Dim).map(i => element_at(col(v), i) * lit(coef(p, i - 1)))
         .reduce(_ + _)
       when(d > 0, "1").otherwise("0")
     }: _*)
+
+  /** 8-char bucket signature — the oracle-parity form (`lshBucketSql`
+    * unrolls exactly these NumPlanes planes). */
+  def lshBucket(v: String): Column = lshBucketN(v, NumPlanes)
+
+  /** Target mean bucket occupancy for count-adaptive bucketing. */
+  val TargetBucket = 64L
+
+  /** Count-adaptive hyperplane count: enough sign bits that the mean
+    * bucket holds ~TargetBucket vectors. A FIXED bucket count saturates as
+    * the corpus grows — with 2^8 buckets, a 100x corpus packs 100x the
+    * vectors per bucket and any per-bucket pair enumeration goes quadratic
+    * (measured: dedup_embedding_cosine slope 26.8 at k=100 on 8 fixed
+    * planes, 2.0 after adaptive planes; PLANS.md round-7). Scaling LSH
+    * parameters with corpus size is the standard construction (recall per
+    * table drops as planes grow; at production recall targets one runs
+    * several independent tables OR'd together — dedup_minhash_lsh's banding
+    * is that construction). Never LESS than NumPlanes, so for any corpus
+    * up to TargetBucket * 2^NumPlanes = 16384 vectors — which covers every
+    * oracle-gate scale factor — this IS the 8-plane oracle bucketing, and
+    * the DuckDB twin stays bit-identical there. */
+  def planesFor(n: Long): Int = {
+    var p = NumPlanes
+    while ((n >> p) > TargetBucket && p < 24) p += 1
+    p
+  }
 
   def lshBucketSql(v: String): String =
     (0 until NumPlanes).map { p =>

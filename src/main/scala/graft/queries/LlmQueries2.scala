@@ -76,7 +76,11 @@ object LlmQueries2 extends QueryModule {
         import graft.functions.{CustomExpressions => CE}
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val n = e.withColumn("bucket", VS.lshBucket("v")).cache()
+        // count-adaptive plane count (== the oracle's 8 planes at every
+        // gate SF; grows with the corpus so buckets never saturate — see
+        // VS.planesFor). The count() is a parquet-metadata job, not a scan.
+        val n = e.withColumn("bucket",
+          VS.lshBucketN("v", VS.planesFor(e.count()))).cache()
         val a = n.select(col("vec_id").as("vec_a"), col("v").as("av"),
           col("bucket"))
         val b = n.select(col("vec_id").as("vec_b"), col("v").as("bv"),
