@@ -117,6 +117,20 @@ class PlanGuardsSpec extends AnyFunSuite {
     } finally H.freeLocalCheckpoint(cand)
   }
 
+  test("sim family: the fixed query set broadcasts; the corpus side is never sort-merged") {
+    // the 10 query vectors are the small side by construction at ANY corpus
+    // size — a SortMergeJoin here would shuffle the full corpus to join 10
+    // rows, the classic 100 TB anti-plan
+    // (sim_ivf_topk/sim_pq_topk return a materialized localCheckpoint, so
+    // their executed plan is an opaque RDD scan — not inspectable here)
+    Seq("sim_cosine_topk", "sim_ann_lsh").foreach { q =>
+      val plan = executed(q)
+      assert(plan.contains("BroadcastHashJoin")
+        || plan.contains("BroadcastNestedLoopJoin"), s"$q: no broadcast join\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q: corpus sort-merged\n$plan")
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
