@@ -141,6 +141,45 @@ class LoaderEncodingSpec extends AnyFunSuite {
       Seq("1995-03", "1998-12"))
   }
 
+  test("property: any epoch instant 1975-2200, in any integer unit, round-trips the dispatch") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // the dispatch is pure SQL; evaluate it once per generated batch via a
+    // DataFrame instead of per-sample sessions (keeps the property fast)
+    val epochGen = Gen.choose(157766400L, 7258118400L) // 1975..2200, seconds
+    val samples = Gen.listOfN(200, epochGen).sample.get
+    val df = samples.zipWithIndex
+      .flatMap { case (sec, i) =>
+        Seq((i * 4L, sec * 1000000000L), (i * 4L + 1, sec * 1000000L),
+          (i * 4L + 2, sec * 1000L), (i * 4L + 3, sec))
+      }
+      .toDF("event_id", "ts")
+    val dir = H.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("enc_prop").toString)
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val back = H.events(spark, dir)
+      .select(col("event_id"), expr("unix_seconds(ts)").as("s"))
+      .orderBy("event_id").collect()
+    samples.zipWithIndex.foreach { case (sec, i) =>
+      (0 until 4).foreach { u =>
+        val row = back(i * 4 + u)
+        assert(row.getLong(1) == sec,
+          s"epoch $sec unit#$u came back as ${row.getLong(1)}")
+      }
+    }
+    // and the boundary property: planesFor is monotone, floored at the
+    // oracle's 8 planes through 16384 vectors, and capped
+    val vsProp = Prop.forAll(Gen.choose(0L, 1L << 40)) { n =>
+      val p = graft.functions.VectorSim.planesFor(n)
+      val oracleParity = n > graft.functions.VectorSim.TargetBucket * 256 || p == 8
+      val bounded = p >= 8 && p <= 24
+      val occupancyOk = p == 24 || (n >> p) <= graft.functions.VectorSim.TargetBucket
+      oracleParity && bounded && occupancyOk
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), vsProp)
+    assert(r.passed, r.status.toString)
+  }
+
   test("canonicalTypes coerces every NTZ column, not just events.ts") {
     import spark.implicits._
     val dir = H.cleanupOnExit(
