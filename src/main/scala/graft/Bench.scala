@@ -166,8 +166,22 @@ object Bench {
     // it — a degraded run's fail-fast and stall-inflated times would make
     // the triggers nonsensical. Degraded runs land in BENCH_LAST.json.
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","calib_ms":${"%.0f".format(calibMs)},"queries":$qs,"errors":$errs,"stall_suspect":$susp,"sf":"$sfDir"}"""
+    // An error-free run can still be poisoned by CONTENTION the stall
+    // detector can't see (another JVM sharing the cores inflates every
+    // query a little instead of one query a lot). Guard the reference
+    // refresh with a calib-normalized per-query regression bound vs the
+    // current reference: a run >25% slower per query is recorded, not
+    // adopted.
+    val refRegressionOk = reference.isEmpty || {
+      val common = results.filter(r => reference.contains(r._1))
+      common.isEmpty || {
+        val newPq = common.map(_._2).sum / common.size
+        val refPq = common.map(r => reference(r._1)).sum / common.size
+        newPq <= refPq * 1.25 // reference is already calib-scaled to this host
+      }
+    }
     val fullTarget =
-      if (failed.isEmpty && suspects.isEmpty) "BENCH_FULL.json"
+      if (failed.isEmpty && suspects.isEmpty && refRegressionOk) "BENCH_FULL.json"
       else "BENCH_LAST.json"
     scala.util.Try(java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullTarget), fullLine + "\n"))

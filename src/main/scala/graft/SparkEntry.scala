@@ -29,7 +29,8 @@ object SparkEntry {
     qm.AdvancedAnalyticsQueries,
     qm.ReliabilityQueries,
     qm.LmMixQueries,
-    qm.ScaleOpsQueries)
+    qm.ScaleOpsQueries,
+    qm.AnnDedupQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

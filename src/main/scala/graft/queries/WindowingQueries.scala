@@ -176,7 +176,7 @@ object WindowingQueries extends QueryModule {
   /** Write each frame as one parquet file batch$i under `inDir` — the
     * general replay harness (batches need not partition one frame; e.g.
     * duplicate injection replays overlapping subsets). */
-  private def writeReplay(batches: Seq[org.apache.spark.sql.DataFrame],
+  private[queries] def writeReplay(batches: Seq[org.apache.spark.sql.DataFrame],
       tmp: String, inDir: String, startAt: Int = 0): Unit = {
     import java.nio.file.{Files, Paths}
     batches.zipWithIndex.map { case (b, i) => (b, i + startAt) }.foreach { case (b, i) =>
