@@ -30,7 +30,8 @@ object SparkEntry {
     qm.ReliabilityQueries,
     qm.LmMixQueries,
     qm.ScaleOpsQueries,
-    qm.AnnDedupQueries)
+    qm.AnnDedupQueries,
+    qm.ScaleCorpusQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

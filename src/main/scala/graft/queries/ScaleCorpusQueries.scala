@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, QueryModule}
+import graft.H.tbl
+
+/** Fourth wave of corpus-scale operators: substring-level exact dedup (the
+  * Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+  * Better" recipe, arXiv:2107.06499) and matrix-free distributed PCA over
+  * the embedding table. Both are shapes a 100 TB training-data pipeline
+  * needs and neither is a built-in Spark operator; both are expressed as
+  * declarative plans Catalyst can optimize end-to-end.
+  */
+object ScaleCorpusQueries extends QueryModule {
+
+  /** Engine-agnostic double→DECIMAL(18,9) cast for exact cross-row sums.
+    * No double can land exactly on a scale-9 half-way boundary (those
+    * decimals have 5⁹ in the denominator, so they are not dyadic and not
+    * representable), hence HALF_UP (Spark) vs round-to-nearest (DuckDB)
+    * never disagree and the cast is bit-deterministic across engines. */
+  private def d9(c: Column): Column = c.cast(DecimalType(18, 9))
+
+  private val WinLen = 40 // duplicated-span window, chars
+  private val Stride = 10 // window stride, chars
+
+  def all: Seq[Q] = Seq(
+
+    // Substring-level exact dedup (Lee et al. 2021): a document sharing
+    // long verbatim character spans with OTHER documents is boilerplate or
+    // a near-copy even when whole-doc hashes differ. Slide a WinLen-char
+    // window at Stride over every doc, find windows whose text occurs in
+    // >=2 distinct docs, and score each doc by its duplicated-window
+    // fraction; >=0.5 (mostly-duplicated) drops. The suffix-array of the
+    // paper is replaced by the shuffle-native equivalent: window
+    // fingerprints meet in a groupBy, so cost is one explode + two
+    // shuffles, never pairwise. At 100 TB the groupBy key would be
+    // xxhash64(win) (8 bytes crossing the wire instead of 40, identical
+    // grouping modulo 2⁻⁶⁴ collisions); the raw substring key here keeps
+    // the oracle compare exact. Hot windows (a boilerplate span in millions
+    // of docs) are ordinary skewed groupBy keys that AQE splits.
+    Q("dedup_substring",
+      Some(
+        s"""WITH w AS (
+           |  SELECT d.doc_id, substr(d.text, p, $WinLen) AS win
+           |  FROM documents d
+           |  JOIN generate_series(1, 100001, $Stride) AS t(p)
+           |    ON p <= length(d.text) - ${WinLen - 1}
+           |), dup AS (
+           |  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1
+           |), per AS (
+           |  SELECT w.doc_id, count(*) AS windows, count(dup.win) AS dup_windows
+           |  FROM w LEFT JOIN dup ON w.win = dup.win GROUP BY 1
+           |)
+           |SELECT d.doc_id,
+           |       coalesce(per.windows, 0) AS windows,
+           |       coalesce(per.dup_windows, 0) AS dup_windows,
+           |       coalesce(per.dup_windows::DOUBLE / per.windows, 0.0) AS dup_frac,
+           |       CASE WHEN coalesce(per.dup_windows::DOUBLE / per.windows, 0.0) >= 0.5
+           |            THEN 'drop_substring' ELSE 'keep' END AS decision
+           |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+           |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        val w = d
+          .select(col("doc_id"),
+            explode(when(length(col("text")) >= WinLen,
+                sequence(lit(1), length(col("text")) - (WinLen - 1),
+                  lit(Stride)))
+              .otherwise(array().cast("array<int>"))).as("p"),
+            col("text"))
+          .select(col("doc_id"),
+            col("text").substr(col("p"), lit(WinLen)).as("win"))
+        val dup = w.groupBy("win")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") > 1)
+          .select(col("win"), lit(1).as("hit"))
+        val per = w.join(dup, Seq("win"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("windows"), count(col("hit")).as("dup_windows"))
+        val frac = col("dup_windows").cast("double") / col("windows")
+        d.select("doc_id").join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("windows"), lit(0L)).as("windows"),
+            coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+            coalesce(frac, lit(0.0)).as("dup_frac"),
+            when(coalesce(frac, lit(0.0)) >= 0.5, "drop_substring")
+              .otherwise("keep").as("decision"))
+          .orderBy("doc_id")
+      }),
+
+    // Matrix-free distributed PCA: top principal direction of the
+    // embedding table by power iteration that never materializes the d×d
+    // covariance (or any all-pairs structure). Each iteration is two
+    // one-pass aggregations over the centered long-form table:
+    //   s_r  = Σ_j cx[r,j]·v[j]   (per-row scalar; v is tiny → broadcast)
+    //   v'_j = Σ_r cx[r,j]·s_r    (per-dim accumulate; d rows out)
+    // so shuffle volume per iteration is n·d value rows and the reduced
+    // state is d doubles — the shape that survives a billion-vector table
+    // (contrast: covariance materialization is d² per partition, pairwise
+    // methods are n²). Two iterations from the all-ones vector are judged
+    // (deterministic algebra, DuckDB-exact via fixed-scale decimal sums —
+    // verified bit-identical to numpy's 2-step power method); production
+    // iterates to convergence with the same plan per round. Cross-row
+    // sums go through DECIMAL(18,9) so partial-aggregation order cannot
+    // perturb the result (see d9 note); per-element double arithmetic
+    // (subtract, divide, sqrt) is IEEE-deterministic in both engines.
+    // Two engine-specific cast pitfalls shape the formulation: (a) DuckDB
+    // casts a wide decimal to double as int128→double then ÷10^scale (two
+    // roundings) where Spark single-rounds, so a decimal→double cast with
+    // >15 significant digits can drift by one ULP; (b) DuckDB TRUNCATES
+    // decimal→decimal scale reductions where Spark rounds, so those casts
+    // are never used. Each iteration's d9() requantization collapses (a)'s
+    // ULP drift (a 1e-16-relative difference cannot move a scale-9
+    // rounding), and the final loading is emitted through a
+    // double→DECIMAL(18,12)→double round-trip — double→decimal rounds
+    // to-nearest in both engines, so the surviving last-ULP drift of the
+    // output division quantizes identically.
+    Q("emb_pca", pcaOracle, (s, dir) => {
+      val (result, c) = pcaFrames(s, dir)
+      graft.H.materialized(result, caches = Seq(c))
+    }))
+
+  private val pcaOracle: Option[String] =
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+          |         generate_subscripts(embedding, 1) AS j
+          |  FROM embeddings
+          |), mu AS (
+          |  SELECT j, CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+          |  FROM e GROUP BY j
+          |), c AS (
+          |  SELECT e.vec_id, e.j, e.x - mu.m AS cx FROM e JOIN mu USING (j)
+          |), s1 AS (
+          |  SELECT vec_id, CAST(sum(CAST(cx AS DECIMAL(18,9))) AS DOUBLE) AS s
+          |  FROM c GROUP BY vec_id
+          |), v1 AS (
+          |  SELECT j, CAST(sum(CAST(c.cx AS DECIMAL(18,9)) * CAST(s1.s AS DECIMAL(18,9))) AS DOUBLE) AS v
+          |  FROM c JOIN s1 USING (vec_id) GROUP BY j
+          |), n1 AS (
+          |  SELECT sqrt(CAST(sum(CAST(v AS DECIMAL(18,9)) * CAST(v AS DECIMAL(18,9))) AS DOUBLE)) AS nrm FROM v1
+          |), u1 AS (
+          |  SELECT j, v / nrm AS u FROM v1, n1
+          |), s2 AS (
+          |  SELECT vec_id, CAST(sum(CAST(cx AS DECIMAL(18,9)) * CAST(u AS DECIMAL(18,9))) AS DOUBLE) AS s
+          |  FROM c JOIN u1 USING (j) GROUP BY vec_id
+          |), v2 AS (
+          |  SELECT j, CAST(sum(CAST(c.cx AS DECIMAL(18,9)) * CAST(s2.s AS DECIMAL(18,9))) AS DOUBLE) AS v
+          |  FROM c JOIN s2 USING (vec_id) GROUP BY j
+          |), n2 AS (
+          |  SELECT sqrt(CAST(sum(CAST(v AS DECIMAL(18,9)) * CAST(v AS DECIMAL(18,9))) AS DOUBLE)) AS nrm FROM v2
+          |)
+          |SELECT v2.j AS dim, mu.m AS mean_val,
+          |       CAST(CAST(v2.v / n2.nrm AS DECIMAL(18,12)) AS DOUBLE) AS pc1_loading
+          |FROM v2, n2 JOIN mu ON mu.j = v2.j
+          |ORDER BY dim""".stripMargin)
+
+  /** The un-materialized PCA pipeline: (result, cached centered frame).
+    * Split out so PlanGuardsSpec can assert on the real plan — the judged
+    * query wraps this in H.materialized, whose localCheckpoint leaves only
+    * an opaque RDD scan to inspect. */
+  private[graft] def pcaFrames(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+        val e = tbl(s, dir, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")))
+          .select(col("vec_id"), (col("pos") + 1).as("j"), col("col").as("x"))
+        val mu = e.groupBy("j")
+          .agg((sum(d9(col("x"))).cast("double") / count(lit(1))).as("m"))
+        val c = e.join(broadcast(mu), Seq("j"))
+          .select(col("vec_id"), col("j"), (col("x") - col("m")).as("cx"))
+          .cache()
+        def rowScalar(v: Option[org.apache.spark.sql.DataFrame]) = v match {
+          // v0 = ones: s_r = Σ_j cx
+          case None => c.groupBy("vec_id")
+            .agg(sum(d9(col("cx"))).cast("double").as("s"))
+          case Some(u) => c.join(broadcast(u), Seq("j"))
+            .groupBy("vec_id")
+            .agg(sum(d9(col("cx")) * d9(col("u"))).cast("double").as("s"))
+        }
+        def dimAccum(sr: org.apache.spark.sql.DataFrame) =
+          c.join(sr, Seq("vec_id"))
+            .groupBy("j")
+            .agg(sum(d9(col("cx")) * d9(col("s"))).cast("double").as("v"))
+        def normalize(v: org.apache.spark.sql.DataFrame) = {
+          val n = v.agg(
+            sqrt(sum(d9(col("v")) * d9(col("v"))).cast("double")).as("nrm"))
+          v.crossJoin(broadcast(n))
+        }
+        val v1 = normalize(dimAccum(rowScalar(None)))
+        val u1 = v1.select(col("j"), (col("v") / col("nrm")).as("u"))
+        val v2 = normalize(dimAccum(rowScalar(Some(u1))))
+        val result = v2.join(broadcast(mu), Seq("j"))
+          .select(col("j").as("dim"), col("m").as("mean_val"),
+            (col("v") / col("nrm")).cast(DecimalType(18, 12))
+              .cast("double").as("pc1_loading"))
+          .orderBy("dim")
+        (result, c)
+      }
+}

@@ -131,6 +131,30 @@ class PlanGuardsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_substring: windows meet in hash aggregation, never a pairwise product") {
+    val plan = executed("dedup_substring")
+    // the Lee-et-al shape: window fingerprints group in a HashAggregate
+    // (suffix-array replaced by shuffle-native grouping); a SortAggregate
+    // would mean the groupBy fell off the hash path, a nested-loop join
+    // would mean the dup probe went pairwise
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("emb_pca: iteration state joins broadcast; aggregation stays on the hash path") {
+    // the judged query localCheckpoints (opaque RDD scan), so inspect the
+    // un-materialized pipeline it wraps
+    val plan = graft.queries.ScaleCorpusQueries.pcaFrames(spark, sf)
+      ._1.queryExecution.executedPlan.toString
+    // mu / u / nrm are d-row (or 1-row) frames — they must reach the n·d
+    // long-form table via BroadcastExchange, and the decimal accumulations
+    // must plan HashAggregate (partial before the exchange)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
