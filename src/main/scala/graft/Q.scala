@@ -66,14 +66,26 @@ object H {
     *     comparison/format downstream keeps working, and DuckDB agrees
     *     because it casts DATE to midnight in timestamp comparisons and
     *     strftime alike.
+    *   - DECIMAL(p,s) → DOUBLE. The numeric measure columns (prices,
+    *     quantities, event values) have always shipped as DOUBLE and every
+    *     query (and the H.dec2 exact-sum discipline) is written against
+    *     that; a provision that re-encodes them as parquet DECIMAL would
+    *     otherwise shift every downstream output schema and trip the
+    *     functions that reject decimal inputs outright — the same one-
+    *     encoding-breaks-a-family failure as the r6 NTZ burn. The values
+    *     testdata ships are 2-dp, so decimal→double is exact.
     * Nanos-as-long is handled per-table (see `events`): a bare LongType
     * can't be distinguished from a genuine integer column generically. */
   def canonicalTypes(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{DateType, TimestampNTZType}
-    val coerce = df.schema.fields.collect {
+    import org.apache.spark.sql.types.{DateType, DecimalType, TimestampNTZType}
+    val ts = df.schema.fields.collect {
       case f if f.dataType == TimestampNTZType || f.dataType == DateType => f.name
     }
-    coerce.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+    val dec = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[DecimalType] => f.name
+    }
+    val t = ts.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+    dec.foldLeft(t)((d, c) => d.withColumn(c, col(c).cast("double")))
   }
 
   /** Spark scratch (shuffle files, spills, block-manager disk store) for

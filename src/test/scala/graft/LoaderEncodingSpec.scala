@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The driver has re-provisioned /root/testdata with a different physical
@@ -196,5 +196,27 @@ class LoaderEncodingSpec extends AnyFunSuite {
     val r = back.select(H.fmtTsSec($"created"), H.fmtTsSec($"updated")).collect()(0)
     assert(r.getString(0) == "2024-06-12 08:00:00")
     assert(r.getString(1) == "2024-06-12 09:00:00")
+  }
+
+  test("parquet DECIMAL measure columns load as the canonical doubles") {
+    // future-provision guard: the numeric measures have always shipped as
+    // DOUBLE; a DECIMAL(12,2) re-encode must load with an identical schema
+    // and identical values (2-dp values are exactly representable both ways)
+    import spark.implicits._
+    val dir = H.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("enc_dec").toString)
+    val base = Seq((1L, 901.04, 31.0), (2L, 123.45, 2.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_quantity")
+    base.select($"l_orderkey",
+        $"l_extendedprice".cast(DecimalType(12, 2)).as("l_extendedprice"),
+        $"l_quantity".cast(DecimalType(12, 2)).as("l_quantity"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val back = H.tbl(spark, dir, "lineitem")
+    assert(back.schema("l_extendedprice").dataType == DoubleType,
+      back.schema.treeString)
+    assert(back.schema("l_quantity").dataType == DoubleType)
+    val rows = back.orderBy("l_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 901.04, 31.0), (2L, 123.45, 2.0)))
   }
 }
