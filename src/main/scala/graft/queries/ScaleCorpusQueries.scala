@@ -170,8 +170,14 @@ object ScaleCorpusQueries extends QueryModule {
           .select(col("vec_id"), (col("pos") + 1).as("j"), col("col").as("x"))
         val mu = e.groupBy("j")
           .agg((sum(d9(col("x"))).cast("double") / count(lit(1))).as("m"))
+        // hash-partition the long form by vec_id BEFORE caching: both
+        // per-row-scalar groupBys and both dimAccum joins then reuse the
+        // cached partitioning (zero exchanges), leaving the per-dim
+        // accumulate as the only shuffle per iteration — and partial
+        // aggregation reduces that one to d rows per partition.
         val c = e.join(broadcast(mu), Seq("j"))
           .select(col("vec_id"), col("j"), (col("x") - col("m")).as("cx"))
+          .repartition(col("vec_id"))
           .cache()
         def rowScalar(v: Option[org.apache.spark.sql.DataFrame]) = v match {
           // v0 = ones: s_r = Σ_j cx
