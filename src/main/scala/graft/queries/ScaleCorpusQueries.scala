@@ -90,6 +90,128 @@ object ScaleCorpusQueries extends QueryModule {
           .orderBy("doc_id")
       }),
 
+    // The other half of the Lee-et-al recipe: don't drop the document,
+    // REMOVE its cross-document duplicated spans and keep the rest. Same
+    // window fingerprints as dedup_substring; per doc, the duplicated
+    // windows become char intervals, overlapping/adjacent intervals merge
+    // (classic gaps-and-islands: running max of interval end, island
+    // breaks where a start clears it), and the kept text is the ordered
+    // concatenation of the complement segments. Everything is per-doc
+    // window/group work over the (small) duplicated-window subset — the
+    // corpus-wide stage is still only the window groupBy; nothing is
+    // pairwise and per-doc state is bounded by doc length. Oracle
+    // cross-checked against an independent interval-merge reference.
+    Q("dedup_span_removal",
+      Some(
+        s"""WITH w AS (
+           |  SELECT d.doc_id, p, substr(d.text, p, $WinLen) AS win
+           |  FROM documents d
+           |  JOIN generate_series(1, 100001, $Stride) AS t(p)
+           |    ON p <= length(d.text) - ${WinLen - 1}
+           |), dup AS (
+           |  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1
+           |), dupw AS (
+           |  SELECT w.doc_id, w.p, w.p + ${WinLen - 1} AS e FROM w JOIN dup USING (win)
+           |), ord AS (
+           |  SELECT doc_id, p, e,
+           |         max(e) OVER (PARTITION BY doc_id ORDER BY p
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           |  FROM dupw
+           |), isl AS (
+           |  SELECT doc_id, p, e,
+           |         sum(CASE WHEN prev_max IS NULL OR p > prev_max + 1 THEN 1 ELSE 0 END)
+           |           OVER (PARTITION BY doc_id ORDER BY p
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           |  FROM ord
+           |), iv AS (
+           |  SELECT doc_id, min(p) AS s, max(e) AS e FROM isl GROUP BY doc_id, grp
+           |), gaps AS (
+           |  SELECT doc_id,
+           |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+           |         s - 1 AS ke
+           |  FROM iv
+           |  UNION ALL
+           |  SELECT d.doc_id, coalesce(m.max_e, 0) + 1 AS ks, length(d.text) AS ke
+           |  FROM documents d
+           |  LEFT JOIN (SELECT doc_id, max(e) AS max_e FROM iv GROUP BY doc_id) m
+           |    ON m.doc_id = d.doc_id
+           |), kept AS (
+           |  SELECT g.doc_id,
+           |         string_agg(substr(d.text, g.ks, g.ke - g.ks + 1), '' ORDER BY g.ks) AS kept_text
+           |  FROM gaps g JOIN documents d ON d.doc_id = g.doc_id
+           |  WHERE g.ks <= g.ke
+           |  GROUP BY g.doc_id
+           |), rem AS (
+           |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+           |  FROM iv GROUP BY doc_id
+           |)
+           |SELECT d.doc_id,
+           |       coalesce(rem.removed_chars, 0) AS removed_chars,
+           |       CAST(length(coalesce(kept.kept_text, '')) AS BIGINT) AS kept_len,
+           |       coalesce(kept.kept_text, '') AS kept_text
+           |FROM documents d
+           |LEFT JOIN rem ON rem.doc_id = d.doc_id
+           |LEFT JOIN kept ON kept.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        val w = d
+          .select(col("doc_id"),
+            explode(when(length(col("text")) >= WinLen,
+                sequence(lit(1), length(col("text")) - (WinLen - 1),
+                  lit(Stride)))
+              .otherwise(array().cast("array<int>"))).as("p"),
+            col("text"))
+          .select(col("doc_id"), col("p"),
+            col("text").substr(col("p"), lit(WinLen)).as("win"))
+        val dup = w.groupBy("win")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") > 1).select("win")
+        val dupw = w.join(dup, Seq("win"))
+          .select(col("doc_id"), col("p"), (col("p") + (WinLen - 1)).as("e"))
+        val byP = Window.partitionBy("doc_id").orderBy("p")
+        val isl = dupw
+          .withColumn("prev_max", max(col("e"))
+            .over(byP.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("grp",
+            sum(when(col("prev_max").isNull ||
+                col("p") > col("prev_max") + 1, 1).otherwise(0))
+              .over(byP.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)))
+        val iv = isl.groupBy("doc_id", "grp")
+          .agg(min("p").as("s"), max("e").as("e"))
+        val gapsInner = iv
+          .withColumn("ks", coalesce(
+            lag(col("e"), 1).over(Window.partitionBy("doc_id").orderBy("s")),
+            lit(0)) + 1)
+          .select(col("doc_id"), col("ks"), (col("s") - 1).as("ke"))
+        val maxE = iv.groupBy("doc_id").agg(max("e").as("max_e"))
+        val gapsLast = d.join(maxE, Seq("doc_id"), "left")
+          .select(col("doc_id"), (coalesce(col("max_e"), lit(0)) + 1).as("ks"),
+            length(col("text")).as("ke"))
+        val kept = gapsInner.unionByName(gapsLast)
+          .filter(col("ks") <= col("ke"))
+          .join(d, Seq("doc_id"))
+          .select(col("doc_id"), col("ks"),
+            col("text").substr(col("ks"), col("ke") - col("ks") + 1).as("frag"))
+          .groupBy("doc_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("ks"), col("frag")))),
+              x => x.getField("frag")), "").as("kept_text"))
+        val rem = iv.groupBy("doc_id")
+          .agg(sum(col("e") - col("s") + 1).cast("long").as("removed_chars"))
+        d.select("doc_id")
+          .join(rem, Seq("doc_id"), "left")
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+            length(coalesce(col("kept_text"), lit(""))).cast("long")
+              .as("kept_len"),
+            coalesce(col("kept_text"), lit("")).as("kept_text"))
+          .orderBy("doc_id")
+      }),
+
     // Matrix-free distributed PCA: top principal direction of the
     // embedding table by power iteration that never materializes the d×d
     // covariance (or any all-pairs structure). Each iteration is two
