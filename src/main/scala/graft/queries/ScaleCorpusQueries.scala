@@ -212,6 +212,96 @@ object ScaleCorpusQueries extends QueryModule {
           .orderBy("doc_id")
       }),
 
+    // DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169):
+    // score every document by an importance ratio between a target
+    // distribution (here the src0 slice stands in for the high-quality
+    // target corpus) and the raw distribution, over a hashed n-gram
+    // feature space, and keep the top-k. Adaptations, per this repo's
+    // cross-engine determinism discipline: (a) the feature hash is the
+    // md5-hex fold both engines compute identically (same trick as
+    // sample_split); (b) the log-likelihood ratio becomes a RATIONAL
+    // linear ratio score Σ_f c_f·((ct_f+1)(R+B))/((cr_f+1)(T+B)) — every
+    // factor an exact-integer-derived single IEEE division (log() is only
+    // 1-ulp reproducible), summed through DECIMAL(18,9); (c) Gumbel-top-k
+    // sampling becomes the deterministic top-k. Scale shape: feature
+    // counts are two partial-agg shuffles, the 256-row ratio table
+    // broadcasts, and the top-k cutoff is TakeOrderedAndProject + a
+    // broadcast 1-row threshold — no global-window single partition, no
+    // driver loop.
+    Q("select_dsir",
+      Some(
+        """WITH tok AS (
+          |  SELECT d.doc_id, d.source, unnest(string_split(d.text, ' ')) AS term
+          |  FROM documents d
+          |), f AS (
+          |  SELECT doc_id, source,
+          |         CAST(((((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+          |           + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1)) * 16
+          |           + (strpos('0123456789abcdef', substr(md5(term), 3, 1)) - 1)) * 16
+          |           + (strpos('0123456789abcdef', substr(md5(term), 4, 1)) - 1)) % 256 AS BIGINT) AS b
+          |  FROM tok
+          |), cnt AS (
+          |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1, 2
+          |), raw AS (
+          |  SELECT b, CAST(count(*) AS BIGINT) AS cr FROM f GROUP BY b
+          |), tgt AS (
+          |  SELECT b, CAST(count(*) AS BIGINT) AS ct FROM f WHERE source = 'src0' GROUP BY b
+          |), tot AS (
+          |  SELECT CAST((SELECT count(*) FROM f WHERE source = 'src0') AS BIGINT) AS t,
+          |         CAST((SELECT count(*) FROM f) AS BIGINT) AS r
+          |), ratio AS (
+          |  SELECT raw.b,
+          |         CAST((coalesce(tgt.ct, 0) + 1) * (tot.r + 256) AS DOUBLE)
+          |           / CAST((raw.cr + 1) * (tot.t + 256) AS DOUBLE) AS rat
+          |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot
+          |), scored AS (
+          |  SELECT cnt.doc_id,
+          |         CAST(sum(CAST(cnt.c * ratio.rat AS DECIMAL(18,9))) AS DOUBLE) AS dsir_score
+          |  FROM cnt JOIN ratio ON ratio.b = cnt.b GROUP BY cnt.doc_id
+          |), cut AS (
+          |  SELECT dsir_score AS cs, doc_id AS cd FROM scored
+          |  ORDER BY dsir_score DESC, doc_id LIMIT 1 OFFSET 99
+          |)
+          |SELECT s.doc_id, s.dsir_score,
+          |       CASE WHEN s.dsir_score > cut.cs
+          |              OR (s.dsir_score = cut.cs AND s.doc_id <= cut.cd)
+          |            THEN 'selected' ELSE 'rejected' END AS decision
+          |FROM scored s CROSS JOIN cut
+          |ORDER BY s.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val tok = docs.select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("term"))
+        val f = tok.select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long")
+            % 256).as("b"))
+        val cnt = f.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        val raw = f.groupBy("b").agg(count(lit(1)).as("cr"))
+        val tgt = f.filter(col("source") === "src0")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val tot = f.agg(count(lit(1)).as("r"),
+          count(when(col("source") === "src0", 1)).as("t"))
+        val ratio = raw.join(tgt, Seq("b"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("b"),
+            (((coalesce(col("ct"), lit(0L)) + 1) * (col("r") + 256))
+              .cast("double") /
+              ((col("cr") + 1) * (col("t") + 256)).cast("double")).as("rat"))
+        val scored = cnt.join(broadcast(ratio), Seq("b"))
+          .groupBy("doc_id")
+          .agg(sum(d9(col("c") * col("rat"))).cast("double").as("dsir_score"))
+        val cut = scored
+          .orderBy(col("dsir_score").desc, col("doc_id")).limit(100)
+          .orderBy(col("dsir_score"), col("doc_id").desc).limit(1)
+          .select(col("dsir_score").as("cs"), col("doc_id").as("cd"))
+        scored.crossJoin(broadcast(cut))
+          .select(col("doc_id"), col("dsir_score"),
+            when(col("dsir_score") > col("cs") ||
+                (col("dsir_score") === col("cs") && col("doc_id") <= col("cd")),
+              "selected").otherwise("rejected").as("decision"))
+          .orderBy("doc_id")
+      }),
+
     // Matrix-free distributed PCA: top principal direction of the
     // embedding table by power iteration that never materializes the d×d
     // covariance (or any all-pairs structure). Each iteration is two
