@@ -212,6 +212,81 @@ object ScaleCorpusQueries extends QueryModule {
           .orderBy("doc_id")
       }),
 
+    // BM25 ranked retrieval (Robertson/Spärck Jones; the Okapi k1/b form)
+    // over the corpus for a fixed query-term set — the retrieval
+    // companion of text_tfidf/text_inverted_index. Standard saturation
+    // term tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with k1=1.2, b=0.75 is
+    // already fully rational; the idf log's argument (N−df+½)/(df+½) is
+    // used directly as the rational idf surrogate ((2N−2df+1)/(2df+1) in
+    // exact integers), same monotonic ranking, bit-exact across engines
+    // (the repo's log-free discipline). Scale shape: per-(doc,term) tf and
+    // per-doc dl are partial-agg shuffles, df/avgdl are broadcast scalars,
+    // and the top-25 is TakeOrderedAndProject — the per-term work is
+    // bounded by the postings of the 3 query terms, never the corpus.
+    Q("rank_bm25",
+      Some(
+        """WITH qt AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+          |tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+          |), dl AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+          |), stats AS (
+          |  SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+          |         CAST((SELECT count(*) FROM tok) AS DOUBLE)
+          |           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+          |), df AS (
+          |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          |  FROM tok JOIN qt USING (term) GROUP BY term
+          |), tf AS (
+          |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          |  FROM tok JOIN qt USING (term) GROUP BY 1, 2
+          |), scored AS (
+          |  SELECT tf.doc_id,
+          |         CAST(sum(CAST(
+          |           (CAST(2*stats.n - 2*df.df + 1 AS DOUBLE) / CAST(2*df.df + 1 AS DOUBLE))
+          |           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+          |              / (CAST(tf.tf AS DOUBLE)
+          |                 + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
+          |          AS DECIMAL(18,9))) AS DOUBLE) AS score
+          |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+          |  GROUP BY tf.doc_id
+          |)
+          |SELECT doc_id, score,
+          |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+          |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 25)
+          |ORDER BY rnk""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tbl(s, dir, "documents")
+        val tok = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val qt = Seq("spark", "join", "window")
+        val hits = tok.filter(col("term").isin(qt: _*))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = docs.agg(count(lit(1)).as("n"))
+          .crossJoin(tok.agg(count(lit(1)).as("ntok")))
+          .select(col("n"),
+            (col("ntok").cast("double") / col("n").cast("double")).as("avgdl"))
+        val df = hits.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val idf = (lit(2) * col("n") - lit(2) * col("df") + 1).cast("double") /
+          (lit(2) * col("df") + 1).cast("double")
+        val sat = (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) +
+              lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+        val scored = tf.join(dl, Seq("doc_id"))
+          .join(broadcast(df), Seq("term"))
+          .crossJoin(broadcast(stats))
+          .groupBy("doc_id")
+          .agg(sum(d9(idf * sat)).cast("double").as("score"))
+        val top = scored.orderBy(col("score").desc, col("doc_id")).limit(25)
+        top.withColumn("rnk",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+              .cast("long"))
+          .orderBy("rnk")
+      }),
+
     // DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169):
     // score every document by an importance ratio between a target
     // distribution (here the src0 slice stands in for the high-quality
