@@ -24,7 +24,81 @@ object AdvancedAnalyticsQueries extends QueryModule {
       s"FROM edges e JOIN $prev ON e.src = $prev.id JOIN outdeg o ON e.src = o.src) x " +
       "ON n.id = x.id GROUP BY n.id)"
 
+  /** DuckDB CTE for one synchronous label-propagation round: each node
+    * takes the most frequent label among its in-neighbors (ties → smallest
+    * label), keeping its own when it has none. */
+  private def lpRoundSql(prev: String, cur: String): String =
+    s"$cur AS (SELECT n.id, coalesce(x.lbl, p.lbl) AS lbl FROM nodes n " +
+      s"JOIN $prev p ON p.id = n.id LEFT JOIN (" +
+      "SELECT id, lbl FROM (SELECT e.dst AS id, q.lbl, " +
+      "row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, q.lbl) AS rk " +
+      s"FROM uedges e JOIN $prev q ON q.id = e.src GROUP BY e.dst, q.lbl) " +
+      "WHERE rk = 1) x ON x.id = n.id)"
+
   def all: Seq[Q] = Seq(
+
+    // Community detection by synchronous label propagation (Raghavan et
+    // al. 2007), 3 rounds, over the undirected trade graph (same top-7
+    // sparsified nation edges as graph_pagerank, symmetrized). The async
+    // LPA of the paper is order-dependent; the judged form is the
+    // deterministic synchronous variant with a total tie order (max
+    // neighbor-label frequency, ties → smallest label), so rounds are pure
+    // integer relational algebra and hash identically in DuckDB. Scale
+    // shape per round: edges ⋈ broadcast(label state) → two partial-agg
+    // groupBys — label state is |nodes| rows while the billion-edge side
+    // is never re-shuffled (same argument as pageRankMicro; at huge
+    // |nodes| the same loop runs co-partitioned on src).
+    Q("graph_label_prop",
+      Some("WITH pairs AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2), " +
+        "edges AS (SELECT src, dst FROM (SELECT src, dst, " +
+        "row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk FROM pairs) WHERE rk <= 7), " +
+        "uedges AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), " +
+        "nodes AS (SELECT n_nationkey AS id FROM nation), " +
+        "l0 AS (SELECT id, CAST(id AS BIGINT) AS lbl FROM nodes), " +
+        lpRoundSql("l0", "l1") + ", " + lpRoundSql("l1", "l2") + ", " +
+        lpRoundSql("l2", "l3") + " " +
+        "SELECT n_name, lbl AS community FROM l3 JOIN nation ON id = n_nationkey " +
+        "ORDER BY n_name"),
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val ord = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val cust = tbl(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val supp = tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+          .groupBy(cust("c_nationkey").cast("int").as("src"),
+            supp("s_nationkey").cast("int").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val rk = row_number()
+          .over(Window.partitionBy("src").orderBy(col("w").desc, col("dst")))
+        val edges = pairs.withColumn("rk", rk).filter(col("rk") <= 7)
+          .select("src", "dst")
+        val uedges = edges.union(edges.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct().localCheckpoint()
+        val nodes = tbl(s, dir, "nation").select(col("n_nationkey").as("id"))
+        val l0 = nodes.select(col("id"), col("id").cast("long").as("lbl"))
+        def round(prev: org.apache.spark.sql.DataFrame) = {
+          val st = broadcast(prev.select(col("id").as("nid"), col("lbl")))
+          val top = uedges.join(st, col("src") === col("nid"))
+            .groupBy(col("dst").as("id"), col("lbl"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("id").orderBy(col("cnt").desc, col("lbl"))))
+            .filter(col("rk") === 1).select(col("id"), col("lbl").as("nl"))
+          prev.join(top, Seq("id"), "left")
+            .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+        }
+        val l3 = round(round(round(l0)))
+        val nation = tbl(s, dir, "nation")
+        val out = l3.join(broadcast(nation), l3("id") === nation("n_nationkey"))
+          .select(col("n_name"), col("lbl").as("community"))
+          .orderBy("n_name")
+        H.materialized(out, Nil, Seq(uedges))
+      }),
 
     // Fixed-point PageRank, 3 iterations, over the international trade
     // graph (customer nation -> supplier nation). The dense trade matrix is
