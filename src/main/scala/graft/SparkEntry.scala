@@ -31,7 +31,8 @@ object SparkEntry {
     qm.LmMixQueries,
     qm.ScaleOpsQueries,
     qm.AnnDedupQueries,
-    qm.ScaleCorpusQueries)
+    qm.ScaleCorpusQueries,
+    qm.RetrievalQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
