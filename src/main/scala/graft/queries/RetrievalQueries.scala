@@ -44,6 +44,48 @@ object RetrievalQueries extends QueryModule {
       "row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk FROM pairs) WHERE rk <= 7), " +
       "uedges AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)"
 
+  /** Okapi BM25 scores for the fixed 3-term query, one wide shuffle total.
+    *
+    * The naive per-(doc,term) postings plan re-scans the exploded token
+    * table four times (doc length, corpus stats, df, tf). This form pivots
+    * the query terms into per-doc counters so ONE explode + ONE
+    * groupBy(doc_id) pass computes everything per-document; corpus stats
+    * and per-term dfs then come from a tiny aggregate over the per-doc
+    * frame (|docs| rows, not |tokens|), broadcast back as one row. Scoring
+    * arithmetic is unchanged from the oracle: rational idf surrogate, each
+    * term's contribution requantized through DECIMAL(18,9), and the three
+    * decimal terms added exactly (a zero-tf term contributes exact decimal
+    * zero, so including all docs with ≥1 query-term hit matches the
+    * oracle's per-(doc,term) row sum bit-for-bit).
+    */
+  private[queries] def bm25Scored(s: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val per = tok.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      terms.map(t => count(when(col("term") === t, 1)).as(s"tf_$t")): _*)
+    val statAggs: Seq[Column] =
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl") +:
+        terms.map(t => count(when(col(s"tf_$t") > 0, 1)).as(s"df_$t"))
+    val stats = per.agg(count(lit(1)).as("n"), statAggs: _*)
+    def part(t: String): Column = {
+      val idf = (lit(2) * col("n") - lit(2) * col(s"df_$t") + 1)
+        .cast("double") / (lit(2) * col(s"df_$t") + 1).cast("double")
+      val sat = (col(s"tf_$t").cast("double") * lit(2.2)) /
+        (col(s"tf_$t").cast("double") +
+          lit(1.2) * (lit(0.25) +
+            lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+      d9(idf * sat)
+    }
+    per.crossJoin(broadcast(stats))
+      .filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .select(col("doc_id"),
+        terms.map(part).reduce(_ + _).cast("double").as("score"))
+  }
+
   /** Spark twin of [[uedgesSql]]. */
   private def uedgesDf(s: SparkSession, dir: String): DataFrame = {
     val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -133,29 +175,7 @@ object RetrievalQueries extends QueryModule {
            |FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 25)
            |ORDER BY rnk""".stripMargin),
       (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-        val tok = docs.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("term"))
-        val qt = Seq("spark", "join", "window")
-        val hits = tok.filter(col("term").isin(qt: _*))
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = docs.agg(count(lit(1)).as("n"))
-          .crossJoin(tok.agg(count(lit(1)).as("ntok")))
-          .select(col("n"),
-            (col("ntok").cast("double") / col("n").cast("double")).as("avgdl"))
-        val df = hits.groupBy("term").agg(countDistinct("doc_id").as("df"))
-        val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val idf = (lit(2) * col("n") - lit(2) * col("df") + 1).cast("double") /
-          (lit(2) * col("df") + 1).cast("double")
-        val sat = (col("tf").cast("double") * lit(2.2)) /
-          (col("tf").cast("double") +
-            lit(1.2) * (lit(0.25) +
-              lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
-        val scored = tf.join(dl, Seq("doc_id"))
-          .join(broadcast(df), Seq("term"))
-          .crossJoin(broadcast(stats))
-          .groupBy("doc_id")
-          .agg(sum(d9(idf * sat)).cast("double").as("score"))
+        val scored = bm25Scored(s, dir, Seq("spark", "join", "window"))
         val btop = scored.orderBy(col("score").desc, col("doc_id")).limit(100)
           .withColumn("rb",
             row_number().over(Window.orderBy(col("score").desc, col("doc_id")))

@@ -257,29 +257,9 @@ object ScaleCorpusQueries extends QueryModule {
           |ORDER BY rnk""".stripMargin),
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = tbl(s, dir, "documents")
-        val tok = docs.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("term"))
-        val qt = Seq("spark", "join", "window")
-        val hits = tok.filter(col("term").isin(qt: _*))
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = docs.agg(count(lit(1)).as("n"))
-          .crossJoin(tok.agg(count(lit(1)).as("ntok")))
-          .select(col("n"),
-            (col("ntok").cast("double") / col("n").cast("double")).as("avgdl"))
-        val df = hits.groupBy("term").agg(countDistinct("doc_id").as("df"))
-        val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val idf = (lit(2) * col("n") - lit(2) * col("df") + 1).cast("double") /
-          (lit(2) * col("df") + 1).cast("double")
-        val sat = (col("tf").cast("double") * lit(2.2)) /
-          (col("tf").cast("double") +
-            lit(1.2) * (lit(0.25) +
-              lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
-        val scored = tf.join(dl, Seq("doc_id"))
-          .join(broadcast(df), Seq("term"))
-          .crossJoin(broadcast(stats))
-          .groupBy("doc_id")
-          .agg(sum(d9(idf * sat)).cast("double").as("score"))
+        // single-pass pivoted scoring — see RetrievalQueries.bm25Scored
+        val scored = RetrievalQueries.bm25Scored(s, dir,
+          Seq("spark", "join", "window"))
         val top = scored.orderBy(col("score").desc, col("doc_id")).limit(25)
         top.withColumn("rnk",
             row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
