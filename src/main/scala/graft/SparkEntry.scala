@@ -32,7 +32,8 @@ object SparkEntry {
     qm.ScaleOpsQueries,
     qm.AnnDedupQueries,
     qm.ScaleCorpusQueries,
-    qm.RetrievalQueries)
+    qm.RetrievalQueries,
+    qm.RobustOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
