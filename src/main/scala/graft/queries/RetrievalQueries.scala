@@ -57,15 +57,27 @@ object RetrievalQueries extends QueryModule {
     * decimal terms added exactly (a zero-tf term contributes exact decimal
     * zero, so including all docs with ≥1 query-term hit matches the
     * oracle's per-(doc,term) row sum bit-for-bit).
+    *
+    * The per-doc frame is double-referenced (scoring + corpus stats) and
+    * Spark does not CSE across DAG branches, so it is materialized via
+    * localCheckpoint — the explode runs once, and what is replayed for the
+    * second branch is the |docs|-row reduction, not the token stream.
+    * Returns (scored, checkpoint); callers MUST free the checkpoint at
+    * their query tail (H.materialized(_, Nil, Seq(chk))).
     */
-  private[queries] def bm25Scored(s: SparkSession, dir: String,
+  private[graft] def bm25PerDoc(s: SparkSession, dir: String,
       terms: Seq[String]): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
-    val per = tok.groupBy("doc_id").agg(
+    tok.groupBy("doc_id").agg(
       count(lit(1)).as("dl"),
       terms.map(t => count(when(col("term") === t, 1)).as(s"tf_$t")): _*)
+  }
+
+  private[graft] def bm25Scored(s: SparkSession, dir: String,
+      terms: Seq[String]): (DataFrame, DataFrame) = {
+    val per = bm25PerDoc(s, dir, terms).localCheckpoint()
     val statAggs: Seq[Column] =
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
         .as("avgdl") +:
@@ -80,10 +92,11 @@ object RetrievalQueries extends QueryModule {
             lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
       d9(idf * sat)
     }
-    per.crossJoin(broadcast(stats))
+    val scored = per.crossJoin(broadcast(stats))
       .filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
       .select(col("doc_id"),
         terms.map(part).reduce(_ + _).cast("double").as("score"))
+    (scored, per)
   }
 
   /** Spark twin of [[uedgesSql]]. */
@@ -104,6 +117,47 @@ object RetrievalQueries extends QueryModule {
       .select("src", "dst")
     edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+  }
+
+  /** The rank_rrf pipeline pre-materialization (the Q fn wraps it in
+    * H.materialized; PlanGuardsSpec inspects this plan directly, same
+    * pattern as ScaleCorpusQueries.pcaFrames). Returns (out, perChk) —
+    * the caller frees the BM25 per-doc checkpoint. */
+  private[graft] def rrfPipeline(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (scored, perChk) = bm25Scored(s, dir, Seq("spark", "join", "window"))
+    val btop = scored.orderBy(col("score").desc, col("doc_id")).limit(100)
+      .withColumn("rb",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select("doc_id", "rb")
+    val e = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("q"))
+    val sims = e.crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        (VS.dot("v", "q") /
+          (sqrt(VS.norm2("v")) * sqrt(VS.norm2("q")))).as("sim"))
+    val ctop = sims.orderBy(col("sim").desc, col("vec_id")).limit(100)
+      .withColumn("rc",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
+          .cast("long"))
+      .select("vec_id", "rc")
+    val fused = btop.join(ctop, btop("doc_id") === ctop("vec_id"),
+        "full_outer")
+      .select(coalesce(btop("doc_id"), ctop("vec_id")).as("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rc")), lit(0.0)))
+          .as("rrf_score"),
+        coalesce(col("rb"), lit(-1L)).as("bm25_rank"),
+        coalesce(col("rc"), lit(-1L)).as("cos_rank"))
+    val out = fused.orderBy(col("rrf_score").desc, col("doc_id")).limit(25)
+      .withColumn("rnk",
+        row_number()
+          .over(Window.orderBy(col("rrf_score").desc, col("doc_id")))
+          .cast("long"))
+      .orderBy("rnk")
+    (out, perChk)
   }
 
   def all: Seq[Q] = Seq(
@@ -175,38 +229,8 @@ object RetrievalQueries extends QueryModule {
            |FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 25)
            |ORDER BY rnk""".stripMargin),
       (s, dir) => {
-        val scored = bm25Scored(s, dir, Seq("spark", "join", "window"))
-        val btop = scored.orderBy(col("score").desc, col("doc_id")).limit(100)
-          .withColumn("rb",
-            row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
-              .cast("long"))
-          .select("doc_id", "rb")
-        val e = tbl(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val qv = e.filter(col("vec_id") === 0).select(col("v").as("q"))
-        val sims = e.crossJoin(broadcast(qv))
-          .select(col("vec_id"),
-            (VS.dot("v", "q") /
-              (sqrt(VS.norm2("v")) * sqrt(VS.norm2("q")))).as("sim"))
-        val ctop = sims.orderBy(col("sim").desc, col("vec_id")).limit(100)
-          .withColumn("rc",
-            row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
-              .cast("long"))
-          .select("vec_id", "rc")
-        val fused = btop.join(ctop, btop("doc_id") === ctop("vec_id"),
-            "full_outer")
-          .select(coalesce(btop("doc_id"), ctop("vec_id")).as("doc_id"),
-            (coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + col("rc")), lit(0.0)))
-              .as("rrf_score"),
-            coalesce(col("rb"), lit(-1L)).as("bm25_rank"),
-            coalesce(col("rc"), lit(-1L)).as("cos_rank"))
-        fused.orderBy(col("rrf_score").desc, col("doc_id")).limit(25)
-          .withColumn("rnk",
-            row_number()
-              .over(Window.orderBy(col("rrf_score").desc, col("doc_id")))
-              .cast("long"))
-          .orderBy("rnk")
+        val (out, perChk) = rrfPipeline(s, dir)
+        graft.H.materialized(out, Nil, Seq(perChk))
       }),
 
     // Linear quality-classifier inference over hashed bag-of-words — the

@@ -258,13 +258,14 @@ object ScaleCorpusQueries extends QueryModule {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         // single-pass pivoted scoring — see RetrievalQueries.bm25Scored
-        val scored = RetrievalQueries.bm25Scored(s, dir,
+        val (scored, perChk) = RetrievalQueries.bm25Scored(s, dir,
           Seq("spark", "join", "window"))
         val top = scored.orderBy(col("score").desc, col("doc_id")).limit(25)
-        top.withColumn("rnk",
+        val out = top.withColumn("rnk",
             row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
               .cast("long"))
           .orderBy("rnk")
+        graft.H.materialized(out, Nil, Seq(perChk))
       }),
 
     // DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169):

@@ -155,6 +155,69 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate"), plan)
   }
 
+  test("rank_bm25: single-pass scoring — one wide shuffle keyed by doc_id") {
+    // bm25Scored's whole point: the exploded token stream is shuffled
+    // exactly once (the per-doc pivot groupBy), then checkpointed so the
+    // double-referenced per-doc frame (scoring + corpus stats) never
+    // replays the explode. Assert both halves: (a) the pivot frame plans
+    // one Generate + one doc_id exchange; (b) downstream of the
+    // checkpoint no Generate remains — both branches read the RDD leaf.
+    val per = graft.queries.RetrievalQueries
+      .bm25PerDoc(spark, sf, Seq("spark", "join", "window"))
+    val perPlan = per.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(doc_id".r.findAllIn(perPlan).size == 1, perPlan)
+    assert("Generate".r.findAllIn(perPlan).size == 1, perPlan)
+    assert(raw"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate".r
+      .findFirstIn(perPlan).isDefined, perPlan)
+    val (scored, chk) = graft.queries.RetrievalQueries
+      .bm25Scored(spark, sf, Seq("spark", "join", "window"))
+    val scoredPlan = scored.queryExecution.executedPlan.toString
+    assert(!scoredPlan.contains("Generate"), scoredPlan)
+    assert(scoredPlan.contains("Scan ExistingRDD"), scoredPlan)
+    graft.H.freeLocalCheckpoint(chk)
+  }
+
+  test("rank_rrf: both legs end in TakeOrderedAndProject, stats broadcast") {
+    // the judged query localCheckpoints (opaque RDD scan), so inspect the
+    // un-materialized pipeline it wraps
+    val (out, chk) = graft.queries.RetrievalQueries.rrfPipeline(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    // top-100 per leg must be TakeOrderedAndProject (no corpus-wide
+    // window); the corpus-stats / query-vector one-row frames reach the
+    // scans via BroadcastExchange
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    graft.H.freeLocalCheckpoint(chk)
+  }
+
+  test("select_classifier: weight table joins broadcast, scoring on the hash path") {
+    val plan = executed("select_classifier")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
+  test("agg_countmin: counters partial-aggregate before the exchange; probe join broadcast") {
+    val plan = executed("agg_countmin")
+    assert(raw"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("ts_anomaly_mad: per-type med/MAD tables broadcast back against the scan") {
+    val plan = executed("ts_anomaly_mad")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("pipeline_dataset_card: rollup is one map-side-combined pass") {
+    val plan = executed("pipeline_dataset_card")
+    assert(plan.contains("Expand"), plan)
+    assert(raw"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
