@@ -33,7 +33,8 @@ object SparkEntry {
     qm.AnnDedupQueries,
     qm.ScaleCorpusQueries,
     qm.RetrievalQueries,
-    qm.RobustOpsQueries)
+    qm.RobustOpsQueries,
+    qm.CurationOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
