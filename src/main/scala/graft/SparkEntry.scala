@@ -34,7 +34,8 @@ object SparkEntry {
     qm.ScaleCorpusQueries,
     qm.RetrievalQueries,
     qm.RobustOpsQueries,
-    qm.CurationOpsQueries)
+    qm.CurationOpsQueries,
+    qm.IntervalOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -35,7 +35,7 @@ object RetrievalQueries extends QueryModule {
   /** Shared trade-graph SQL prelude: nation→nation edges, each source
     * keeping its top-7 destinations by trade count (scale-invariant
     * sparsification, same rule as graph_pagerank), then symmetrized. */
-  private val uedgesSql: String =
+  private[queries] val uedgesSql: String =
     "pairs AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w " +
       "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
       "JOIN customer c ON o.o_custkey = c.c_custkey " +
@@ -100,7 +100,7 @@ object RetrievalQueries extends QueryModule {
   }
 
   /** Spark twin of [[uedgesSql]]. */
-  private def uedgesDf(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def uedgesDf(s: SparkSession, dir: String): DataFrame = {
     val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
     val ord = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
     val cust = tbl(s, dir, "customer").select("c_custkey", "c_nationkey")
