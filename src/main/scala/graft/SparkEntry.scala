@@ -35,7 +35,8 @@ object SparkEntry {
     qm.RetrievalQueries,
     qm.RobustOpsQueries,
     qm.CurationOpsQueries,
-    qm.IntervalOpsQueries)
+    qm.IntervalOpsQueries,
+    qm.OrderingOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -218,6 +218,31 @@ class PlanGuardsSpec extends AnyFunSuite {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("curriculum_order: one per-source window, count list broadcast, no global row_number") {
+    val plan = executed("curriculum_order")
+    // the global position must come from the broadcast count-list formula,
+    // not a partition-less Window (single-partition bottleneck at scale)
+    assert("Window ".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Window [row_number() windowspecdefinition(difficulty"), plan)
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("text_readability: map-only — no hash-partition exchange before the output sort") {
+    val plan = executed("text_readability")
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("ts_changepoint: daily rollup partial-aggregates before the exchange") {
+    val plan = executed("ts_changepoint")
+    assert(raw"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("pipeline_time_travel: version list joins broadcast against one manifest scan") {
+    val plan = executed("pipeline_time_travel")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
