@@ -36,7 +36,8 @@ object SparkEntry {
     qm.RobustOpsQueries,
     qm.CurationOpsQueries,
     qm.IntervalOpsQueries,
-    qm.OrderingOpsQueries)
+    qm.OrderingOpsQueries,
+    qm.CorpusStatsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -243,6 +243,39 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("corpus_overlap_matrix: shingle set cached once; pair join is equi, sizes broadcast") {
+    // assert on the pre-materialization frame — the judged query
+    // checkpoints its result, which hides the interior plan
+    import graft.queries.CorpusStatsQueries
+    val ss = CorpusStatsQueries.sourceShingles(spark, sf).cache()
+    try {
+      val plan = CorpusStatsQueries.overlapFrame(ss).queryExecution.executedPlan.toString
+      // both self-join branches must read the cached shingle set, not
+      // re-run the explode+distinct
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"), plan)
+      assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally ss.unpersist(blocking = false)
+  }
+
+  test("corpus_ngram_novelty: no self-join — one resident-count pass over the cached set") {
+    import graft.queries.CorpusStatsQueries
+    val ss = CorpusStatsQueries.sourceShingles(spark, sf).cache()
+    try {
+      val plan = CorpusStatsQueries.noveltyFrame(ss).queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"), plan)
+      assert(raw"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate".r
+        .findFirstIn(plan).isDefined, plan)
+    } finally ss.unpersist(blocking = false)
+  }
+
+  test("select_perplexity_band: count tables partial-aggregate; vocab joins broadcast") {
+    val plan = executed("select_perplexity_band")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(raw"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
