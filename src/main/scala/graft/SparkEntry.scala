@@ -37,7 +37,8 @@ object SparkEntry {
     qm.CurationOpsQueries,
     qm.IntervalOpsQueries,
     qm.OrderingOpsQueries,
-    qm.CorpusStatsQueries)
+    qm.CorpusStatsQueries,
+    qm.GovernanceQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -929,4 +929,50 @@ object Multimodal {
         }
       }
   }
+
+  final case class PHash(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Perceptual average-hash over the DECODED raster: the 8×8-cell grid's
+    * per-cell mean vs the global mean gives a 64-bit fingerprint, emitted
+    * as four 16-bit bands (two grid rows each) so the dedup join can use
+    * pigeonhole banding without 64-bit sign games. The bit rule is pure
+    * integer cross-multiplication (cellSum·globalCnt > globalSum·cellCnt),
+    * so the DuckDB oracle replays it exactly from the closed-form pixel
+    * prediction while this side earns it through the real PNG codec. Cells
+    * that receive no pixels (images narrower than the grid) stay 0 on both
+    * sides. */
+  def phashes(spark: SparkSession, docs: DataFrame): Dataset[PHash] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, body) =>
+          val w = (1L + id % 32L).toInt
+          val h = (1L + (id * 7L + body.length) % 32L).toInt
+          val px = decodePngPixels(synthesizePngPixels(w, h, id))
+          val cs = new Array[Long](64)
+          val cc = new Array[Long](64)
+          var gs = 0L
+          val n = w * h
+          var p = 0
+          while (p < n) {
+            val v = px(3 * p) & 0xff // red channel as luma proxy
+            val cell = (p / w * 8 / h) * 8 + (p % w * 8 / w)
+            cs(cell) += v; cc(cell) += 1; gs += v
+            p += 1
+          }
+          val gc = n.toLong
+          val bands = new Array[Long](4)
+          var cell = 0
+          while (cell < 64) {
+            if (cc(cell) > 0 && cs(cell) * gc > gs * cc(cell)) {
+              val cy = cell / 8
+              bands(cy / 2) |= 1L << ((cy % 2) * 8 + cell % 8)
+            }
+            cell += 1
+          }
+          PHash(id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+  }
 }

@@ -276,6 +276,54 @@ class PlanGuardsSpec extends AnyFunSuite {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("er_blocked_linkage: candidate generation is an equi-join on the block key") {
+    val plan = executed("er_blocked_linkage")
+    // the scorer must only ever see blocked pairs: the join has to carry
+    // the (nation, prefix) keys as an equi-condition — a nested-loop with
+    // the score in the condition would be the quadratic failure
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // scoring stays codegen'd — the native expression, not a UDF
+    assert(plan.contains("jarowinklersim("), plan)
+  }
+
+  test("privacy audits: nation join broadcast over the grouped frame") {
+    for (q <- Seq("privacy_kanon", "privacy_ldiversity")) {
+      val plan = executed(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q:\n$plan")
+    }
+  }
+
+  test("sample_weighted: global top-k plans TakeOrderedAndProject, no full sort") {
+    val plan = executed("sample_weighted")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("layout_hilbert: index computation is map-only up to the shard aggregate") {
+    val df0 = df("layout_hilbert")
+    val plan = df0.queryExecution.executedPlan.toString
+    // the 8 refinement levels are chained projections — exactly ONE
+    // hash-partition exchange may appear (the shard group-by); a second
+    // would mean a level introduced a shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"$exchanges hash exchanges:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("multimodal_phash: band self-join is equi on (band, bv); hamming codegen'd") {
+    // assert on the pre-materialization interior (the judged query
+    // checkpoints its result, which hides the plan behind an RDD scan)
+    val (out, ph) = graft.queries.GovernanceQueries.phashPairs(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    try {
+      assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+        || plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("bit_count"), plan)
+    } finally H.freeLocalCheckpoint(ph)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
