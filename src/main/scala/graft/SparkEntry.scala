@@ -38,7 +38,8 @@ object SparkEntry {
     qm.IntervalOpsQueries,
     qm.OrderingOpsQueries,
     qm.CorpusStatsQueries,
-    qm.GovernanceQueries)
+    qm.GovernanceQueries,
+    qm.LifecycleQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

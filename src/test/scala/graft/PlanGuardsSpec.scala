@@ -324,6 +324,29 @@ class PlanGuardsSpec extends AnyFunSuite {
     } finally H.freeLocalCheckpoint(ph)
   }
 
+  test("agg_winsorized: cumsum runs on the value distribution; bounds join broadcast") {
+    val plan = executed("agg_winsorized")
+    // the clamp pass joins the 5-row bounds table broadcast — a shuffled
+    // join here would re-partition the full fact scan for nothing
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // percentile extraction aggregates the (group, value) distribution
+    // BEFORE any window: the first HashAggregate must appear below Window
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("text_fim_split: map-only transform — no exchange before the output sort") {
+    val plan = executed("text_fim_split")
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("pipeline_retention_policy: one map-side-combined pass, no join") {
+    val plan = executed("pipeline_retention_policy")
+    assert(!plan.contains("Join"), plan)
+    // partial aggregation before the exchange: two HashAggregate levels
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
