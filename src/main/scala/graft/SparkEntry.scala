@@ -39,7 +39,8 @@ object SparkEntry {
     qm.OrderingOpsQueries,
     qm.CorpusStatsQueries,
     qm.GovernanceQueries,
-    qm.LifecycleQueries)
+    qm.LifecycleQueries,
+    qm.PlannerOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

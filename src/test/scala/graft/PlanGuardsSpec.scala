@@ -347,6 +347,25 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("layout_range_planner: cumsum over the distribution; total broadcast") {
+    val plan = executed("layout_range_planner")
+    // the distribution aggregates BEFORE the window (distinct values, not
+    // the row stream) and the 1-row total joins back broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("Window"), plan)
+    val winIdx = plan.indexOf("Window")
+    assert(plan.indexOf("HashAggregate", winIdx) > 0, plan) // agg feeds window
+  }
+
+  test("vocab_fertility: one map-side-combined pass, fold stays in codegen") {
+    val plan = executed("vocab_fertility")
+    assert(!plan.contains("Join"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    // the higher-order fold is an aggregate expression, not a UDF
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
