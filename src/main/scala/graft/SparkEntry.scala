@@ -40,7 +40,8 @@ object SparkEntry {
     qm.CorpusStatsQueries,
     qm.GovernanceQueries,
     qm.LifecycleQueries,
-    qm.PlannerOpsQueries)
+    qm.PlannerOpsQueries,
+    qm.MiningOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -366,6 +366,38 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("sim_hard_negatives: probe set broadcasts; corpus never sort-merged") {
+    val plan = executed("sim_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"corpus sort-merged\n$plan")
+  }
+
+  test("text_collocations: unigram/total joins broadcast; bigram join is equi") {
+    val plan = executed("text_collocations")
+    // doc_id+pos adjacency must be an equi join (shuffled or broadcast),
+    // never a nested-loop product over the token stream
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast\n$plan")
+    // final top-20 is a bounded sort, not a global full sort
+    assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k\n$plan")
+  }
+
+  test("vocab_truncation_loss: one map-side-combined pass, fold in codegen") {
+    val plan = executed("vocab_truncation_loss")
+    assert(!plan.contains("SortAggregate"), s"agg fell out of hash mode\n$plan")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"fold left codegen\n$plan")
+  }
+
+  test("dq_skew_report: heavy pass partial-aggregates; windows run on the key domain") {
+    val plan = executed("dq_skew_report")
+    // the per-key count must map-side combine before its exchange — the
+    // report's cost is one scan, everything after is |keys| rows
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
