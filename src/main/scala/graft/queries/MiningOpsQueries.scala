@@ -68,11 +68,11 @@ object MiningOpsQueries extends QueryModule {
     // strictly monotone transform of PMI, so the ranking is the PMI
     // ranking without ever calling ln (libm ULPs differ across engines).
     // Shape: one posexplode → two partial-agg counts (bigram and unigram,
-    // both map-side combined), unigram counts join back twice — both
-    // joins broadcast because the unigram domain is the vocabulary, which
-    // is sublinear in the corpus; the bigram stream never materializes
-    // anything wider than (a, b, count). W rides along as a broadcast
-    // one-row total.
+    // both map-side combined), unigram counts join back twice — unhinted,
+    // so AQE broadcasts the vocabulary while it's small and falls back to
+    // a shuffled hash join when it isn't; the bigram stream never
+    // materializes anything wider than (a, b, count). W rides along as a
+    // broadcast one-row total.
     Q("text_collocations",
       Some(
         """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -90,6 +90,11 @@ object MiningOpsQueries extends QueryModule {
           |         JOIN uni ub ON big.b = ub.tok, w
           |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin),
       (s, dir) => {
+        // the token stream feeds four consumers (bigram self-join twice,
+        // unigram counts, the total) and is deliberately NOT cached:
+        // regenerating a posexplode over the (columnar, codegen'd) parquet
+        // scan measures cheaper than writing the exploded rows to storage
+        // once — measured both ways at sf0.1 and 10x
         val tok = tbl(s, dir, "documents")
           .select(col("doc_id"), posexplode(split(col("text"), " ")))
           .select(col("doc_id"), (col("pos") + 1).as("pos"),
@@ -103,11 +108,14 @@ object MiningOpsQueries extends QueryModule {
           .groupBy(col("a.tok").as("a"), col("b.tok").as("b"))
           .agg(count(lit(1)).as("cab"))
           .filter(col("cab") >= 5)
+        // vocabulary joins carry NO broadcast hint: the unigram table is
+        // sublinear in the corpus but still unbounded (a 100 TB crawl has
+        // billions of distinct tokens) — AQE broadcasts it while it's small
+        // and degrades to a shuffled hash join when it isn't, which a
+        // forced hint would turn into an executor OOM instead
         big
-          .join(broadcast(uni.select(col("tok").as("a"), col("c").as("ca"))),
-            Seq("a"))
-          .join(broadcast(uni.select(col("tok").as("b"), col("c").as("cb"))),
-            Seq("b"))
+          .join(uni.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
+          .join(uni.select(col("tok").as("b"), col("c").as("cb")), Seq("b"))
           .crossJoin(broadcast(w))
           .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
             ((col("cab") * col("n")).cast("double") /
