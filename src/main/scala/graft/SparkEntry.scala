@@ -41,7 +41,8 @@ object SparkEntry {
     qm.GovernanceQueries,
     qm.LifecycleQueries,
     qm.PlannerOpsQueries,
-    qm.MiningOpsQueries)
+    qm.MiningOpsQueries,
+    qm.BehaviorOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

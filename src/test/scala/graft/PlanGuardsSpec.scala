@@ -398,6 +398,27 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"no partial aggregation\n$plan")
   }
 
+  test("events_attribution: one ordered pass, no self-join on the event stream") {
+    val plan = executed("events_attribution")
+    // the ignore-nulls last_value trick replaces the predecessor
+    // self-join — a Join in this plan means the window rewrite regressed
+    assert(!plan.contains("Join"), s"attribution grew a join\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("sample_group_kfold: group-dim join broadcasts; no shuffle of the doc stream twice") {
+    val plan = executed("sample_group_kfold")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"group dim not broadcast\n$plan")
+  }
+
+  test("ts_ewma: count reduces map-side before the window runs on the day domain") {
+    val plan = executed("ts_ewma")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
