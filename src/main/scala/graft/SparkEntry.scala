@@ -42,7 +42,8 @@ object SparkEntry {
     qm.LifecycleQueries,
     qm.PlannerOpsQueries,
     qm.MiningOpsQueries,
-    qm.BehaviorOpsQueries)
+    qm.BehaviorOpsQueries,
+    qm.SignalOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

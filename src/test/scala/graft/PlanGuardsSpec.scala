@@ -419,6 +419,30 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan)
   }
 
+  test("events_markov: one user-partition window; normalizer joins on the type domain") {
+    val plan = executed("events_markov")
+    assert(raw"Window".r.findAllIn(plan).size >= 1, plan)
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+  }
+
+  test("agg_weighted_percentile: reduce to the price distribution before any window") {
+    val plan = executed("agg_weighted_percentile")
+    // (flag, price) partial-agg must come BEFORE the cumulative window —
+    // a window over raw lineitem rows would shuffle 60k rows, not the
+    // distribution domain
+    val aggIdx = plan.indexOf("HashAggregate")
+    val winIdx = plan.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, plan)
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+  }
+
+  test("corpus_burstiness: bounded top-k, no full sort of the vocabulary") {
+    val plan = executed("corpus_burstiness")
+    assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
