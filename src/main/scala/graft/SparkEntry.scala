@@ -43,7 +43,8 @@ object SparkEntry {
     qm.PlannerOpsQueries,
     qm.MiningOpsQueries,
     qm.BehaviorOpsQueries,
-    qm.SignalOpsQueries)
+    qm.SignalOpsQueries,
+    qm.PruneOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

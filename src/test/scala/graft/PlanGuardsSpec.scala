@@ -443,6 +443,30 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k\n$plan")
   }
 
+  test("layout_zonemap_prune: zone-map build partial-aggregates; predicates broadcast") {
+    val plan = executed("layout_zonemap_prune")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"predicate list not broadcast\n$plan")
+  }
+
+  test("agg_pareto_abc: revenue reduce precedes the cumulative window") {
+    val plan = executed("agg_pareto_abc")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(aggIdx >= 0, plan)
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+  }
+
+  test("orders_rfm_segments: scoring is broadcast boundary arrays, not a global ntile") {
+    val plan = executed("orders_rfm_segments")
+    // the whole point: per-customer scoring must NOT sort all customers
+    // into one partition (global rank/ntile); boundary arrays broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"boundaries not broadcast\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
