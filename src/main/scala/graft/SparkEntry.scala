@@ -44,7 +44,8 @@ object SparkEntry {
     qm.MiningOpsQueries,
     qm.BehaviorOpsQueries,
     qm.SignalOpsQueries,
-    qm.PruneOpsQueries)
+    qm.PruneOpsQueries,
+    qm.FidelityOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

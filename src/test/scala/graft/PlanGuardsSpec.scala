@@ -467,6 +467,26 @@ class PlanGuardsSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"), s"boundaries not broadcast\n$plan")
   }
 
+  test("sim_prefix_recall: probe set broadcasts; rankings bound by WindowGroupLimit") {
+    val plan = executed("sim_prefix_recall")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the rank<=5 predicate must push into the window (per-partition
+    // top-k), or each ranking sorts the full corpus per probe
+    assert(plan.contains("WindowGroupLimit"), s"rank not pushed down\n$plan")
+  }
+
+  test("ts_autocorr: (type, day) reduce precedes the lag join on the domain") {
+    val plan = executed("ts_autocorr")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+  }
+
+  test("privacy_pseudonymize: rolling hash stays a native codegen expression") {
+    val plan = executed("privacy_pseudonymize")
+    assert(plan.toLowerCase.contains("rollinghash"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), s"hash fell out of codegen\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
