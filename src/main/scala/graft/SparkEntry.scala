@@ -45,7 +45,8 @@ object SparkEntry {
     qm.BehaviorOpsQueries,
     qm.SignalOpsQueries,
     qm.PruneOpsQueries,
-    qm.FidelityOpsQueries)
+    qm.FidelityOpsQueries,
+    qm.CalibrationOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -872,6 +872,50 @@ object Multimodal {
       px_min: Long,
       px_max: Long)
 
+  final case class PatchStats(
+      doc_id: Long,
+      patch: Long,
+      n_px: Long,
+      px_sum: Long,
+      px_min: Long,
+      px_max: Long)
+
+  /** ViT-style patch grid over TRUE decoded pixels: each selected doc
+    * becomes a real baseline JPEG (same synthesis as `transformJpeg`), the
+    * decoder recovers the raster from container bytes alone, and the image
+    * splits into a 4×4 patch grid — patch(x, y) = (y·4÷h)·4 + (x·4÷w), the
+    * integer-division mapping that stays total for dimensions not divisible
+    * by 4 — with exact integer stats per patch (the tensor-preprocessing
+    * step a vision pipeline runs before embedding). One mapPartitions
+    * batch, executor-side byte work only; ≤16 rows out per image. */
+  def transformPatches(spark: SparkSession, docs: DataFrame): Dataset[PatchStats] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, body) =>
+          val w = (5L + id % 28L).toInt
+          val h = (5L + (id * 5L + body.length) % 28L).toInt
+          val jpeg = synthesizeJpegGrayBlocks(w, h,
+            (bx, by) => ((id * 11L + bx * 37L + by * 101L) % 256L).toInt)
+          val px = decodeJpegGrayPixels(jpeg).map(_ & 0xff)
+          val agg = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+          var i = 0
+          while (i < px.length) {
+            val x = i % w; val y = i / w
+            val p = (y.toLong * 4 / h) * 4 + (x.toLong * 4 / w)
+            val v = px(i).toLong
+            val (n, s, mn, mx) = agg.getOrElse(p, (0L, 0L, Long.MaxValue, Long.MinValue))
+            agg(p) = (n + 1, s + v, math.min(mn, v), math.max(mx, v))
+            i += 1
+          }
+          agg.toSeq.sortBy(_._1).map { case (p, (n, s, mn, mx)) =>
+            PatchStats(id, p, n, s, mn, mx)
+          }
+        }
+      }
+  }
+
   /** Like `transform` but through the JPEG codec: every document becomes a
     * real baseline grayscale JPEG whose 8×8 blocks are constant
     * `(doc_id·11 + bx·37 + by·101) mod 256` — a pattern the DCT round-trips

@@ -487,6 +487,31 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("scalaudf"), s"hash fell out of codegen\n$plan")
   }
 
+  test("dedup_minhash_calibration: result is materialized (inputs freed, no live cache)") {
+    // the query checkpoints cand (double-referenced) and caches sh/sig,
+    // then frees all three through H.materialized — the returned frame
+    // must be a self-contained RDD scan, not a plan that would re-execute
+    // the band join on every downstream action
+    val plan = executed("dedup_minhash_calibration")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"result not materialized\n$plan")
+  }
+
+  test("agg_corr_matrix: all nine moments in ONE map-side-combined pass") {
+    val plan = executed("agg_corr_matrix")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+    // one scan: the single-pass design is the point
+    assert(raw"FileScan|Scan parquet".r.findAllIn(plan).size <= 1,
+      s"multiple scans of lineitem\n$plan")
+  }
+
+  test("agg_basket_lift: pair generation is an equi-join on the order key") {
+    val plan = executed("agg_basket_lift")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
