@@ -46,7 +46,8 @@ object SparkEntry {
     qm.SignalOpsQueries,
     qm.PruneOpsQueries,
     qm.FidelityOpsQueries,
-    qm.CalibrationOpsQueries)
+    qm.CalibrationOpsQueries,
+    qm.MedallionOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

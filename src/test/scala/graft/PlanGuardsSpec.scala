@@ -512,6 +512,20 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k\n$plan")
   }
 
+  test("join_hash_hint: ShuffledHashJoin actually planned (hint not dropped)") {
+    val plan = executed("join_hash_hint")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"hash join not planned\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"hint dropped to SMJ\n$plan")
+  }
+
+  test("agg_grouping_id: rollup expands once with partial aggregation") {
+    val plan = executed("agg_grouping_id")
+    assert(plan.contains("Expand"), plan)
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
