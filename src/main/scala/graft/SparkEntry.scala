@@ -47,7 +47,8 @@ object SparkEntry {
     qm.PruneOpsQueries,
     qm.FidelityOpsQueries,
     qm.CalibrationOpsQueries,
-    qm.MedallionOpsQueries)
+    qm.MedallionOpsQueries,
+    qm.CoresetOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

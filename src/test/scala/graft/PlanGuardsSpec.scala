@@ -526,6 +526,25 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"no partial aggregation\n$plan")
   }
 
+  test("corpus_vocab_growth: first-occurrence reduce is map-side combined") {
+    val plan = executed("corpus_vocab_growth")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+  }
+
+  test("select_kcenter: result is materialized; round frames freed") {
+    val plan = executed("select_kcenter")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"result not materialized\n$plan")
+  }
+
+  test("text_template_prefix: three distinct counts share one pass (Expand)") {
+    val plan = executed("text_template_prefix")
+    assert(plan.contains("Expand"), s"distinct counts not fused\n$plan")
+    assert(raw"FileScan|Scan parquet".r.findAllIn(plan).size <= 1,
+      s"multiple scans\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
