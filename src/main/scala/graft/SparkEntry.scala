@@ -48,7 +48,8 @@ object SparkEntry {
     qm.FidelityOpsQueries,
     qm.CalibrationOpsQueries,
     qm.MedallionOpsQueries,
-    qm.CoresetOpsQueries)
+    qm.CoresetOpsQueries,
+    qm.DriftOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

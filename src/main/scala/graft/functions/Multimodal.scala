@@ -864,6 +864,46 @@ object Multimodal {
       }
   }
 
+  final case class SceneDelta(
+      doc_id: Long,
+      frame: Long,
+      n_px: Long,
+      sum_abs_delta: Long,
+      is_cut: Long)
+
+  /** Scene-cut detection over TRUE decoded video frames: consecutive-frame
+    * mean absolute pixel delta, flagged as a cut when it clears 48/255 —
+    * compared as the exact integer cross-product sum_abs·1 ≥ 48·n_px, so
+    * no float threshold decides a boundary frame. Same AVI synthesis and
+    * container-walk decode as `transformVideo`, but ALL frames decode (no
+    * stride) because the delta needs each consecutive pair. */
+  def transformSceneCuts(spark: SparkSession, docs: DataFrame): Dataset[SceneDelta] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, body) =>
+          val w = (5L + id % 28L).toInt
+          val h = (5L + (id * 5L + body.length) % 28L).toInt
+          val nf = (2L + id % 4L).toInt
+          val avi = synthesizeAvi(w, h, (0 until nf).map(f =>
+            synthesizeJpegGrayBlocks(w, h, (bx, by) =>
+              ((id * 11L + f * 59L + bx * 37L + by * 101L) % 256L).toInt)))
+          val (dw, dh, frames) = decodeAviFrames(avi)
+          require(dw == w && dh == h)
+          (1 until frames.length).map { f =>
+            val prev = frames(f - 1); val cur = frames(f)
+            var s = 0L; var i = 0
+            while (i < cur.length) {
+              s += math.abs((cur(i) & 0xff) - (prev(i) & 0xff)); i += 1
+            }
+            SceneDelta(id, f.toLong, cur.length.toLong, s,
+              if (s >= 48L * cur.length) 1L else 0L)
+          }
+        }
+      }
+  }
+
   final case class MediaTransform(
       doc_id: Long,
       n_px: Long,

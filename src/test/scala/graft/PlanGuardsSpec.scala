@@ -545,6 +545,24 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"multiple scans\n$plan")
   }
 
+  test("corpus_drift_tvd: one token reduce; halves never rejoin the raw stream") {
+    val plan = executed("corpus_drift_tvd")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+  }
+
+  test("ts_heatmap: pivot is one grouped pass, no per-hour scans") {
+    val plan = executed("ts_heatmap")
+    assert(raw"FileScan|Scan parquet".r.findAllIn(plan).size <= 1,
+      s"pivot re-scans per column\n$plan")
+  }
+
+  test("join_asof_nearest: both directions from one window pass, no self-join") {
+    val plan = executed("join_asof_nearest")
+    assert(!plan.contains("Join"), s"nearest match grew a join\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
