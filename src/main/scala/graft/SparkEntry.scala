@@ -49,7 +49,8 @@ object SparkEntry {
     qm.CalibrationOpsQueries,
     qm.MedallionOpsQueries,
     qm.CoresetOpsQueries,
-    qm.DriftOpsQueries)
+    qm.DriftOpsQueries,
+    qm.TuningOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -563,6 +563,25 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan)
   }
 
+  test("dedup_lsh_tuning: one signature build shared by all four configs") {
+    val plan = executed("dedup_lsh_tuning")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"result not materialized\n$plan")
+  }
+
+  test("ts_decompose: daily reduce precedes the trend window") {
+    val plan = executed("ts_decompose")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("mix_budget_waterfill: level search on the source domain; level broadcasts") {
+    val plan = executed("mix_budget_waterfill")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"water level not broadcast\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
