@@ -50,7 +50,8 @@ object SparkEntry {
     qm.MedallionOpsQueries,
     qm.CoresetOpsQueries,
     qm.DriftOpsQueries,
-    qm.TuningOpsQueries)
+    qm.TuningOpsQueries,
+    qm.EvalOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -582,6 +582,27 @@ class PlanGuardsSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"), s"water level not broadcast\n$plan")
   }
 
+  test("rank_eval: postings bounded by query terms; ranking WindowGroupLimit-bounded") {
+    val plan = executed("rank_eval")
+    assert(plan.contains("WindowGroupLimit"), s"top-10 not pushed down\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"query terms not broadcast\n$plan")
+  }
+
+  test("ts_anomaly_seasonal: daily reduce first; medians/MAD broadcast back") {
+    val plan = executed("ts_anomaly_seasonal")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"gate values not broadcast\n$plan")
+  }
+
+  test("agg_bitmap_distinct: two-level bitmap aggregation, no raw-value distinct") {
+    val plan = executed("agg_bitmap_distinct")
+    assert(plan.toLowerCase.contains("bitmap"), plan)
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
