@@ -51,7 +51,8 @@ object SparkEntry {
     qm.CoresetOpsQueries,
     qm.DriftOpsQueries,
     qm.TuningOpsQueries,
-    qm.EvalOpsQueries)
+    qm.EvalOpsQueries,
+    qm.EngagementOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -603,6 +603,31 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"no partial aggregation\n$plan")
   }
 
+  test("events_stickiness: rolling distinct from the reduced presence domain") {
+    val plan = executed("events_stickiness")
+    // the 28-way explode must run on the deduped (user, day) presence,
+    // not raw events: a Generate directly over the parquet scan would
+    // multiply the raw stream by 28
+    val genIdx = plan.indexOf("Generate")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx >= 0, plan)
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+  }
+
+  test("pack_efficiency: one window, one grouped pass, one scan") {
+    val plan = executed("pack_efficiency")
+    assert(plan.contains("Window"), plan)
+    assert(raw"FileScan|Scan parquet".r.findAllIn(plan).size <= 1,
+      s"multiple scans\n$plan")
+  }
+
+  test("graph_fof_recs: 2-hop equi-join; direct edges removed by anti-join; bounded top-k") {
+    val plan = executed("graph_fof_recs")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
