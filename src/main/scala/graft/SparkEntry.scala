@@ -52,7 +52,8 @@ object SparkEntry {
     qm.DriftOpsQueries,
     qm.TuningOpsQueries,
     qm.EvalOpsQueries,
-    qm.EngagementOpsQueries)
+    qm.EngagementOpsQueries,
+    qm.RerankOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -864,6 +864,51 @@ object Multimodal {
       }
   }
 
+  final case class VadSummary(
+      doc_id: Long,
+      n_samples: Long,
+      n_frames: Long,
+      n_active: Long,
+      n_segments: Long,
+      longest_run: Long)
+
+  /** Energy-gate voice-activity detection over TRUE decoded PCM: the WAV
+    * container decodes (same synthesis/decode as `transformAudio`), the
+    * sample stream splits into full 40-sample frames, a frame is ACTIVE
+    * when its energy Σs² ≥ 40·16000² (exact integer compare — no float
+    * RMS on the decision path), and active runs summarize to segment
+    * count and longest run. Per-doc work is bounded by the clip length;
+    * the oracle recomputes every frame closed-form. */
+  def transformVad(spark: SparkSession, docs: DataFrame): Dataset[VadSummary] = {
+    import spark.implicits._
+    val thr = 40L * 16000L * 16000L
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, body) =>
+          val n = (64L + (id * 3L + body.length) % 192L).toInt
+          val wav = synthesizeWav(8000, Array.tabulate(n)(i =>
+            (((id * 7L + i * 13L) % 65536L) - 32768L).toShort))
+          val (_, pcm) = decodeWavSamples(wav)
+          val nf = pcm.length / 40
+          val active = (0 until nf).map { f =>
+            var e = 0L; var i = f * 40
+            while (i < (f + 1) * 40) {
+              val s = pcm(i).toLong; e += s * s; i += 1
+            }
+            e >= thr
+          }
+          var seg = 0L; var run = 0L; var longest = 0L; var act = 0L
+          active.foreach { a =>
+            if (a) { act += 1; run += 1; if (run == 1) seg += 1
+              if (run > longest) longest = run }
+            else run = 0
+          }
+          VadSummary(id, pcm.length.toLong, nf.toLong, act, seg, longest)
+        }
+      }
+  }
+
   final case class SceneDelta(
       doc_id: Long,
       frame: Long,

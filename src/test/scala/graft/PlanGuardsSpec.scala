@@ -628,6 +628,19 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k\n$plan")
   }
 
+  test("sim_mmr_rerank: result materialized; round frames freed") {
+    val plan = executed("sim_mmr_rerank")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"result not materialized\n$plan")
+  }
+
+  test("ts_backtest_naive: (type, day) reduce first, one lag window after") {
+    val plan = executed("ts_backtest_naive")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
