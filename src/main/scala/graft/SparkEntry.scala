@@ -53,7 +53,8 @@ object SparkEntry {
     qm.TuningOpsQueries,
     qm.EvalOpsQueries,
     qm.EngagementOpsQueries,
-    qm.RerankOpsQueries)
+    qm.RerankOpsQueries,
+    qm.ExperimentOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -641,6 +641,26 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan)
   }
 
+  test("text_langid_eval: one scored pass; confusion reduce on the lang domain") {
+    val plan = executed("text_langid_eval")
+    assert(raw"FileScan|Scan parquet".r.findAllIn(plan).size <= 1,
+      s"multiple scans\n$plan")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+  }
+
+  test("events_ab_test: one per-user reduce, then the 2-row group domain") {
+    val plan = executed("events_ab_test")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+  }
+
+  test("vocab_char_coverage: char reduce first; windows on the charset domain") {
+    val plan = executed("vocab_char_coverage")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
