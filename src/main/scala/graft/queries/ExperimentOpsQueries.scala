@@ -38,13 +38,14 @@ object ExperimentOpsQueries extends QueryModule {
           s"p AS (SELECT lang, $pred AS pred FROM scored), " +
           "cm AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n " +
           "FROM p GROUP BY 1, 2), " +
-          "rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_total FROM cm " +
-          "GROUP BY 1) " +
-          "SELECT cm.lang, cm.pred, cm.n, rt.row_total, " +
-          "CAST(CASE WHEN cm.lang = cm.pred THEN cm.n ELSE 0 END AS DOUBLE) " +
-          "/ CAST(rt.row_total AS DOUBLE) AS recall_contrib " +
-          "FROM cm JOIN rt ON cm.lang = rt.lang " +
-          "ORDER BY cm.lang, cm.pred"
+          // row totals via a window over cm, not a groupBy+join back —
+          // a second reference to cm would re-run the scoring scan
+          "rt AS (SELECT lang, pred, n, CAST(sum(n) OVER " +
+          "(PARTITION BY lang) AS BIGINT) AS row_total FROM cm) " +
+          "SELECT lang, pred, n, row_total, " +
+          "CAST(CASE WHEN lang = pred THEN n ELSE 0 END AS DOUBLE) " +
+          "/ CAST(row_total AS DOUBLE) AS recall_contrib " +
+          "FROM rt ORDER BY lang, pred"
       },
       (s, dir) => {
         val d = tbl(s, dir, "documents")
@@ -59,8 +60,8 @@ object ExperimentOpsQueries extends QueryModule {
           .otherwise("de")
         val cm = scored.select(col("lang"), pred.as("pred"))
           .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
-        val rt = cm.groupBy("lang").agg(sum("n").cast("long").as("row_total"))
-        cm.join(rt, Seq("lang"))
+        cm.withColumn("row_total",
+            sum("n").over(Window.partitionBy("lang")).cast("long"))
           .select(col("lang"), col("pred"), col("n"), col("row_total"),
             (when(col("lang") === col("pred"), col("n")).otherwise(0L)
               .cast("double") / col("row_total").cast("double"))
