@@ -54,7 +54,8 @@ object SparkEntry {
     qm.EvalOpsQueries,
     qm.EngagementOpsQueries,
     qm.RerankOpsQueries,
-    qm.ExperimentOpsQueries)
+    qm.ExperimentOpsQueries,
+    qm.BehaviorQaOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -661,6 +661,27 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"no partial aggregation\n$plan")
   }
 
+  test("agg_higher_moments: all four power sums in ONE map-side-combined scan") {
+    val plan = executed("agg_higher_moments")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+    assert(raw"FileScan|Scan parquet".r.findAllIn(plan).size <= 1,
+      s"multiple scans\n$plan")
+  }
+
+  test("events_bot_flags: statistics hash-partition by user, joins on the user domain") {
+    val plan = executed("events_bot_flags")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("orders_cohort_revenue: cohort reduce precedes the matrix reduce") {
+    val plan = executed("orders_cohort_revenue")
+    assert(raw"HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
