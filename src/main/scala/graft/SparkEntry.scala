@@ -55,7 +55,8 @@ object SparkEntry {
     qm.EngagementOpsQueries,
     qm.RerankOpsQueries,
     qm.ExperimentOpsQueries,
-    qm.BehaviorQaOpsQueries)
+    qm.BehaviorQaOpsQueries,
+    qm.HierDedupQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -682,6 +682,12 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"no partial aggregation\n$plan")
   }
 
+  test("dedup_hierarchical: materialized result; band machinery only sees survivors") {
+    val plan = executed("dedup_hierarchical")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"result not materialized\n$plan")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
