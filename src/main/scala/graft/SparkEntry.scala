@@ -56,7 +56,8 @@ object SparkEntry {
     qm.RerankOpsQueries,
     qm.ExperimentOpsQueries,
     qm.BehaviorQaOpsQueries,
-    qm.HierDedupQueries)
+    qm.HierDedupQueries,
+    qm.SuffixOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -688,6 +688,33 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"result not materialized\n$plan")
   }
 
+  test("suffix/RAKE/t-closeness/kNN-graph wave: results materialized, shared frames run once") {
+    // these three lean on a localCheckpoint'd shared frame (phrase
+    // members / class counts / bucketed vectors) that TWO branches read —
+    // materialization is the guard against the r6 containment
+    // double-execution pathology recurring in this wave
+    for (q <- Seq("text_rake_keywords",
+        "privacy_tcloseness", "sim_knn_graph")) {
+      val plan = executed(q)
+      assert(plan.contains("ExistingRDD"), s"$q result not materialized\n$plan")
+    }
+    // dedup_suffix_lcp is single-pass by design (per-pair argmax window,
+    // no join-back) — its guard is the distributed top-k instead of a
+    // global-order rank window over every pair
+    val plan = executed("dedup_suffix_lcp")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"dedup_suffix_lcp top-20 not a distributed TakeOrdered\n$plan")
+  }
+
+  test("dedup_suffix_lcp: reported repeats respect the bucket floor and suffix cap") {
+    val rows = df("dedup_suffix_lcp").collect()
+    assert(rows.nonEmpty)
+    val lcps = rows.map(_.getAs[Long]("lcp"))
+    assert(lcps.forall(l => l >= 16 && l <= 48), lcps.mkString(","))
+    // spans are genuine cross-doc: doc_a < doc_b everywhere
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
