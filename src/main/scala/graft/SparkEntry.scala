@@ -57,7 +57,8 @@ object SparkEntry {
     qm.ExperimentOpsQueries,
     qm.BehaviorQaOpsQueries,
     qm.HierDedupQueries,
-    qm.SuffixOpsQueries)
+    qm.SuffixOpsQueries,
+    qm.StructureOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

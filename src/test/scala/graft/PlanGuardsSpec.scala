@@ -715,6 +715,26 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
+  test("structure wave: shared frames materialized; top-k distributed") {
+    // graph_hits reads its edge frame four times (one per HITS half-round)
+    // and lm_kneser_ney derives every marginal from the bigram-count frame
+    // — both must materialize, or each consumer re-runs the upstream scan
+    for (q <- Seq("graph_hits", "lm_kneser_ney")) {
+      val plan = executed(q)
+      assert(plan.contains("ExistingRDD"), s"$q shared frame not materialized\n$plan")
+    }
+    // path mining's top-20 must be a TakeOrdered, not a global-order
+    // window over every distinct path
+    val paths = executed("events_top_paths")
+    assert(paths.contains("TakeOrderedAndProject"),
+      s"events_top_paths top-20 not distributed\n$paths")
+    // canonicalization is pure per-row narrowing — exactly one exchange
+    // (the canonical groupBy), nothing before it
+    val curl = executed("text_url_canonical")
+    val exchanges = "Exchange".r.findAllIn(curl).size
+    assert(exchanges <= 2, s"text_url_canonical shuffles too much ($exchanges)\n$curl")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
