@@ -58,7 +58,8 @@ object SparkEntry {
     qm.BehaviorQaOpsQueries,
     qm.HierDedupQueries,
     qm.SuffixOpsQueries,
-    qm.StructureOpsQueries)
+    qm.StructureOpsQueries,
+    qm.PatternOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -735,6 +735,36 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"text_url_canonical shuffles too much ($exchanges)\n$curl")
   }
 
+  test("pattern wave: shared frames materialized; co-purchase fanout order-bounded") {
+    for (q <- Seq("dedup_minhash_bbit", "privacy_generalization_ladder")) {
+      val plan = executed(q)
+      assert(plan.contains("ExistingRDD"), s"$q shared frame not materialized\n$plan")
+    }
+    // co-purchase must expand through the order-key equi-join (bounded by
+    // order size), never a part-domain cross product
+    val cp = executed("graph_copurchase")
+    assert(cp.contains("SortMergeJoin") || cp.contains("ShuffledHashJoin")
+      || cp.contains("BroadcastHashJoin"), s"co-purchase join shape\n$cp")
+    assert(!cp.contains("CartesianProduct"), cp)
+  }
+
+  test("dedup_minhash_bbit: estimator tracks exact Jaccard on candidates") {
+    // the 2-bit estimator is noisy at k=12, but on the LSH candidates
+    // (planted near-dups, high true J) it must point the same way:
+    // mean estimate over pairs with exact J >= 0.5 exceeds the mean over
+    // the rest — a semantic check the hash compare can't express
+    val rows = df("dedup_minhash_bbit").collect()
+    assert(rows.nonEmpty)
+    val (hi, lo) = rows.partition(r =>
+      2L * r.getAs[Long]("ji_num") >= r.getAs[Long]("ji_den"))
+    if (hi.nonEmpty && lo.nonEmpty) {
+      def meanEst(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(_.getAs[Long]("est_scaled")).sum.toDouble / rs.length
+      assert(meanEst(hi) > meanEst(lo),
+        s"b-bit estimator inverted: hi=${meanEst(hi)} lo=${meanEst(lo)}")
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
