@@ -59,7 +59,8 @@ object SparkEntry {
     qm.HierDedupQueries,
     qm.SuffixOpsQueries,
     qm.StructureOpsQueries,
-    qm.PatternOpsQueries)
+    qm.PatternOpsQueries,
+    qm.ChunkOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
