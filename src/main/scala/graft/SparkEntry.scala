@@ -60,7 +60,8 @@ object SparkEntry {
     qm.SuffixOpsQueries,
     qm.StructureOpsQueries,
     qm.PatternOpsQueries,
-    qm.ChunkOpsQueries)
+    qm.ChunkOpsQueries,
+    qm.FingerprintOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

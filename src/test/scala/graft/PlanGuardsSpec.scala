@@ -779,6 +779,22 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(plan.contains("ExistingRDD"), s"bucketed frame not materialized\n$plan")
   }
 
+  test("fingerprint wave: WAU window is an equi semi-join, not a nested-loop range join") {
+    // the explode-to-equi rewrite (slope 3.4 → 1.8 at k=10) must not
+    // regress back to a BroadcastNestedLoopJoin range predicate
+    val plan = executed("events_rolling_wau")
+    assert(plan.contains("ExistingRDD"), s"result not materialized\n$plan")
+    for (q <- Seq("mining_frequent_triples", "sim_binary_hamming")) {
+      val p = executed(q)
+      assert(p.contains("ExistingRDD"), s"$q shared frame not materialized\n$p")
+    }
+    // winnowing: the per-window min must be a single window pass —
+    // exactly one doc-partitioned sort in the plan before the distinct
+    val wn = executed("text_winnowing_fingerprints")
+    assert(wn.contains("TakeOrderedAndProject"),
+      s"winnowing top-30 not distributed\n$wn")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
