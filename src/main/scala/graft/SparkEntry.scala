@@ -61,7 +61,8 @@ object SparkEntry {
     qm.StructureOpsQueries,
     qm.PatternOpsQueries,
     qm.ChunkOpsQueries,
-    qm.FingerprintOpsQueries)
+    qm.FingerprintOpsQueries,
+    qm.SegmentOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
