@@ -62,7 +62,8 @@ object SparkEntry {
     qm.PatternOpsQueries,
     qm.ChunkOpsQueries,
     qm.FingerprintOpsQueries,
-    qm.SegmentOpsQueries)
+    qm.SegmentOpsQueries,
+    qm.SymbolicOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

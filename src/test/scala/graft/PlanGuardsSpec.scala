@@ -795,6 +795,38 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"winnowing top-30 not distributed\n$wn")
   }
 
+  test("segment/symbolic waves: materialized loops; bloom contract holds") {
+    for (q <- Seq("vocab_greedy_segment", "join_spatial_grid",
+        "dq_benford_firstdigit", "events_markov_stationary",
+        "dedup_bloom_gate")) {
+      val plan = executed(q)
+      assert(plan.contains("ExistingRDD"), s"$q not materialized\n$plan")
+    }
+    // the Bloom guarantee is structural: false negatives MUST be zero,
+    // and the overlapping shard split must yield true positives
+    val row = df("dedup_bloom_gate").collect()(0)
+    assert(row.getAs[Long]("fn") == 0L, s"bloom false negative!\n$row")
+    assert(row.getAs[Long]("tp") > 0L, s"no overlap exercised\n$row")
+  }
+
+  test("vocab_greedy_segment: tokens reassemble every word exactly") {
+    // greedy segmentation must be a PARTITION of each word — verify by
+    // re-deriving the corpus letter mass: total letters in tokens ==
+    // total letters in (truncated) words
+    import org.apache.spark.sql.functions._
+    val docs = H.tbl(spark, sf, "documents")
+    val wordLetters = docs
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(sum(length(expr("substring(w, 1, 10)")))).collect()(0).getLong(0)
+    val tokLetters = df("vocab_greedy_segment")
+      .agg(sum(expr("length(token) * n"))).collect()(0).getLong(0)
+    // top-50 only covers part of the token mass — weaker bound: coverage
+    // cannot exceed the corpus mass, and must be a large share of it
+    assert(tokLetters <= wordLetters && tokLetters * 2 > wordLetters,
+      s"token mass $tokLetters vs corpus mass $wordLetters")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
