@@ -92,12 +92,17 @@ object AdvancedAnalyticsQueries extends QueryModule {
           prev.join(top, Seq("id"), "left")
             .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
         }
-        val l3 = round(round(round(l0)))
+        // checkpoint each round: prev is read twice (broadcast state +
+        // outer join), so un-materialized rounds double the subtree per
+        // iteration (the graph_shortest_path lesson)
+        val ckpts = scala.collection.mutable.ArrayBuffer(uedges)
+        var lbl = l0.localCheckpoint(); ckpts += lbl
+        for (_ <- 1 to 3) { lbl = round(lbl).localCheckpoint(); ckpts += lbl }
         val nation = tbl(s, dir, "nation")
-        val out = l3.join(broadcast(nation), l3("id") === nation("n_nationkey"))
+        val out = lbl.join(broadcast(nation), lbl("id") === nation("n_nationkey"))
           .select(col("n_name"), col("lbl").as("community"))
           .orderBy("n_name")
-        H.materialized(out, Nil, Seq(uedges))
+        H.materialized(out, Nil, ckpts.toSeq)
       }),
 
     // Fixed-point PageRank, 3 iterations, over the international trade
