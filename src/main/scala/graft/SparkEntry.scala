@@ -64,7 +64,8 @@ object SparkEntry {
     qm.FingerprintOpsQueries,
     qm.SegmentOpsQueries,
     qm.SymbolicOpsQueries,
-    qm.LateInteractionOpsQueries)
+    qm.LateInteractionOpsQueries,
+    qm.FusionOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
