@@ -65,7 +65,8 @@ object SparkEntry {
     qm.SegmentOpsQueries,
     qm.SymbolicOpsQueries,
     qm.LateInteractionOpsQueries,
-    qm.FusionOpsQueries)
+    qm.FusionOpsQueries,
+    qm.SequentialOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
