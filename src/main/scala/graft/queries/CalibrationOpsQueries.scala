@@ -193,11 +193,14 @@ object CalibrationOpsQueries extends QueryModule {
           |           JOIN bc cb ON pairs.brand_b = cb.brand, n
           |ORDER BY lift DESC, brand_a, brand_b LIMIT 15""".stripMargin),
       (s, dir) => {
+        // FOUR consumers read the order-brand distinct (total, brand
+        // counts, both self-join sides) — materialize once or the heavy
+        // lineitem⋈part distinct runs four times
         val ob = tbl(s, dir, "lineitem").as("l")
           .join(tbl(s, dir, "part").as("p"),
             col("l.l_partkey") === col("p.p_partkey"))
           .select(col("l.l_orderkey").as("ord"), col("p.p_brand").as("brand"))
-          .distinct()
+          .distinct().localCheckpoint()
         val n = ob.agg(countDistinct("ord").as("n"))
         val bc = ob.groupBy("brand").agg(count(lit(1)).as("c"))
         val pairs = ob.as("a")
@@ -218,6 +221,7 @@ object CalibrationOpsQueries extends QueryModule {
               (col("ca") * col("cb")).cast("double")).as("lift"))
           .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
           .limit(15)
+          .transform(out => graft.H.materialized(out, Nil, Seq(ob)))
       }),
 
     // VIT-STYLE PATCH GRID over true decoded JPEG rasters: each image
