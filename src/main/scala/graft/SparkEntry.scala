@@ -66,7 +66,8 @@ object SparkEntry {
     qm.SymbolicOpsQueries,
     qm.LateInteractionOpsQueries,
     qm.FusionOpsQueries,
-    qm.SequentialOpsQueries)
+    qm.SequentialOpsQueries,
+    qm.OutlierOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
