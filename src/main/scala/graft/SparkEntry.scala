@@ -67,7 +67,8 @@ object SparkEntry {
     qm.LateInteractionOpsQueries,
     qm.FusionOpsQueries,
     qm.SequentialOpsQueries,
-    qm.OutlierOpsQueries)
+    qm.OutlierOpsQueries,
+    qm.BinPackOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
