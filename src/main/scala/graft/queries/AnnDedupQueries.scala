@@ -251,15 +251,18 @@ object AnnDedupQueries extends QueryModule {
         val docs = tbl(s, dir, "documents")
         // sketch batch-side (the sketch is a per-row map-side transform; at
         // ingest it rides the same executor pass that parses the document)
+        // materialize the sketch ONCE: the three replay-batch filters each
+        // re-ran the whole shingle->minhash->bands pipeline otherwise
         val bands = DS.lshBands(DS.minhashSignature(DS.shingles(docs, 3)))
           .select(col("doc_id"), col("band"),
-            col("key").cast("string").as("key"))
+            col("key").cast("string").as("key")).localCheckpoint()
         val tmp = graft.H.cleanupOnExit(
           Files.createTempDirectory("graft_sminhash").toString)
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         WindowingQueries.writeReplay(
           (0 until 3).map(i => bands.filter(pmod(col("doc_id"), lit(3)) === i)),
           tmp, in)
+        graft.H.freeLocalCheckpoint(bands)
         val ss = s.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", "4")
         // transformWithState needs column families → RocksDB provider
