@@ -68,7 +68,8 @@ object SparkEntry {
     qm.FusionOpsQueries,
     qm.SequentialOpsQueries,
     qm.OutlierOpsQueries,
-    qm.BinPackOpsQueries)
+    qm.BinPackOpsQueries,
+    qm.NetworkStatsOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
