@@ -69,7 +69,8 @@ object SparkEntry {
     qm.SequentialOpsQueries,
     qm.OutlierOpsQueries,
     qm.BinPackOpsQueries,
-    qm.NetworkStatsOpsQueries)
+    qm.NetworkStatsOpsQueries,
+    qm.BitemporalOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
