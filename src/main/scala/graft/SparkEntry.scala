@@ -70,7 +70,14 @@ object SparkEntry {
     qm.OutlierOpsQueries,
     qm.BinPackOpsQueries,
     qm.NetworkStatsOpsQueries,
-    qm.BitemporalOpsQueries)
+    qm.BitemporalOpsQueries,
+    qm.ClassifierOpsQueries,
+    qm.RecsysOpsQueries,
+    qm.GeoOpsQueries,
+    qm.TrendOpsQueries,
+    qm.IntegrityOpsQueries,
+    qm.StatTestOpsQueries,
+    qm.CommunityOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

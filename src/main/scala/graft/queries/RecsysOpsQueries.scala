@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{H, Q, QueryModule}
+import graft.H.tbl
+
+/** Forty-fourth wave: recommender-system measurement over the transactional
+  * tables — item-item collaborative filtering, offline leave-latest-out
+  * evaluation of a popularity recommender, and user-user basket Jaccard.
+  * All similarity arithmetic is exact-integer (co-occurrence counts,
+  * micro-scaled ratios); the only doubles are casts of exact BIGINTs fed to
+  * sqrt/divide, which both engines round identically.
+  */
+object RecsysOpsQueries extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+
+    // Item-item collaborative filtering: cosine over binary order-incidence
+    // vectors, sim(a,b) = |orders(a)∩orders(b)| / sqrt(|orders(a)|·|orders(b)|),
+    // top-5 neighbors for the focus items (partkey < 100). Cost follows the
+    // focus set (the serving-path shape: score candidates for the items a
+    // user just touched); the per-item order-count table is tiny and
+    // broadcast. At 100 TB the pair enumeration is the standard
+    // same-orderkey self-join — skew on mega-orders is AQE-split, and the
+    // full-matrix batch variant gates pairs by minimum co-occurrence
+    // support before the sqrt normalization.
+    Q("rec_item_item_cf",
+      Some(
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          |  FROM lineitem),
+          |n AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY pk),
+          |co AS (SELECT a.pk AS fa, b.pk AS pb, CAST(count(*) AS BIGINT) AS cooc
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+          |  WHERE a.pk < 100 GROUP BY a.pk, b.pk),
+          |s AS (SELECT co.fa, co.pb, co.cooc,
+          |  CAST(co.cooc AS DOUBLE) /
+          |    (sqrt(CAST(na.cnt AS DOUBLE)) * sqrt(CAST(nb.cnt AS DOUBLE))) AS sim
+          |  FROM co JOIN n na ON na.pk = co.fa JOIN n nb ON nb.pk = co.pb),
+          |r AS (SELECT fa, pb, cooc, sim,
+          |  CAST(row_number() OVER
+          |    (PARTITION BY fa ORDER BY sim DESC, pb) AS BIGINT) AS rnk
+          |  FROM s)
+          |SELECT fa AS item, pb AS neighbor, cooc, sim, rnk
+          |FROM r WHERE rnk <= 5 ORDER BY item, rnk
+          |""".stripMargin),
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+          .localCheckpoint() // three consumers: counts + both join sides
+        val n = li.groupBy("pk").agg(count(lit(1)).cast("long").as("cnt"))
+        val a = li.filter(col("pk") < 100)
+          .select(col("ok"), col("pk").as("fa"))
+        val b = li.select(col("ok").as("ok2"), col("pk").as("pb"))
+        val w = Window.partitionBy("fa").orderBy(col("sim").desc, col("pb"))
+        val out = a.join(b, col("ok") === col("ok2") && col("fa") =!= col("pb"))
+          .groupBy("fa", "pb").agg(count(lit(1)).cast("long").as("cooc"))
+          .join(broadcast(n.select(col("pk").as("fa"), col("cnt").as("na"))),
+            Seq("fa"))
+          .join(broadcast(n.select(col("pk").as("pb"), col("cnt").as("nb"))),
+            Seq("pb"))
+          .withColumn("sim", col("cooc").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("fa").as("item"), col("pb").as("neighbor"),
+            col("cooc"), col("sim"), col("rnk"))
+          .orderBy("item", "rnk")
+        H.materialized(out, caches = Nil, checkpoints = Seq(li))
+      }),
+
+    // Leave-latest-out popularity evaluation: each customer's held-out item
+    // is the first line of their latest order; the recommender is the
+    // global top-10 parts by train-set popularity; report hit-rate@10 per
+    // market segment in exact micro. The top-10 list is a TakeOrdered over
+    // per-part counts (never a global sort), then broadcast into the
+    // held-out probe — the evaluation cost is one pass over orders plus a
+    // tiny semi-join, which survives any scale-up.
+    Q("rec_hitrate_popularity",
+      Some(
+        """WITH latest AS (SELECT o_custkey, o_orderkey,
+          |  row_number() OVER (PARTITION BY o_custkey
+          |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          |  FROM orders),
+          |held AS (SELECT l.l_orderkey, lt.o_custkey, l.l_partkey
+          |  FROM latest lt JOIN lineitem l ON l.l_orderkey = lt.o_orderkey
+          |  WHERE lt.rn = 1 AND l.l_linenumber = 1),
+          |train AS (SELECT l.l_partkey, CAST(count(*) AS BIGINT) AS popcnt
+          |  FROM lineitem l LEFT JOIN held h ON h.l_orderkey = l.l_orderkey
+          |  WHERE h.l_orderkey IS NULL GROUP BY l.l_partkey),
+          |top10 AS (SELECT l_partkey FROM train
+          |  ORDER BY popcnt DESC, l_partkey LIMIT 10),
+          |probe AS (SELECT h.o_custkey,
+          |  CASE WHEN h.l_partkey IN (SELECT l_partkey FROM top10)
+          |    THEN 1 ELSE 0 END AS hit FROM held h)
+          |SELECT c.c_mktsegment AS segment,
+          |  CAST(count(*) AS BIGINT) AS customers,
+          |  CAST(sum(p.hit) AS BIGINT) AS hits,
+          |  CAST(sum(p.hit) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+          |    AS hitrate_micro
+          |FROM probe p JOIN customer c ON c.c_custkey = p.o_custkey
+          |GROUP BY c.c_mktsegment ORDER BY segment
+          |""".stripMargin),
+      (s, dir) => {
+        val orders = tbl(s, dir, "orders")
+        val li = tbl(s, dir, "lineitem")
+        val cust = tbl(s, dir, "customer")
+        val wl = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        val held = orders
+          .withColumn("rn", row_number().over(wl))
+          .filter(col("rn") === 1)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(li.filter(col("l_linenumber") === 1)
+            .select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "o_custkey", "l_partkey")
+          .localCheckpoint() // consumed by train-filter AND the probe
+        val train = li
+          .join(held.select(col("l_orderkey").as("hk")),
+            col("l_orderkey") === col("hk"), "left_anti")
+          .groupBy("l_partkey").agg(count(lit(1)).cast("long").as("popcnt"))
+        val top10 = train
+          .orderBy(col("popcnt").desc, col("l_partkey")).limit(10)
+          .select(col("l_partkey").as("toppk"))
+        val out = held
+          .join(broadcast(top10), col("l_partkey") === col("toppk"), "left")
+          .select(col("o_custkey"),
+            when(col("toppk").isNotNull, 1L).otherwise(0L).as("hit"))
+          .join(cust.select(col("c_custkey"), col("c_mktsegment")),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).cast("long").as("customers"),
+            sum("hit").cast("long").as("hits"))
+          .withColumn("hitrate_micro",
+            expr("hits * 1000000 div customers"))
+          .orderBy("segment")
+        H.materialized(out, caches = Nil, checkpoints = Seq(held))
+      }),
+
+    // User-user basket similarity: Jaccard over the set of brands each
+    // customer has purchased, top-3 neighbors per focus customer
+    // (custkey < 50), similarity in exact micro (all operands
+    // non-negative, so `div` == `//`). The brand universe is fixed (25),
+    // so per-customer sets are bounded and the brand-keyed self-join is a
+    // skew-free equi-join at any corpus size.
+    Q("rec_user_user_jaccard",
+      Some(
+        """WITH cb AS (SELECT DISTINCT o.o_custkey AS ck, p.p_brand AS b
+          |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |  JOIN part p ON p.p_partkey = l.l_partkey),
+          |n AS (SELECT ck, CAST(count(*) AS BIGINT) AS sz FROM cb GROUP BY ck),
+          |ix AS (SELECT a.ck AS ca, b.ck AS cb, CAST(count(*) AS BIGINT) AS inter
+          |  FROM cb a JOIN cb b ON a.b = b.b AND a.ck <> b.ck
+          |  WHERE a.ck < 50 GROUP BY a.ck, b.ck),
+          |j AS (SELECT ix.ca, ix.cb, ix.inter,
+          |  ix.inter * 1000000 // (na.sz + nb.sz - ix.inter) AS jacc_micro
+          |  FROM ix JOIN n na ON na.ck = ix.ca JOIN n nb ON nb.ck = ix.cb),
+          |r AS (SELECT ca, cb, inter, jacc_micro,
+          |  CAST(row_number() OVER
+          |    (PARTITION BY ca ORDER BY jacc_micro DESC, cb) AS BIGINT) AS rnk
+          |  FROM j)
+          |SELECT ca AS custkey, cb AS neighbor, inter, jacc_micro, rnk
+          |FROM r WHERE rnk <= 3 ORDER BY custkey, rnk
+          |""".stripMargin),
+      (s, dir) => {
+        val cb = tbl(s, dir, "orders")
+          .join(tbl(s, dir, "lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(tbl(s, dir, "part")),
+            col("p_partkey") === col("l_partkey"))
+          .select(col("o_custkey").as("ck"), col("p_brand").as("b"))
+          .distinct()
+          .localCheckpoint() // sizes + both pair sides
+        val n = cb.groupBy("ck").agg(count(lit(1)).cast("long").as("sz"))
+        val w = Window.partitionBy("ca")
+          .orderBy(col("jacc_micro").desc, col("cb"))
+        val out = cb.filter(col("ck") < 50)
+          .select(col("ck").as("ca"), col("b"))
+          .join(cb.select(col("ck").as("cb"), col("b").as("b2")),
+            col("b") === col("b2") && col("ca") =!= col("cb"))
+          .groupBy("ca", "cb").agg(count(lit(1)).cast("long").as("inter"))
+          .join(broadcast(n.select(col("ck").as("ca"), col("sz").as("na"))),
+            Seq("ca"))
+          .join(broadcast(n.select(col("ck").as("cb"), col("sz").as("nb"))),
+            Seq("cb"))
+          .withColumn("jacc_micro",
+            expr("inter * 1000000 div (na + nb - inter)"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("ca").as("custkey"), col("cb").as("neighbor"),
+            col("inter"), col("jacc_micro"), col("rnk"))
+          .orderBy("custkey", "rnk")
+        H.materialized(out, caches = Nil, checkpoints = Seq(cb))
+      }))
+}

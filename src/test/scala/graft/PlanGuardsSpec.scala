@@ -828,6 +828,42 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"token mass $tokLetters vs corpus mass $wordLetters")
   }
 
+  test("classifier/recsys/geo/trend waves: broadcast scoring, equi-grid joins, materialized pair frames") {
+    // nearest-centroid + kNN: the model side (centroids / query fold) must
+    // reach the scorer as a broadcast — corpus side streams, no shuffle
+    for (q <- Seq("clf_centroid_nearest", "clf_knn_vote")) {
+      val p = executed(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$q model side not broadcast\n$p")
+    }
+    // stump sweep: explode→groupBy with map-side combine (partial + final
+    // HashAggregate around the one exchange)
+    val stump = executed("clf_decision_stump")
+    assert(stump.contains("Generate") &&
+      "HashAggregate".r.findAllIn(stump).size >= 2, stump)
+    // point-in-polygon is a pure per-row expression pass — any join in the
+    // plan means the polygon constant stopped being a literal
+    val pip = executed("spatial_point_in_polygon")
+    assert(!pip.contains("Join"), s"unexpected join\n$pip")
+    // materialized pair/grid frames collapse to the checkpoint scan
+    for (q <- Seq("spatial_dbscan_cores", "rec_item_item_cf",
+        "rec_user_user_jaccard", "rec_hitrate_popularity",
+        "ts_theil_sen", "ts_xcorr_lag")) {
+      val p = executed(q)
+      assert(p.contains("ExistingRDD"), s"$q not materialized\n$p")
+    }
+    // semantic pins: every test vector classified exactly once, and the
+    // dbscan brand totals must cover the whole part table
+    val conf = df("clf_centroid_nearest").agg(
+      org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    val nTest = H.tbl(spark, sf, "embeddings")
+      .filter("vec_id % 5 = 0").count()
+    assert(conf == nTest, s"confusion mass $conf != test fold $nTest")
+    val db = df("spatial_dbscan_cores").agg(
+      org.apache.spark.sql.functions.sum("points")).collect()(0).getLong(0)
+    assert(db == H.tbl(spark, sf, "part").count(), s"dbscan dropped points")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
