@@ -864,6 +864,31 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(db == H.tbl(spark, sf, "part").count(), s"dbscan dropped points")
   }
 
+  test("integrity/stat-test/community waves: reduced domains materialized; U-statistic identity holds") {
+    for (q <- Seq("pref_winrate_sources", "stats_mannwhitney_u",
+        "stats_ks_two_sample", "stats_permutation_test",
+        "graph_modularity")) {
+      val p = executed(q)
+      assert(p.contains("ExistingRDD"), s"$q reduced domain not materialized\n$p")
+    }
+    // the FK audit probes dimension keysets as broadcasts
+    val fk = executed("dq_referential_orphans")
+    assert(fk.contains("BroadcastHashJoin"), fk)
+    // Mann-Whitney identity U1 + U2 = n1·n2 (carried at 2×) — catches any
+    // tie-rank or prefix-sum slip the hash compare can't localize
+    for (r <- df("stats_mannwhitney_u").collect()) {
+      val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+      val nn = n1 + n2
+      val u2x2 = nn * (nn + 1) - r.getAs[Long]("r1_2x") - n2 * (n2 + 1)
+      assert(r.getAs[Long]("u1_2x") + u2x2 == 2 * n1 * n2,
+        s"U identity broken: $r")
+    }
+    // modularity contributions must sum into (-1e6, 1e6)
+    val qm = df("graph_modularity").agg(
+      org.apache.spark.sql.functions.sum("contrib_micro")).collect()(0).getLong(0)
+    assert(qm > -1000000L && qm < 1000000L, s"modularity out of range: $qm")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
