@@ -77,7 +77,9 @@ object SparkEntry {
     qm.TrendOpsQueries,
     qm.IntegrityOpsQueries,
     qm.StatTestOpsQueries,
-    qm.CommunityOpsQueries)
+    qm.CommunityOpsQueries,
+    qm.SweepOpsQueries,
+    qm.MotifOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -889,6 +889,22 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(qm > -1000000L && qm < 1000000L, s"modularity out of range: $qm")
   }
 
+  test("sweep wave: materialized walk/interval frames; stress counts respect the sigma bound") {
+    for (q <- Seq("graph_stress_centrality", "events_concurrency_sweep")) {
+      val p = executed(q)
+      assert(p.contains("ExistingRDD"), s"$q shared frame not materialized\n$p")
+    }
+    // concurrency can never exceed the number of distinct users, and every
+    // day must close as many sessions as it opened across the month
+    import org.apache.spark.sql.functions._
+    val users = H.events(spark, sf).select("user_id").distinct().count()
+    val sweep = df("events_concurrency_sweep")
+    val mx = sweep.agg(max("max_concurrency")).collect()(0).getLong(0)
+    assert(mx <= users, s"concurrency $mx exceeds user count $users")
+    val bounds = sweep.agg(sum("boundaries")).collect()(0).getLong(0)
+    assert(bounds % 2 == 0, s"odd boundary count $bounds")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
