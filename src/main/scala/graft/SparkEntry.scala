@@ -79,7 +79,9 @@ object SparkEntry {
     qm.StatTestOpsQueries,
     qm.CommunityOpsQueries,
     qm.SweepOpsQueries,
-    qm.MotifOpsQueries)
+    qm.MotifOpsQueries,
+    qm.EvalMetricsOpsQueries,
+    qm.LinkageOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
