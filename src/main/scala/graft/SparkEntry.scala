@@ -81,7 +81,11 @@ object SparkEntry {
     qm.SweepOpsQueries,
     qm.MotifOpsQueries,
     qm.EvalMetricsOpsQueries,
-    qm.LinkageOpsQueries)
+    qm.LinkageOpsQueries,
+    qm.ForecastOpsQueries,
+    qm.MultiprobeOpsQueries,
+    qm.SkylineOpsQueries,
+    qm.AgreementOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -905,6 +905,37 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(bounds % 2 == 0, s"odd boundary count $bounds")
   }
 
+  test("forecast/multiprobe/skyline/agreement waves: folds materialized; probe and dominance contracts hold") {
+    for (q <- Seq("ts_holt_winters", "ts_ses_grid", "sim_ann_multiprobe",
+        "orders_skyline_pareto", "spatial_hausdorff_capped",
+        "stats_cohens_kappa", "er_blocking_recall")) {
+      val p = executed(q)
+      assert(p.contains("ExistingRDD"), s"$q fold/shared frame not materialized\n$p")
+    }
+    import org.apache.spark.sql.functions._
+    // multi-probe candidates are a superset of the single-bucket ones, so
+    // for each query the top-1 multiprobe sim must be >= the top-1 LSH sim
+    val mp = df("sim_ann_multiprobe").filter(col("rnk") === 1)
+      .select(col("qid"), col("sim").as("mps"))
+    val sb = df("sim_ann_lsh").filter(col("rnk") === 1)
+      .select(col("qid").as("q2"), col("sim").as("sbs"))
+    val worse = mp.join(sb, col("qid") === col("q2"))
+      .filter(col("mps") < col("sbs")).count()
+    assert(worse == 0, s"$worse queries lost recall under multiprobe")
+    // skyline points must be mutually non-dominating
+    val sky = df("orders_skyline_pareto").collect()
+    for (a <- sky; b <- sky if a != b) {
+      val dom = a.getAs[Long]("price_c") <= b.getAs[Long]("price_c") &&
+        a.getAs[Long]("size") >= b.getAs[Long]("size") &&
+        (a.getAs[Long]("price_c") < b.getAs[Long]("price_c") ||
+          a.getAs[Long]("size") > b.getAs[Long]("size"))
+      assert(!dom, s"skyline point dominated: $b by $a")
+    }
+    // kappa is bounded and the raters genuinely agree above chance here
+    val kap = df("stats_cohens_kappa").collect()(0).getAs[Long]("kappa_micro")
+    assert(kap > 0 && kap <= 1000000L, s"kappa out of range: $kap")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
