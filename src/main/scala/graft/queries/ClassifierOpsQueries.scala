@@ -187,9 +187,11 @@ object ClassifierOpsQueries extends QueryModule {
           |  CAST(sum(p) OVER (PARTITION BY feature) AS BIGINT) AS pt
           |  FROM a WINDOW w AS (PARTITION BY feature ORDER BY fval)),
           |g AS (SELECT feature, fval AS threshold, nl, nt - nl AS nr,
-          |  1000000 - (pl*pl + (nl-pl)*(nl-pl)) * 1000000 // (nl*nl) AS gl,
-          |  1000000 - ((pt-pl)*(pt-pl) + ((nt-nl)-(pt-pl))*((nt-nl)-(pt-pl)))
-          |    * 1000000 // ((nt-nl)*(nt-nl)) AS gr
+          |  1000000 - (pl*1000 // nl) * (pl*1000 // nl)
+          |    - ((nl-pl)*1000 // nl) * ((nl-pl)*1000 // nl) AS gl,
+          |  1000000 - ((pt-pl)*1000 // (nt-nl)) * ((pt-pl)*1000 // (nt-nl))
+          |    - (((nt-nl)-(pt-pl))*1000 // (nt-nl))
+          |      * (((nt-nl)-(pt-pl))*1000 // (nt-nl)) AS gr
           |  FROM c WHERE nl > 0 AND nt - nl > 0),
           |s AS (SELECT feature, threshold,
           |  CAST((nl*gl + nr*gr) // (nl + nr) AS BIGINT) AS split_micro
@@ -229,11 +231,17 @@ object ClassifierOpsQueries extends QueryModule {
           .filter(col("nl") > 0 && col("nt") - col("nl") > 0)
           .select(col("feature"), col("fval").as("threshold"), col("nl"),
             (col("nt") - col("nl")).as("nr"),
-            expr("1000000L - (pl*pl + (nl-pl)*(nl-pl)) * 1000000L" +
-              " div (nl*nl)").as("gl"),
-            expr("1000000L - ((pt-pl)*(pt-pl) +" +
-              " ((nt-nl)-(pt-pl))*((nt-nl)-(pt-pl))) * 1000000L" +
-              " div ((nt-nl)*(nt-nl))").as("gr"))
+            // Gini as 1e6 − p²_milli − q²_milli (ratios floored to milli
+            // BEFORE squaring): numerators stay within 64 bits up to 10¹²
+            // rows — the (pl²+…)·10⁶ form overflowed at 6M rows (measured
+            // at the k=10 probe)
+            expr("1000000L - (pl*1000 div nl) * (pl*1000 div nl)" +
+              " - ((nl-pl)*1000 div nl) * ((nl-pl)*1000 div nl)")
+              .as("gl"),
+            expr("1000000L - ((pt-pl)*1000 div (nt-nl))" +
+              " * ((pt-pl)*1000 div (nt-nl))" +
+              " - (((nt-nl)-(pt-pl))*1000 div (nt-nl))" +
+              " * (((nt-nl)-(pt-pl))*1000 div (nt-nl))").as("gr"))
           .withColumn("split_micro",
             expr("(nl*gl + nr*gr) div (nl + nr)"))
           .withColumn("rn", row_number().over(wr).cast("long"))
