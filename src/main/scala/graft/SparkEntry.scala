@@ -85,7 +85,11 @@ object SparkEntry {
     qm.ForecastOpsQueries,
     qm.MultiprobeOpsQueries,
     qm.SkylineOpsQueries,
-    qm.AgreementOpsQueries)
+    qm.AgreementOpsQueries,
+    qm.KnapsackOpsQueries,
+    qm.OpsResearchQueries,
+    qm.VarianceOpsQueries,
+    qm.ReconcileOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -87,17 +87,22 @@ object LinkageOpsQueries extends QueryModule {
     // is one explode→groupBy over the reduced (pair, b, side) domain.
     Q("stats_bh_correction",
       Some {
+        // ONE 60-bit md5 fold per event; permutation b reads bit b−1.
+        // (One hash then 40 shift-and-mask bits is ~40× cheaper than 40
+        // per-(event,b) hashes — measured 16.7 s → bit-extraction cost —
+        // and md5 bits are independent, so each permutation is still a
+        // fair relabeling.)
         def nib(i: Int) =
-          s"(strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)" +
-            s" || '#' || CAST(b AS VARCHAR)), $i, 1)) - 1)"
-        val fold = s"((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16" +
-          s" + ${nib(4)}))"
-        s"""WITH e AS (SELECT event_id, event_type AS t,
+          s"(strpos('0123456789abcdef', substr(md5(" +
+            s"CAST(event_id AS VARCHAR)), $i, 1)) - 1)"
+        val fold = (2 to 15).foldLeft(nib(1))((acc, i) =>
+          s"($acc * 16 + ${nib(i)})")
+        s"""WITH e AS (SELECT event_id, event_type AS t, ($fold) AS h,
            |  CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
            |ty AS (SELECT DISTINCT t FROM e),
            |pr AS (SELECT a.t AS t1, b.t AS t2 FROM ty a JOIN ty b
            |  ON a.t < b.t),
-           |pe AS (SELECT pr.t1, pr.t2, e.event_id, e.v,
+           |pe AS (SELECT pr.t1, pr.t2, e.event_id, e.v, e.h,
            |  CASE WHEN e.t = pr.t1 THEN 1 ELSE 2 END AS grp
            |  FROM pr JOIN e ON e.t = pr.t1 OR e.t = pr.t2),
            |obs AS (SELECT t1, t2,
@@ -107,10 +112,14 @@ object LinkageOpsQueries extends QueryModule {
            |  CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
            |  FROM pe GROUP BY t1, t2),
            |po AS (SELECT pe.t1, pe.t2, bs.b,
-           |  CAST(sum(CASE WHEN $fold % 2 = 0 THEN v ELSE 0 END) AS BIGINT) AS sa,
-           |  CAST(sum(CASE WHEN $fold % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-           |  CAST(sum(CASE WHEN $fold % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS sb,
-           |  CAST(sum(CASE WHEN $fold % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           |  CAST(sum(CASE WHEN (pe.h >> (bs.b - 1)) & 1 = 0 THEN v ELSE 0
+           |    END) AS BIGINT) AS sa,
+           |  CAST(sum(CASE WHEN (pe.h >> (bs.b - 1)) & 1 = 0 THEN 1 ELSE 0
+           |    END) AS BIGINT) AS na,
+           |  CAST(sum(CASE WHEN (pe.h >> (bs.b - 1)) & 1 = 1 THEN v ELSE 0
+           |    END) AS BIGINT) AS sb,
+           |  CAST(sum(CASE WHEN (pe.h >> (bs.b - 1)) & 1 = 1 THEN 1 ELSE 0
+           |    END) AS BIGINT) AS nb
            |  FROM pe CROSS JOIN (SELECT unnest(range(1, 41)) AS b) bs
            |  GROUP BY pe.t1, pe.t2, bs.b),
            |pv AS (SELECT o.t1, o.t2, CAST(1 + sum(CASE WHEN
@@ -133,6 +142,8 @@ object LinkageOpsQueries extends QueryModule {
       (s, dir) => {
         val e = H.events(s, dir)
           .select(col("event_id"), col("event_type").as("t"),
+            conv(substring(md5(col("event_id").cast("string")), 1, 15),
+              16, 10).cast("long").as("h"),
             floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
           .localCheckpoint() // type domain + pair fan-out ×2
         val ty = e.select("t").distinct()
@@ -141,7 +152,6 @@ object LinkageOpsQueries extends QueryModule {
         val pe = e.join(broadcast(pr), col("t") === col("t1") ||
             col("t") === col("t2"))
           .withColumn("grp", when(col("t") === col("t1"), 1).otherwise(2))
-          .localCheckpoint() // observed sums + the 40-way explode
         val obs = pe.groupBy("t1", "t2").agg(
           sum(when(col("grp") === 1, col("v")).otherwise(0L)).cast("long")
             .as("s1"),
@@ -153,20 +163,36 @@ object LinkageOpsQueries extends QueryModule {
             .as("n2"))
           .withColumn("d_obs",
             expr("abs(s1*n2 - s2*n1) * 10000 div (n1*n2)"))
-        val fold = conv(substring(md5(concat(col("event_id").cast("string"),
-          lit("#"), col("b").cast("string"))), 1, 4), 16, 10).cast("long")
-        val po = pe
+        // permutation b reads bit b−1 of the per-event 60-bit hash — no
+        // per-(event, b) hashing at all
+        val eb = e
           .withColumn("b", explode(sequence(lit(1), lit(40))))
-          .withColumn("side", fold % 2)
-          .groupBy("t1", "t2", "b")
+          .withColumn("side", expr("(h >> (b - 1)) & 1"))
+        // reduce to the (type, b) domain FIRST (200 rows) — the permuted
+        // pair sums are additive across the two member types, so the pair
+        // fan-out never touches event-grain rows
+        val gtb = eb.groupBy("t", "b")
           .agg(sum(when(col("side") === 0, col("v")).otherwise(0L))
-            .cast("long").as("sa"),
+            .cast("long").as("s0"),
             sum(when(col("side") === 0, 1L).otherwise(0L)).cast("long")
-              .as("na"),
+              .as("n0"),
             sum(when(col("side") === 1, col("v")).otherwise(0L))
-              .cast("long").as("sb"),
+              .cast("long").as("s1b"),
             sum(when(col("side") === 1, 1L).otherwise(0L)).cast("long")
-              .as("nb"))
+              .as("n1b"))
+        val po = pr
+          .join(gtb.select(col("t").as("t1"), col("b"), col("s0").as("xs0"),
+            col("n0").as("xn0"), col("s1b").as("xs1"),
+            col("n1b").as("xn1")), Seq("t1"))
+          .join(gtb.select(col("t").as("tr"), col("b").as("b2"),
+            col("s0").as("ys0"), col("n0").as("yn0"),
+            col("s1b").as("ys1"), col("n1b").as("yn1")),
+            col("tr") === col("t2") && col("b2") === col("b"))
+          .select(col("t1"), col("t2"), col("b"),
+            (col("xs0") + col("ys0")).as("sa"),
+            (col("xn0") + col("yn0")).as("na"),
+            (col("xs1") + col("ys1")).as("sb"),
+            (col("xn1") + col("yn1")).as("nb"))
           .withColumn("d_b", expr("abs(sa*nb - sb*na) * 10000 div (na*nb)"))
         val pv = obs.join(po, Seq("t1", "t2"))
           .groupBy("t1", "t2")
@@ -186,7 +212,7 @@ object LinkageOpsQueries extends QueryModule {
             col("p_num").as("p_num_of_41"),
             when(col("k") <= col("kmax"), 1).otherwise(0).as("rejected"))
           .orderBy("k")
-        H.materialized(out, caches = Nil, checkpoints = Seq(e, pe, r))
+        H.materialized(out, caches = Nil, checkpoints = Seq(e, r))
       }),
 
     // Temporal earliest-arrival reachability: users co-active in the same

@@ -187,12 +187,15 @@ object StatTestOpsQueries extends QueryModule {
     // groups' rows, map-side combined straight back down to 40 sums.
     Q("stats_permutation_test",
       Some {
+        // one 60-bit md5 fold per event; permutation b reads bit b−1
+        // (same construction as stats_bh_correction — one hash, forty
+        // independent bits)
         def nib(i: Int) =
-          s"(strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)" +
-            s" || '#' || CAST(b AS VARCHAR)), $i, 1)) - 1)"
-        val fold = s"((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16" +
-          s" + ${nib(4)}))"
-        s"""WITH e AS (SELECT event_id, event_type AS t,
+          s"(strpos('0123456789abcdef', substr(md5(" +
+            s"CAST(event_id AS VARCHAR)), $i, 1)) - 1)"
+        val fold = (2 to 15).foldLeft(nib(1))((acc, i) =>
+          s"($acc * 16 + ${nib(i)})")
+        s"""WITH e AS (SELECT event_id, event_type AS t, ($fold) AS h,
            |  CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events
            |  WHERE event_type IN ('click', 'purchase')),
            |obs AS (SELECT
@@ -202,10 +205,14 @@ object StatTestOpsQueries extends QueryModule {
            |  CAST(sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2
            |  FROM e),
            |po AS (SELECT b,
-           |  CAST(sum(CASE WHEN $fold % 2 = 0 THEN v ELSE 0 END) AS BIGINT) AS sa,
-           |  CAST(sum(CASE WHEN $fold % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-           |  CAST(sum(CASE WHEN $fold % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS sb,
-           |  CAST(sum(CASE WHEN $fold % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           |  CAST(sum(CASE WHEN (h >> (b - 1)) & 1 = 0 THEN v ELSE 0 END)
+           |    AS BIGINT) AS sa,
+           |  CAST(sum(CASE WHEN (h >> (b - 1)) & 1 = 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS na,
+           |  CAST(sum(CASE WHEN (h >> (b - 1)) & 1 = 1 THEN v ELSE 0 END)
+           |    AS BIGINT) AS sb,
+           |  CAST(sum(CASE WHEN (h >> (b - 1)) & 1 = 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS nb
            |  FROM e CROSS JOIN (SELECT unnest(range(1, 41)) AS b) bs
            |  GROUP BY b),
            |st AS (SELECT obs.n1, obs.n2,
@@ -225,6 +232,8 @@ object StatTestOpsQueries extends QueryModule {
         val e = H.events(s, dir)
           .filter(col("event_type").isin("click", "purchase"))
           .select(col("event_id"), col("event_type").as("t"),
+            conv(substring(md5(col("event_id").cast("string")), 1, 15),
+              16, 10).cast("long").as("h"),
             floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
           .localCheckpoint() // observed stats + the 40-way explode
         val obs = e.agg(
@@ -238,11 +247,9 @@ object StatTestOpsQueries extends QueryModule {
             .cast("long").as("n2"))
           .withColumn("d_obs_micro",
             expr("abs(s1*n2 - s2*n1) * 10000 div (n1*n2)"))
-        val fold = conv(substring(md5(concat(col("event_id").cast("string"),
-          lit("#"), col("b").cast("string"))), 1, 4), 16, 10).cast("long")
         val po = e
           .withColumn("b", explode(sequence(lit(1), lit(40))))
-          .withColumn("side", fold % 2)
+          .withColumn("side", expr("(h >> (b - 1)) & 1"))
           .groupBy("b")
           .agg(sum(when(col("side") === 0, col("v")).otherwise(0L))
             .cast("long").as("sa"),

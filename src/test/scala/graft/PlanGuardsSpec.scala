@@ -936,6 +936,31 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(kap > 0 && kap <= 1000000L, s"kappa out of range: $kap")
   }
 
+  test("knapsack/ops-research/variance/reconcile waves: folds materialized; DP dominates greedy") {
+    for (q <- Seq("pack_knapsack_dp", "orders_inventory_policy_sim",
+        "orders_chain_ladder", "stats_anova_oneway", "orders_abc_xyz",
+        "graph_resource_allocation", "events_discounted_value")) {
+      val p = executed(q)
+      assert(p.contains("ExistingRDD"), s"$q fold/shared frame not materialized\n$p")
+    }
+    // the DP optimum can never lose to the greedy heuristic, and the
+    // greedy ratio proves the gap measurement is live
+    for (r <- df("pack_knapsack_dp").collect()) {
+      assert(r.getAs[Long]("optimal_q") >= r.getAs[Long]("greedy_q"),
+        s"greedy beat the DP optimum: $r")
+      assert(r.getAs[Long]("greedy_ratio_micro") <= 1000000L, r.toString)
+    }
+    // inventory conservation: served + lost == total demand per brand
+    import org.apache.spark.sql.functions._
+    val totalDemand = H.tbl(spark, sf, "lineitem")
+      .filter(date_format(col("l_shipdate"), "yyyy-MM") === "1995-01")
+      .agg(sum(col("l_quantity").cast("long"))).collect()(0).getLong(0)
+    val lost = df("orders_inventory_policy_sim")
+      .agg(sum("lost_units")).collect()(0).getLong(0)
+    assert(lost >= 0 && lost <= totalDemand,
+      s"lost $lost outside [0, $totalDemand]")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
