@@ -92,7 +92,8 @@ object SparkEntry {
     qm.ReconcileOpsQueries,
     qm.StreamAnalyticsQueries,
     qm.SourceExtraQueries,
-    qm.GoldenOpsQueries)
+    qm.GoldenOpsQueries,
+    qm.AlignmentOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -983,6 +983,36 @@ class PlanGuardsSpec extends AnyFunSuite {
     }
   }
 
+  test("alignment wave: folds materialized; DTW band-monotone; matching maximal") {
+    for (q <- Seq("stats_kendall_tau", "stats_wasserstein_1d",
+        "orders_newsvendor", "graph_greedy_matching")) {
+      val p = executed(q)
+      assert(p.contains("ExistingRDD"), s"$q shared frame not materialized\n$p")
+    }
+    // widening the Sakoe-Chiba band can only open cheaper paths
+    val dtw = df("ts_dtw_band").collect().sortBy(_.getAs[Long]("band"))
+    assert(dtw.length == 3)
+    assert(dtw(0).getAs[Long]("dtw_cost") >= dtw(1).getAs[Long]("dtw_cost"))
+    assert(dtw(1).getAs[Long]("dtw_cost") >= dtw(2).getAs[Long]("dtw_cost"))
+    // greedy matching must be one-to-one and MAXIMAL: no co-purchase
+    // edge may survive with both endpoints unmatched
+    import org.apache.spark.sql.functions._
+    val m = df("graph_greedy_matching").collect()
+    val verts = m.flatMap(r => Seq(r.getAs[Long]("u"), r.getAs[Long]("v")))
+    assert(verts.distinct.length == verts.length, "matching not one-to-one")
+    val vset = verts.toSet
+    val li = H.tbl(spark, sf, "lineitem").filter(col("l_partkey") < 60)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val unmatchedEdges = li.join(
+        li.select(col("ok").as("ok2"), col("pk").as("pk2")),
+        col("ok") === col("ok2") && col("pk") < col("pk2"))
+      .select(col("pk").as("u"), col("pk2").as("v")).distinct()
+      .collect()
+      .count(r => !vset.contains(r.getAs[Long]("u")) &&
+        !vset.contains(r.getAs[Long]("v")))
+    assert(unmatchedEdges == 0, s"$unmatchedEdges edges left unmatched-both-free")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
