@@ -93,7 +93,8 @@ object SparkEntry {
     qm.StreamAnalyticsQueries,
     qm.SourceExtraQueries,
     qm.GoldenOpsQueries,
-    qm.AlignmentOpsQueries)
+    qm.AlignmentOpsQueries,
+    qm.ShardOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -1013,6 +1013,34 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(unmatchedEdges == 0, s"$unmatchedEdges edges left unmatched-both-free")
   }
 
+  test("shard wave: ring conservation; isotonic monotone; croston bounds") {
+    for (q <- Seq("pipeline_consistent_hash", "stats_isotonic_fit",
+        "text_rle_compressibility")) {
+      val p = executed(q)
+      assert(p.contains("ExistingRDD"), s"$q shared frame not materialized\n$p")
+    }
+    // ring rebalance: keys conserved, movement only INTO the new node,
+    // and the moved share is a minority of the keyspace
+    val ring = df("pipeline_consistent_hash").collect()
+    val nb = ring.map(_.getAs[Long]("cnt_before")).sum
+    val na = ring.map(_.getAs[Long]("cnt_after")).sum
+    assert(nb == na, s"keys not conserved: $nb vs $na")
+    for (r <- ring if r.getAs[Long]("node") != 8L)
+      assert(r.getAs[Long]("moved_in") == 0L, s"moved into old node: $r")
+    val moved = ring.map(_.getAs[Long]("moved_in")).sum
+    assert(moved > 0 && moved * 3 < nb, s"moved $moved of $nb keys")
+    // isotonic fit must be nondecreasing in the day order
+    val iso = df("stats_isotonic_fit").collect().sortBy(_.getAs[Long]("day"))
+    for (w <- iso.sliding(2))
+      assert(w(0).getAs[Long]("fit_micro") <= w(1).getAs[Long]("fit_micro"),
+        s"isotonic fit decreases: ${w(0)} -> ${w(1)}")
+    // croston state stays in its invariant ranges
+    for (r <- df("ts_croston").collect() if r.getAs[Long]("n_demand_days") > 1) {
+      assert(r.getAs[Long]("p_milli") >= 1000L, r.toString)
+      assert(r.getAs[Long]("forecast_micro") > 0L, r.toString)
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
