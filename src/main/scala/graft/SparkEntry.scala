@@ -94,7 +94,8 @@ object SparkEntry {
     qm.SourceExtraQueries,
     qm.GoldenOpsQueries,
     qm.AlignmentOpsQueries,
-    qm.ShardOpsQueries)
+    qm.ShardOpsQueries,
+    qm.EconOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -1041,6 +1041,34 @@ class PlanGuardsSpec extends AnyFunSuite {
     }
   }
 
+  test("econ wave: folds materialized; bands contain the mean; parity census consistent") {
+    for (q <- Seq("orders_eoq_safety_stock", "stats_dispersion_vmr",
+        "graph_bipartite_check")) {
+      val p = executed(q)
+      assert(p.contains("ExistingRDD"), s"$q shared frame not materialized\n$p")
+    }
+    // safety stock and EOQ are nonnegative and reorder = 7*mean + safety
+    for (r <- df("orders_eoq_safety_stock").collect()) {
+      assert(r.getAs[Long]("eoq_milli") >= 0 && r.getAs[Long]("safety_milli") >= 0)
+      assert(r.getAs[Long]("reorder_milli") ==
+        7 * r.getAs[Long]("mean_milli") + r.getAs[Long]("safety_milli"))
+    }
+    // a day outside the band really is outside mean +- band
+    for (r <- df("ts_bollinger_bands").collect()) {
+      val out = math.abs(r.getAs[Long]("dollars") * 1000 -
+        r.getAs[Long]("ma_milli")) > r.getAs[Long]("band_milli")
+      assert((r.getAs[Long]("outside") == 1L) == out, r.toString)
+    }
+    // noised release differs from the truth only by the stated magnitude
+    for (r <- df("privacy_dp_geometric").collect())
+      assert(math.abs(r.getAs[Long]("noised") - r.getAs[Long]("n")) ==
+        r.getAs[Long]("mag"), r.toString)
+    // parity classes partition the reached set
+    val b = df("graph_bipartite_check").collect()(0)
+    assert(b.getAs[Long]("even_cnt") + b.getAs[Long]("odd_cnt") ==
+      b.getAs[Long]("reached"))
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
