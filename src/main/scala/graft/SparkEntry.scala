@@ -95,7 +95,8 @@ object SparkEntry {
     qm.GoldenOpsQueries,
     qm.AlignmentOpsQueries,
     qm.ShardOpsQueries,
-    qm.EconOpsQueries)
+    qm.EconOpsQueries,
+    qm.ViterbiOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -1069,6 +1069,32 @@ class PlanGuardsSpec extends AnyFunSuite {
       b.getAs[Long]("reached"))
   }
 
+  test("viterbi wave: decoded path re-costs to the optimum; kalman converges") {
+    // re-derive the decoded path's cost from its states: day costs at
+    // the decoded rate plus q0 per transition must equal total_cost
+    val vit = df("events_burst_viterbi").collect().sortBy(_.getAs[Long]("day"))
+    val ys = vit.map(_.getAs[Long]("y"))
+    val q0 = ys.sum / 30
+    val states = vit.map(_.getAs[Long]("burst"))
+    val dayCost = ys.zip(states).map { case (y, s) =>
+      math.abs(y - (if (s == 1L) 2 * q0 else q0)) }.sum
+    val switches = states.sliding(2).count(w => w(0) != w(1))
+    assert(dayCost + switches * q0 == vit(0).getAs[Long]("total_cost"),
+      s"decoded path cost ${dayCost + switches * q0} != optimum ${vit(0).getAs[Long]("total_cost")}")
+    // kalman error variance shrinks monotonically from p0 toward steady state
+    val kal = df("ts_kalman_level").collect().sortBy(_.getAs[Long]("day"))
+    for (w <- kal.sliding(2))
+      assert(w(1).getAs[Long]("p_micro") <= w(0).getAs[Long]("p_micro"),
+        s"p_micro rose: ${w(0)} -> ${w(1)}")
+    assert(kal.last.getAs[Long]("gain_micro") > 0)
+    // runs census is consistent and the correlations are bounded
+    val rt = df("stats_runs_test").collect()(0)
+    assert(rt.getAs[Long]("runs") <= rt.getAs[Long]("n1") + rt.getAs[Long]("n2"))
+    val ac = df("events_adstock_corr").collect()(0)
+    for (c <- Seq("r_raw_micro", "r_adstock_micro"))
+      assert(math.abs(ac.getAs[Long](c)) <= 1000000L, s"$c out of range")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
