@@ -96,7 +96,8 @@ object SparkEntry {
     qm.AlignmentOpsQueries,
     qm.ShardOpsQueries,
     qm.EconOpsQueries,
-    qm.ViterbiOpsQueries)
+    qm.ViterbiOpsQueries,
+    qm.BoruvkaOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

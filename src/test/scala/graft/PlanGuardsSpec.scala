@@ -1095,6 +1095,42 @@ class PlanGuardsSpec extends AnyFunSuite {
       assert(math.abs(ac.getAs[Long](c)) <= 1000000L, s"$c out of range")
   }
 
+  test("boruvka wave: MSF is acyclic and maximal; IQR flags re-derive") {
+    import org.apache.spark.sql.functions._
+    // DSU over the returned forest: every accepted edge must join two
+    // distinct trees (acyclic), and every NON-forest graph edge must
+    // close a cycle (maximality of the spanning forest)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val forest = df("graph_mst_boruvka").collect()
+    for (r <- forest) {
+      val (fu, fv) = (find(r.getAs[Long]("u")), find(r.getAs[Long]("v")))
+      assert(fu != fv, s"forest edge closes a cycle: $r")
+      parent(fu) = fv
+    }
+    val li = H.tbl(spark, sf, "lineitem").filter(col("l_partkey") < 60)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val allEdges = li.join(
+        li.select(col("ok").as("ok2"), col("pk").as("pk2")),
+        col("ok") === col("ok2") && col("pk") < col("pk2"))
+      .select(col("pk").as("u"), col("pk2").as("v")).distinct().collect()
+    for (r <- allEdges)
+      assert(find(r.getAs[Long]("u")) == find(r.getAs[Long]("v")),
+        s"non-forest edge spans two trees — forest not maximal: $r")
+    // IQR outlier shares are minorities and fences are ordered
+    for (r <- df("dq_iqr_fences").collect()) {
+      assert(r.getAs[Long]("q1") <= r.getAs[Long]("q3"), r.toString)
+      assert(r.getAs[Long]("outlier_micro") < 250000L, r.toString)
+    }
+    // hapax + dis cannot exceed the vocabulary
+    for (r <- df("text_hapax_ratio").collect())
+      assert(r.getAs[Long]("hapax") + r.getAs[Long]("dis") <=
+        r.getAs[Long]("vocab"), r.toString)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
