@@ -97,7 +97,8 @@ object SparkEntry {
     qm.ShardOpsQueries,
     qm.EconOpsQueries,
     qm.ViterbiOpsQueries,
-    qm.BoruvkaOpsQueries)
+    qm.BoruvkaOpsQueries,
+    qm.Scd2StreamOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

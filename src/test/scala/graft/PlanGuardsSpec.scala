@@ -1131,6 +1131,40 @@ class PlanGuardsSpec extends AnyFunSuite {
         r.getAs[Long]("vocab"), r.toString)
   }
 
+  test("scd2-stream wave: interval chains close; pacf bounded; pareto front mutual") {
+    // SCD2 invariants: exactly one open (NULL valid_to) version per
+    // user, and each closed interval ends where the next begins
+    val dim = df("stream_scd2_apply").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    for ((u, rows) <- dim) {
+      val sorted = rows.sortBy(_.getAs[Long]("valid_from_us"))
+      assert(sorted.count(_.isNullAt(2)) == 1, s"user $u open versions != 1")
+      assert(sorted.last.isNullAt(2), s"user $u open version not last")
+      for (w <- sorted.sliding(2) if w.length == 2)
+        assert(w(0).getAs[Long]("valid_to_us") ==
+          w(1).getAs[Long]("valid_from_us"), s"user $u interval gap")
+    }
+    // reflection coefficients are correlations: bounded, and lag-1
+    // pacf equals lag-1 autocorrelation by construction
+    val pacf = df("stats_pacf_levinson").collect().sortBy(_.getAs[Long]("lag"))
+    assert(pacf(0).getAs[Long]("pacf_micro") == pacf(0).getAs[Long]("rho_micro"))
+    for (r <- pacf)
+      assert(math.abs(r.getAs[Long]("pacf_micro")) <= 1200000L, r.toString)
+    // the debiased RR estimate lands near the truth it never read
+    for (r <- df("privacy_randomized_response").collect())
+      assert(math.abs(r.getAs[Long]("est_micro") -
+        r.getAs[Long]("true_micro")) < 250000L, r.toString) // ~4 sigma at n=200 (sf0.001)
+    // pareto front: mutually non-dominating
+    val front = df("select_pareto_docs").collect()
+    for (a <- front; b <- front if a != b) {
+      val dom = a.getAs[Long]("nc") >= b.getAs[Long]("nc") &&
+        a.getAs[Long]("ratio") >= b.getAs[Long]("ratio") &&
+        (a.getAs[Long]("nc") > b.getAs[Long]("nc") ||
+          a.getAs[Long]("ratio") > b.getAs[Long]("ratio"))
+      assert(!dom, s"front point dominated: $b by $a")
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
