@@ -98,7 +98,8 @@ object SparkEntry {
     qm.EconOpsQueries,
     qm.ViterbiOpsQueries,
     qm.BoruvkaOpsQueries,
-    qm.Scd2StreamOpsQueries)
+    qm.Scd2StreamOpsQueries,
+    qm.QueueOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -1165,6 +1165,50 @@ class PlanGuardsSpec extends AnyFunSuite {
     }
   }
 
+  test("queue wave: Lindley waits sane; rich club bounded; gap census complete; LTV additive") {
+    // Lindley closed form: waits are non-negative by construction,
+    // max dominates avg, and the waiting fraction is a probability
+    for (r <- df("events_queue_wait").collect()) {
+      assert(r.getAs[Long]("avg_wait_us") >= 0L, r.toString)
+      assert(r.getAs[Long]("max_wait_us") >= r.getAs[Long]("avg_wait_us"), r.toString)
+      val frac = r.getAs[Long]("waiting_micro")
+      assert(frac >= 0L && frac <= 1000000L, r.toString)
+    }
+    // rich club: phi is a fraction of possible edges; club size and
+    // club edges both shrink (weakly) as the threshold rises
+    val club = df("graph_rich_club").collect().sortBy(_.getAs[Long]("k"))
+    for (r <- club) {
+      val phi = r.getAs[Long]("phi_micro")
+      assert(phi >= 0L && phi <= 1000000L, r.toString)
+      assert(r.getAs[Long]("club_edges") >=0L, r.toString)
+    }
+    for (w <- club.sliding(2) if w.length == 2) {
+      assert(w(0).getAs[Long]("nk") >= w(1).getAs[Long]("nk"), w.mkString)
+      assert(w(0).getAs[Long]("club_edges") >= w(1).getAs[Long]("club_edges"), w.mkString)
+    }
+    // gap islands: each row re-derives its length, top-10 is sorted
+    // descending, and the top gaps cannot exceed the global census
+    val gaps = df("dq_id_gap_islands").collect().sortBy(_.getAs[Long]("rk"))
+    for (r <- gaps)
+      assert(r.getAs[Long]("gap_len") ==
+        r.getAs[Long]("gap_end") - r.getAs[Long]("gap_start") + 1, r.toString)
+    for (w <- gaps.sliding(2) if w.length == 2)
+      assert(w(0).getAs[Long]("gap_len") >= w(1).getAs[Long]("gap_len"), w.mkString)
+    if (gaps.nonEmpty) {
+      val tot = gaps.head.getAs[Long]("missing")
+      assert(gaps.map(_.getAs[Long]("gap_len")).sum <= tot, s"top gaps exceed census $tot")
+      assert(gaps.head.getAs[Long]("n_gaps") >= gaps.length.toLong)
+    }
+    // LTV: projection decomposes exactly, tail non-negative
+    val ltv = df("orders_ltv_projection").collect()
+    assert(ltv.nonEmpty)
+    for (r <- ltv) {
+      assert(r.getAs[Long]("projected_tail_cents") >= 0L, r.toString)
+      assert(r.getAs[Long]("ltv_cents") ==
+        r.getAs[Long]("observed_cents") + r.getAs[Long]("projected_tail_cents"), r.toString)
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
