@@ -99,7 +99,9 @@ object SparkEntry {
     qm.ViterbiOpsQueries,
     qm.BoruvkaOpsQueries,
     qm.Scd2StreamOpsQueries,
-    qm.QueueOpsQueries)
+    qm.QueueOpsQueries,
+    qm.EvalAuditOpsQueries,
+    qm.TrussOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -1209,6 +1209,70 @@ class PlanGuardsSpec extends AnyFunSuite {
     }
   }
 
+  test("audit wave: Yule K non-negative; DI flags consistent; LOO reconstructs one overall mean; hazard monotone") {
+    for (r <- df("text_yule_k").collect()) {
+      assert(r.getAs[Long]("yule_k_centi") >= 0L, r.toString) // S2 >= N always
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"), r.toString)
+    }
+    val di = df("eval_fairness_parity").collect()
+    assert(di.exists(_.getAs[Long]("di_ratio_micro") == 1000000L),
+      "no reference group at ratio 1.0")
+    for (r <- di) {
+      val ratio = r.getAs[Long]("di_ratio_micro")
+      assert(ratio >= 0L && ratio <= 1000000L, r.toString)
+      assert((r.getAs[Long]("four_fifths_flag") == 1L) == (ratio < 800000L), r.toString)
+    }
+    // loo_mean - influence = the overall mean: every row must agree on it
+    val loo = df("eval_loo_influence").collect()
+    val overall = loo.map(r =>
+      r.getAs[Long]("loo_mean_micro") - r.getAs[Long]("influence_micro")).distinct
+    assert(overall.length == 1, s"rows disagree on the overall mean: ${overall.mkString(",")}")
+    // hazard: risk set shrinks over time, increments re-sum to the cumulative
+    val na = df("ts_nelson_aalen").collect().sortBy(_.getAs[Long]("hours"))
+    var cum = 0L
+    for (w <- na.sliding(2) if w.length == 2)
+      assert(w(0).getAs[Long]("at_risk") > w(1).getAs[Long]("at_risk"), w.mkString)
+    for (r <- na) {
+      assert(r.getAs[Long]("at_risk") >= r.getAs[Long]("deaths"), r.toString)
+      cum += r.getAs[Long]("term_micro")
+      assert(r.getAs[Long]("cum_hazard_micro") == cum, r.toString)
+    }
+  }
+
+  test("truss wave: peeling monotone and converged; harmonic ranks sorted; FD identity; dict bits exact") {
+    val truss = df("graph_ktruss").collect().sortBy(_.getAs[Long]("round"))
+    assert(truss.length == 7, truss.mkString)
+    for (w <- truss.sliding(2) if w.length == 2) {
+      assert(w(0).getAs[Long]("edges") >= w(1).getAs[Long]("edges"), w.mkString)
+      assert(w(0).getAs[Long]("nodes") >= w(1).getAs[Long]("nodes"), w.mkString)
+    }
+    // the last two rounds must agree — peeling has converged
+    assert(truss(5).getAs[Long]("edges") == truss(6).getAs[Long]("edges"),
+      "4-truss peel not converged within 6 rounds")
+    val harm = df("graph_harmonic_top10").collect().sortBy(_.getAs[Long]("rk"))
+    assert(harm.length == 10, harm.length.toString)
+    for (w <- harm.sliding(2) if w.length == 2)
+      assert(w(0).getAs[Long]("score_x12") >= w(1).getAs[Long]("score_x12"), w.mkString)
+    for (r <- harm) assert(r.getAs[Long]("score_x12") > 0L, r.toString)
+    val fds = df("dq_fd_violations").collect()
+    val clean = fds.find(_.getAs[String]("fd") == "c_nationkey->n_regionkey").get
+    assert(clean.getAs[Long]("row_violations") == 0L, clean.toString)
+    for (r <- fds) {
+      assert(r.getAs[Long]("violating_lhs") <= r.getAs[Long]("distinct_lhs"), r.toString)
+      assert(r.getAs[Long]("row_violations") < r.getAs[Long]("total_rows"), r.toString)
+      assert((r.getAs[Long]("row_violations") == 0L) ==
+        (r.getAs[Long]("violating_lhs") == 0L), r.toString)
+    }
+    for (r <- df("profile_dict_encoding").collect()) {
+      val (n, d, bits) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+        r.getAs[Long]("idx_bits"))
+      assert(r.getAs[Long]("enc_bits") == n * bits + r.getAs[Long]("dict_bits"), r.toString)
+      if (d > 1) { // bits = ceil(log2(d)): tight from both sides
+        assert((1L << bits) >= d && (1L << (bits - 1)) < d, r.toString)
+      } else assert(bits == 0L, r.toString)
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
