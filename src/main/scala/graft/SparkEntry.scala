@@ -101,7 +101,9 @@ object SparkEntry {
     qm.Scd2StreamOpsQueries,
     qm.QueueOpsQueries,
     qm.EvalAuditOpsQueries,
-    qm.TrussOpsQueries)
+    qm.TrussOpsQueries,
+    qm.SlaOpsQueries,
+    qm.BootstrapOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

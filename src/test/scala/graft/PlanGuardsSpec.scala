@@ -1273,6 +1273,64 @@ class PlanGuardsSpec extends AnyFunSuite {
     }
   }
 
+  test("sla wave: business-minute bounds hold; Shapley scaled consistently; dup radius respected; elasticity tiers exact") {
+    for (r <- df("events_sla_business_hours").collect()) {
+      val dow = r.getAs[Long]("signup_dow")
+      assert(dow >= 0L && dow <= 6L, r.toString)
+      assert(r.getAs[Long]("min_bmin") >= 0L, r.toString)
+      assert(r.getAs[Long]("min_bmin") <= r.getAs[Long]("avg_bmin") &&
+        r.getAs[Long]("avg_bmin") <= r.getAs[Long]("max_bmin"), r.toString)
+      // 30-day event window bounds the clock: < 31 * 480 business min
+      assert(r.getAs[Long]("max_bmin") <= 31L * 480L, r.toString)
+    }
+    val shap = df("events_shapley_attribution").collect()
+    assert(shap.length == 4, shap.mkString)
+    for (r <- shap) {
+      val x24 = r.getAs[Long]("phi_x24_micro")
+      assert(math.abs(x24) <= 24000000L, r.toString) // |v| <= 1e6 per term sum
+      assert(r.getAs[Long]("phi_micro") == (x24 / 24L) -
+        (if (x24 < 0 && x24 % 24 != 0) 1L else 0L) ||
+        r.getAs[Long]("phi_micro") == x24 / 24L, r.toString)
+    }
+    val dups = df("dq_duplicate_payments").collect()
+    for (r <- dups) {
+      assert(r.getAs[Long]("day_gap") <= 7L, r.toString)
+      assert(math.abs(r.getAs[Long]("cents1") - r.getAs[Long]("cents2")) <= 500000L, r.toString)
+    }
+    assert(dups.map(_.getAs[Long]("n_pairs")).distinct.length <= 1, "census disagrees")
+    val el = df("orders_price_elasticity").collect()
+    assert(el.nonEmpty)
+    for (r <- el) {
+      assert(r.getAs[Long]("px100") == 100L - r.getAs[Long]("tier"), r.toString)
+      assert(r.getAs[Long]("n") > 0L, r.toString)
+    }
+  }
+
+  test("bootstrap wave: JL ratios centered; bootstrap CI ordered; AR(2) sane; Allen shares total") {
+    val jl = df("emb_jl_projection").collect().head
+    assert(jl.getAs[Long]("n_pairs") > 0L, jl.toString)
+    assert(jl.getAs[Long]("min_ratio_micro") <= jl.getAs[Long]("mean_ratio_micro") &&
+      jl.getAs[Long]("mean_ratio_micro") <= jl.getAs[Long]("max_ratio_micro"), jl.toString)
+    assert(jl.getAs[Long]("within_band") <= jl.getAs[Long]("n_pairs"), jl.toString)
+    // E[||Rx||^2] = m ||x||^2: the mean ratio concentrates near 1
+    val mr = jl.getAs[Long]("mean_ratio_micro")
+    assert(mr > 700000L && mr < 1300000L, s"JL mean ratio off: $mr")
+    val bs = df("stats_poisson_bootstrap").collect().head
+    assert(bs.getAs[Long]("n_reps") == 200L, bs.toString)
+    assert(bs.getAs[Long]("ci_lo_micro") <= bs.getAs[Long]("boot_mean_micro") &&
+      bs.getAs[Long]("boot_mean_micro") <= bs.getAs[Long]("ci_hi_micro"), bs.toString)
+    assert(bs.getAs[Long]("ci_lo_micro") <= bs.getAs[Long]("point_micro") &&
+      bs.getAs[Long]("point_micro") <= bs.getAs[Long]("ci_hi_micro"), bs.toString)
+    val ar = df("stats_ar2_forecast").collect().head
+    assert(math.abs(ar.getAs[Long]("phi1_micro")) < 2000000L, ar.toString)
+    assert(math.abs(ar.getAs[Long]("phi2_micro")) < 2000000L, ar.toString)
+    assert(ar.getAs[Long]("mae_milli") >= 0L, ar.toString)
+    val al = df("events_allen_census").collect()
+    val total = al.map(_.getAs[Long]("share_micro")).sum
+    assert(total <= 1000000L && total >= 1000000L - al.length, s"shares sum $total")
+    for (r <- al) assert(r.getAs[Long]("n") > 0L, r.toString)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // CartesianProductExec is the every-pair shuffle product — at 100 TB it
     // is always a bug (broadcast-nested-loop over a bounded side is the
