@@ -103,7 +103,9 @@ object SparkEntry {
     qm.EvalAuditOpsQueries,
     qm.TrussOpsQueries,
     qm.SlaOpsQueries,
-    qm.BootstrapOpsQueries)
+    qm.BootstrapOpsQueries,
+    qm.ConcentrationOpsQueries,
+    qm.ScreeningOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
