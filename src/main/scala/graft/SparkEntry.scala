@@ -105,7 +105,8 @@ object SparkEntry {
     qm.SlaOpsQueries,
     qm.BootstrapOpsQueries,
     qm.ConcentrationOpsQueries,
-    qm.ScreeningOpsQueries)
+    qm.ScreeningOpsQueries,
+    qm.PeriodicityOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
