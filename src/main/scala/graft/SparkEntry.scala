@@ -106,7 +106,8 @@ object SparkEntry {
     qm.BootstrapOpsQueries,
     qm.ConcentrationOpsQueries,
     qm.ScreeningOpsQueries,
-    qm.PeriodicityOpsQueries)
+    qm.PeriodicityOpsQueries,
+    qm.RakingOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
