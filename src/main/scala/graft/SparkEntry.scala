@@ -107,7 +107,8 @@ object SparkEntry {
     qm.ConcentrationOpsQueries,
     qm.ScreeningOpsQueries,
     qm.PeriodicityOpsQueries,
-    qm.RakingOpsQueries)
+    qm.RakingOpsQueries,
+    qm.TransportOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
