@@ -108,7 +108,8 @@ object SparkEntry {
     qm.ScreeningOpsQueries,
     qm.PeriodicityOpsQueries,
     qm.RakingOpsQueries,
-    qm.TransportOpsQueries)
+    qm.TransportOpsQueries,
+    qm.CostingOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
