@@ -109,7 +109,8 @@ object SparkEntry {
     qm.PeriodicityOpsQueries,
     qm.RakingOpsQueries,
     qm.TransportOpsQueries,
-    qm.CostingOpsQueries)
+    qm.CostingOpsQueries,
+    qm.KneeOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
