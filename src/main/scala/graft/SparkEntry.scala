@@ -110,7 +110,8 @@ object SparkEntry {
     qm.RakingOpsQueries,
     qm.TransportOpsQueries,
     qm.CostingOpsQueries,
-    qm.KneeOpsQueries)
+    qm.KneeOpsQueries,
+    qm.HeavyHitterStreamQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
