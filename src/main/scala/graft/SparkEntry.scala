@@ -111,7 +111,8 @@ object SparkEntry {
     qm.TransportOpsQueries,
     qm.CostingOpsQueries,
     qm.KneeOpsQueries,
-    qm.HeavyHitterStreamQueries)
+    qm.HeavyHitterStreamQueries,
+    qm.CanaryOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
