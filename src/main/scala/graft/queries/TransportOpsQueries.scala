@@ -76,7 +76,7 @@ object TransportOpsQueries extends QueryModule {
           col("lo").as("dlo"))
         val nat = broadcast(tbl(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name")))
-        val out = cs.crossJoin(cd)
+        val out = cs.crossJoin(broadcast(cd))
           .select(col("snk"), col("cnk"),
             greatest(lit(0L), least(col("shi"), col("dhi")) -
               greatest(col("slo"), col("dlo"))).as("alloc"))
