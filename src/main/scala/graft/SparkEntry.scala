@@ -112,7 +112,8 @@ object SparkEntry {
     qm.CostingOpsQueries,
     qm.KneeOpsQueries,
     qm.HeavyHitterStreamQueries,
-    qm.CanaryOpsQueries)
+    qm.CanaryOpsQueries,
+    qm.RankTestOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
