@@ -113,7 +113,8 @@ object SparkEntry {
     qm.KneeOpsQueries,
     qm.HeavyHitterStreamQueries,
     qm.CanaryOpsQueries,
-    qm.RankTestOpsQueries)
+    qm.RankTestOpsQueries,
+    qm.ReceivablesOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

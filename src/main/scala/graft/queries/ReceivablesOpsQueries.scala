@@ -36,11 +36,11 @@ object ReceivablesOpsQueries extends QueryModule {
     // one-row as-of scalar; the output frame is ≤10 rows at any SF.
     Q("orders_ar_aging",
       Some(
-        """WITH asof AS (SELECT max(o_orderdate) AS ad FROM orders),
+        """WITH ao AS (SELECT max(o_orderdate) AS ad FROM orders),
           |b AS (SELECT o.o_orderstatus AS status,
-          |  date_diff('day', o.o_orderdate, asof.ad) AS age,
+          |  date_diff('day', o.o_orderdate, ao.ad) AS age,
           |  CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS cents
-          |  FROM orders o, asof WHERE o.o_orderstatus IN ('O', 'P')),
+          |  FROM orders o, ao WHERE o.o_orderstatus IN ('O', 'P')),
           |k AS (SELECT status,
           |  CASE WHEN age <= 30 THEN 'a_0_30'
           |       WHEN age <= 60 THEN 'b_31_60'
