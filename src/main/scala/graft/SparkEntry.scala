@@ -114,7 +114,8 @@ object SparkEntry {
     qm.HeavyHitterStreamQueries,
     qm.CanaryOpsQueries,
     qm.RankTestOpsQueries,
-    qm.ReceivablesOpsQueries)
+    qm.ReceivablesOpsQueries,
+    qm.SqlSurfaceExtraQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
