@@ -115,7 +115,8 @@ object SparkEntry {
     qm.CanaryOpsQueries,
     qm.RankTestOpsQueries,
     qm.ReceivablesOpsQueries,
-    qm.SqlSurfaceExtraQueries)
+    qm.SqlSurfaceExtraQueries,
+    qm.LayoutAdvisorQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
