@@ -116,7 +116,8 @@ object SparkEntry {
     qm.RankTestOpsQueries,
     qm.ReceivablesOpsQueries,
     qm.SqlSurfaceExtraQueries,
-    qm.LayoutAdvisorQueries)
+    qm.LayoutAdvisorQueries,
+    qm.ChecksumOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
