@@ -117,7 +117,8 @@ object SparkEntry {
     qm.ReceivablesOpsQueries,
     qm.SqlSurfaceExtraQueries,
     qm.LayoutAdvisorQueries,
-    qm.ChecksumOpsQueries)
+    qm.ChecksumOpsQueries,
+    qm.RiskEvalOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
