@@ -118,7 +118,8 @@ object SparkEntry {
     qm.SqlSurfaceExtraQueries,
     qm.LayoutAdvisorQueries,
     qm.ChecksumOpsQueries,
-    qm.RiskEvalOpsQueries)
+    qm.RiskEvalOpsQueries,
+    qm.MotifRevenueOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
