@@ -119,7 +119,8 @@ object SparkEntry {
     qm.LayoutAdvisorQueries,
     qm.ChecksumOpsQueries,
     qm.RiskEvalOpsQueries,
-    qm.MotifRevenueOpsQueries)
+    qm.MotifRevenueOpsQueries,
+    qm.EffectLayoutOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
