@@ -120,7 +120,8 @@ object SparkEntry {
     qm.ChecksumOpsQueries,
     qm.RiskEvalOpsQueries,
     qm.MotifRevenueOpsQueries,
-    qm.EffectLayoutOpsQueries)
+    qm.EffectLayoutOpsQueries,
+    qm.DriftPrivacyOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
