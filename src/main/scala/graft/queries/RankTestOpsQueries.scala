@@ -169,26 +169,41 @@ object RankTestOpsQueries extends QueryModule {
             floor((col("rj") - col("ri")).cast("double") * 1000000.0 /
               (col("dj") - col("di")).cast("double")).cast("long")
               .as("sl"))
-          .localCheckpoint() // bounded ~2.9M-pair frame, read twice
-        // unpartitioned rank over the bounded pair frame
-        val r = p.withColumn("rk",
-          row_number().over(Window.orderBy("sl", "di", "dj")).cast("long"))
+        // two-phase global rank (range partitions + broadcast offsets) —
+        // the 2.9M-pair sort stays parallel instead of one-partition;
+        // ONE materialization of the pair frame serves rank, count and
+        // sign census alike
+        val pp = p.repartitionByRange(32, col("sl"), col("di"), col("dj"))
+          .withColumn("pid", spark_partition_id())
           .localCheckpoint()
-        val m = p.agg(count(lit(1)).cast("long").as("m"),
+        val offs = pp.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("off",
+            sum("cnt").over(Window.orderBy("pid")) - col("cnt"))
+          .select(col("pid").as("pid2"), col("off"))
+        val m = pp.agg(count(lit(1)).cast("long").as("m"),
           sum(when(col("sl") > 0, 1L).otherwise(0L)).cast("long").as("pos"))
-        val lo = r.crossJoin(broadcast(m))
-          .filter(col("rk") === expr("(m + 1) div 2"))
-          .select(col("sl").as("slope_lo_micro"))
-        val hi = r.crossJoin(broadcast(m))
-          .filter(col("rk") === expr("m div 2 + 1"))
-          .select(col("sl").as("slope_hi_micro"))
-        val out = m.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        // both middle order statistics in ONE pass over the ranked frame:
+        // ranks are sorted by sl, so lo = min, hi = max of the ≤2 hits
+        // (odd m selects the same rank twice — min = max, still exact)
+        val sel = pp
+          .withColumn("lrk", row_number().over(
+            Window.partitionBy("pid").orderBy("sl", "di", "dj"))
+            .cast("long"))
+          .join(broadcast(offs), col("pid") === col("pid2"))
+          .select(col("sl"),
+            (col("off") + col("lrk")).cast("long").as("rk"))
+          .crossJoin(broadcast(m))
+          .filter(col("rk") === expr("(m + 1) div 2") ||
+            col("rk") === expr("m div 2 + 1"))
+          .agg(min(col("sl")).as("slope_lo_micro"),
+            max(col("sl")).as("slope_hi_micro"))
+        val out = m.crossJoin(broadcast(sel))
           .select(col("m").as("n_pairs"), col("pos").as("n_positive"),
             col("slope_lo_micro").cast("long"),
             col("slope_hi_micro").cast("long"),
             (col("slope_lo_micro") + col("slope_hi_micro")).cast("long")
               .as("slope_2x_micro"))
-        H.materialized(out, Nil, Seq(d, p, r))
+        H.materialized(out, Nil, Seq(d, pp))
       }),
 
     // Brown-Forsythe (median-centered Levene) equality of spread across
