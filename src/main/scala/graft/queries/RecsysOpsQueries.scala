@@ -176,8 +176,11 @@ object RecsysOpsQueries extends QueryModule {
         val n = cb.groupBy("ck").agg(count(lit(1)).cast("long").as("sz"))
         val w = Window.partitionBy("ca")
           .orderBy(col("jacc_micro").desc, col("cb"))
-        val out = cb.filter(col("ck") < 50)
-          .select(col("ck").as("ca"), col("b"))
+        // broadcast the ≤50×|brands| focus side: the alternative hash
+        // join would shuffle the whole basket frame onto 25 brand keys
+        // (25 populated partitions — a built-in skew)
+        val out = broadcast(cb.filter(col("ck") < 50)
+            .select(col("ck").as("ca"), col("b")))
           .join(cb.select(col("ck").as("cb"), col("b").as("b2")),
             col("b") === col("b2") && col("ca") =!= col("cb"))
           .groupBy("ca", "cb").agg(count(lit(1)).cast("long").as("inter"))
