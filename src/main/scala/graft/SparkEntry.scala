@@ -121,7 +121,8 @@ object SparkEntry {
     qm.RiskEvalOpsQueries,
     qm.MotifRevenueOpsQueries,
     qm.EffectLayoutOpsQueries,
-    qm.DriftPrivacyOpsQueries)
+    qm.DriftPrivacyOpsQueries,
+    qm.CentroidSyncOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
