@@ -122,7 +122,8 @@ object SparkEntry {
     qm.MotifRevenueOpsQueries,
     qm.EffectLayoutOpsQueries,
     qm.DriftPrivacyOpsQueries,
-    qm.CentroidSyncOpsQueries)
+    qm.CentroidSyncOpsQueries,
+    qm.PrfPowerOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
