@@ -123,7 +123,8 @@ object SparkEntry {
     qm.EffectLayoutOpsQueries,
     qm.DriftPrivacyOpsQueries,
     qm.CentroidSyncOpsQueries,
-    qm.PrfPowerOpsQueries)
+    qm.PrfPowerOpsQueries,
+    qm.ScriptingOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
