@@ -124,7 +124,8 @@ object SparkEntry {
     qm.DriftPrivacyOpsQueries,
     qm.CentroidSyncOpsQueries,
     qm.PrfPowerOpsQueries,
-    qm.ScriptingOpsQueries)
+    qm.ScriptingOpsQueries,
+    qm.FuzzyBitmapOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
