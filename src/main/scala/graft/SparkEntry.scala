@@ -125,7 +125,8 @@ object SparkEntry {
     qm.CentroidSyncOpsQueries,
     qm.PrfPowerOpsQueries,
     qm.ScriptingOpsQueries,
-    qm.FuzzyBitmapOpsQueries)
+    qm.FuzzyBitmapOpsQueries,
+    qm.ForecastEvalOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
