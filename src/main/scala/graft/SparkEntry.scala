@@ -126,7 +126,8 @@ object SparkEntry {
     qm.PrfPowerOpsQueries,
     qm.ScriptingOpsQueries,
     qm.FuzzyBitmapOpsQueries,
-    qm.ForecastEvalOpsQueries)
+    qm.ForecastEvalOpsQueries,
+    qm.CoverageOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
