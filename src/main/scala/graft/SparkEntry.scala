@@ -127,7 +127,8 @@ object SparkEntry {
     qm.ScriptingOpsQueries,
     qm.FuzzyBitmapOpsQueries,
     qm.ForecastEvalOpsQueries,
-    qm.CoverageOpsQueries)
+    qm.CoverageOpsQueries,
+    qm.CurveOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
