@@ -128,7 +128,8 @@ object SparkEntry {
     qm.FuzzyBitmapOpsQueries,
     qm.ForecastEvalOpsQueries,
     qm.CoverageOpsQueries,
-    qm.CurveOpsQueries)
+    qm.CurveOpsQueries,
+    qm.SensitivityOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
