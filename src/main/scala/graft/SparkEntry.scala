@@ -129,7 +129,8 @@ object SparkEntry {
     qm.ForecastEvalOpsQueries,
     qm.CoverageOpsQueries,
     qm.CurveOpsQueries,
-    qm.SensitivityOpsQueries)
+    qm.SensitivityOpsQueries,
+    qm.FunnelIntegrityOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
