@@ -130,7 +130,8 @@ object SparkEntry {
     qm.CoverageOpsQueries,
     qm.CurveOpsQueries,
     qm.SensitivityOpsQueries,
-    qm.FunnelIntegrityOpsQueries)
+    qm.FunnelIntegrityOpsQueries,
+    qm.CausalRankOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
