@@ -131,7 +131,8 @@ object SparkEntry {
     qm.CurveOpsQueries,
     qm.SensitivityOpsQueries,
     qm.FunnelIntegrityOpsQueries,
-    qm.CausalRankOpsQueries)
+    qm.CausalRankOpsQueries,
+    qm.EquivalenceOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
