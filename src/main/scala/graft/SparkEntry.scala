@@ -132,7 +132,8 @@ object SparkEntry {
     qm.SensitivityOpsQueries,
     qm.FunnelIntegrityOpsQueries,
     qm.CausalRankOpsQueries,
-    qm.EquivalenceOpsQueries)
+    qm.EquivalenceOpsQueries,
+    qm.StaffingOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
