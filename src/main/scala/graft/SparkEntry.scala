@@ -133,7 +133,8 @@ object SparkEntry {
     qm.FunnelIntegrityOpsQueries,
     qm.CausalRankOpsQueries,
     qm.EquivalenceOpsQueries,
-    qm.StaffingOpsQueries)
+    qm.StaffingOpsQueries,
+    qm.PairedTestOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
