@@ -134,7 +134,8 @@ object SparkEntry {
     qm.CausalRankOpsQueries,
     qm.EquivalenceOpsQueries,
     qm.StaffingOpsQueries,
-    qm.PairedTestOpsQueries)
+    qm.PairedTestOpsQueries,
+    qm.InterleaveOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
