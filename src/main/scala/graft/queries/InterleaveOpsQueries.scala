@@ -114,12 +114,14 @@ object InterleaveOpsQueries extends QueryModule {
           .withColumn("rnk", row_number().over(
             Window.orderBy(col("sc").desc, col("doc_id"))))
           .select("doc_id", "rnk")
+          .localCheckpoint() // the draft references this view ~9 times
           .createOrReplaceTempView("rankA")
         scored.groupBy("doc_id")
           .agg(sum(col("wtf") * col("idf_micro")).cast("long").as("sc"))
           .withColumn("rnk", row_number().over(
             Window.orderBy(col("sc").desc, col("doc_id"))))
           .select("doc_id", "rnk")
+          .localCheckpoint()
           .createOrReplaceTempView("rankB")
         tf.filter(col("w").isin("scan", "merge", "vector"))
           .groupBy("doc_id")
