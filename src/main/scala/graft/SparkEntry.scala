@@ -135,7 +135,8 @@ object SparkEntry {
     qm.EquivalenceOpsQueries,
     qm.StaffingOpsQueries,
     qm.PairedTestOpsQueries,
-    qm.InterleaveOpsQueries)
+    qm.InterleaveOpsQueries,
+    qm.MixingOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
