@@ -136,7 +136,8 @@ object SparkEntry {
     qm.StaffingOpsQueries,
     qm.PairedTestOpsQueries,
     qm.InterleaveOpsQueries,
-    qm.MixingOpsQueries)
+    qm.MixingOpsQueries,
+    qm.CardinalityOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
