@@ -137,7 +137,8 @@ object SparkEntry {
     qm.PairedTestOpsQueries,
     qm.InterleaveOpsQueries,
     qm.MixingOpsQueries,
-    qm.CardinalityOpsQueries)
+    qm.CardinalityOpsQueries,
+    qm.AdjustmentOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
