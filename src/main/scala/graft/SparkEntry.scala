@@ -138,7 +138,8 @@ object SparkEntry {
     qm.InterleaveOpsQueries,
     qm.MixingOpsQueries,
     qm.CardinalityOpsQueries,
-    qm.AdjustmentOpsQueries)
+    qm.AdjustmentOpsQueries,
+    qm.LinkPredOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
