@@ -139,7 +139,8 @@ object SparkEntry {
     qm.MixingOpsQueries,
     qm.CardinalityOpsQueries,
     qm.AdjustmentOpsQueries,
-    qm.LinkPredOpsQueries)
+    qm.LinkPredOpsQueries,
+    qm.XpathBpcOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
