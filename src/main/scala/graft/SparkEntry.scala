@@ -140,7 +140,8 @@ object SparkEntry {
     qm.CardinalityOpsQueries,
     qm.AdjustmentOpsQueries,
     qm.LinkPredOpsQueries,
-    qm.XpathBpcOpsQueries)
+    qm.XpathBpcOpsQueries,
+    qm.GrowthAcctOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
