@@ -141,7 +141,8 @@ object SparkEntry {
     qm.AdjustmentOpsQueries,
     qm.LinkPredOpsQueries,
     qm.XpathBpcOpsQueries,
-    qm.GrowthAcctOpsQueries)
+    qm.GrowthAcctOpsQueries,
+    qm.TripletOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
