@@ -142,7 +142,8 @@ object SparkEntry {
     qm.LinkPredOpsQueries,
     qm.XpathBpcOpsQueries,
     qm.GrowthAcctOpsQueries,
-    qm.TripletOpsQueries)
+    qm.TripletOpsQueries,
+    qm.PageTrendOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
