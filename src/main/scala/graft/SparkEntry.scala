@@ -143,7 +143,8 @@ object SparkEntry {
     qm.XpathBpcOpsQueries,
     qm.GrowthAcctOpsQueries,
     qm.TripletOpsQueries,
-    qm.PageTrendOpsQueries)
+    qm.PageTrendOpsQueries,
+    qm.StockoutOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
