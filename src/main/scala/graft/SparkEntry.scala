@@ -144,7 +144,8 @@ object SparkEntry {
     qm.GrowthAcctOpsQueries,
     qm.TripletOpsQueries,
     qm.PageTrendOpsQueries,
-    qm.StockoutOpsQueries)
+    qm.StockoutOpsQueries,
+    qm.KpiTreeOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
