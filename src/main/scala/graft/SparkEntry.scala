@@ -145,7 +145,8 @@ object SparkEntry {
     qm.TripletOpsQueries,
     qm.PageTrendOpsQueries,
     qm.StockoutOpsQueries,
-    qm.KpiTreeOpsQueries)
+    qm.KpiTreeOpsQueries,
+    qm.EmbeddednessOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
