@@ -146,7 +146,8 @@ object SparkEntry {
     qm.PageTrendOpsQueries,
     qm.StockoutOpsQueries,
     qm.KpiTreeOpsQueries,
-    qm.EmbeddednessOpsQueries)
+    qm.EmbeddednessOpsQueries,
+    qm.CohensHOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
