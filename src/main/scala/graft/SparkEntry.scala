@@ -147,7 +147,8 @@ object SparkEntry {
     qm.StockoutOpsQueries,
     qm.KpiTreeOpsQueries,
     qm.EmbeddednessOpsQueries,
-    qm.CohensHOpsQueries)
+    qm.CohensHOpsQueries,
+    qm.RollupPrivacyOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
