@@ -148,7 +148,8 @@ object SparkEntry {
     qm.KpiTreeOpsQueries,
     qm.EmbeddednessOpsQueries,
     qm.CohensHOpsQueries,
-    qm.RollupPrivacyOpsQueries)
+    qm.RollupPrivacyOpsQueries,
+    qm.LoyaltyOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
