@@ -149,7 +149,8 @@ object SparkEntry {
     qm.EmbeddednessOpsQueries,
     qm.CohensHOpsQueries,
     qm.RollupPrivacyOpsQueries,
-    qm.LoyaltyOpsQueries)
+    qm.LoyaltyOpsQueries,
+    qm.CadenceOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
