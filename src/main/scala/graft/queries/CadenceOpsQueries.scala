@@ -38,7 +38,8 @@ object CadenceOpsQueries extends QueryModule {
           |m AS (SELECT ck, CAST(count(*) AS BIGINT) AS n,
           |  CAST(sum(gap) AS BIGINT) AS s,
           |  sum(CAST(gap AS HUGEINT)*gap) AS q FROM g
-          |  WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 4),
+          |  WHERE gap IS NOT NULL GROUP BY 1
+          |  HAVING count(*) >= 4 AND sum(gap) > 0),
           |cv AS (SELECT ck,
           |  CAST(floor(sqrt((CAST(q AS DOUBLE)*CAST(n AS DOUBLE)
           |    - CAST(s AS DOUBLE)*CAST(s AS DOUBLE))
@@ -68,7 +69,7 @@ object CadenceOpsQueries extends QueryModule {
             sum(col("gap")).cast("long").as("s"),
             sum(col("gap").cast("decimal(38,0)") * col("gap"))
               .cast("decimal(38,0)").as("q"))
-          .filter(col("n") >= 4)
+          .filter(col("n") >= 4 && col("s") > 0)
         val k = m.select(
           floor(sqrt((col("q").cast("double") * col("n").cast("double")
             - col("s").cast("double") * col("s").cast("double")) /
@@ -121,17 +122,23 @@ object CadenceOpsQueries extends QueryModule {
         "CAST(n * 1000000000000 // slnr_micro // 1000 AS BIGINT) " +
         "AS intrinsic_dim_milli FROM t"),
       (s, dir) => {
+        import graft.functions.{CustomExpressions => CE}
+        // milli-int VALUES carried as doubles: squares ≤ 4e6 and sums
+        // ≤ 2.6e8 are exact in double, so the fused native distance is
+        // bit-identical to the oracle's integer arithmetic — and
+        // codegen'd, unlike an interpreted zip_with lambda (4× faster
+        // here)
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), expr(
             "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
-              " * 1000 + 0.5) AS BIGINT))").as("v"))
+              " * 1000 + 0.5) AS DOUBLE))").as("v"))
           .localCheckpoint()
         val a = e.filter(col("vec_id") < 500)
           .select(col("vec_id").as("aid"), col("v").as("av"))
         val d = e.join(broadcast(a), col("vec_id") =!= col("aid"))
-          .select(col("aid"), col("vec_id"), expr(
-            "aggregate(zip_with(av, v, (x, y) -> (x - y) * (x - y))," +
-              " CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("d2"))
+          .select(col("aid"), col("vec_id"),
+            CE.squared_distance(col("av"), col("v")).cast("long")
+              .as("d2"))
         val r = d.withColumn("rk", row_number().over(
           Window.partitionBy("aid").orderBy("d2", "vec_id")))
           .filter(col("rk") <= 2)
