@@ -320,14 +320,19 @@ object CorpusScrubQueries extends QueryModule {
     // radius of each query vector (dedup-threshold / recall-set shape,
     // where top-k's fixed k is wrong). Broadcast queries x linear scan;
     // fused native cosine, bit-identical to the oracle's unrolled form.
+    // Oracle memory discipline (r7 verdict #1): the 3-row query side is
+    // MATERIALIZED into its own CTE before the join fan-out, and the
+    // unrolled 64-term cosine is computed ONCE in a sims projection then
+    // filtered — DuckDB never plans the n x n frame and never evaluates
+    // the big expression twice per row.
     Q("sim_range_search",
       Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        s"n AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm FROM e) " +
-        "SELECT q.vec_id AS qid, c.vec_id AS vid, " +
+        s"n AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm FROM e), " +
+        "qv AS MATERIALIZED (SELECT vec_id, v, nrm FROM n WHERE vec_id IN (3, 17, 42)), " +
+        "sims AS (SELECT q.vec_id AS qid, c.vec_id AS vid, " +
         s"(${VS.dotSql("q.v", "c.v")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS sim " +
-        "FROM n q, n c WHERE q.vec_id IN (3, 17, 42) AND c.vec_id <> q.vec_id " +
-        s"AND (${VS.dotSql("q.v", "c.v")}) / (sqrt(q.nrm) * sqrt(c.nrm)) >= 0.25 " +
-        "ORDER BY qid, vid"),
+        "FROM qv q, n c WHERE c.vec_id <> q.vec_id) " +
+        "SELECT qid, vid, sim FROM sims WHERE sim >= 0.25 ORDER BY qid, vid"),
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

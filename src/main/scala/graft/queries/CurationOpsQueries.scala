@@ -47,10 +47,15 @@ object CurationOpsQueries extends QueryModule {
     // checkpointed cand against the double-reference in the verify).
     Q("split_leakage_audit",
       Some {
-        s"WITH sh AS (${DS.shinglesSql(3)}), " +
-          s"sig AS (${DS.minhashSignatureSql}), " +
+        // MATERIALIZED (r7 verdict #1): sh/sig are referenced from multiple
+        // downstream CTEs (bands is a 4-way UNION ALL over sig; the verify
+        // joins sh twice) — DuckDB inlines non-hinted CTEs, recomputing the
+        // whole shingle+md5 pipeline per reference; hinting pins ONE copy
+        // and cuts both wall (3x at sf0.1) and transient peak memory.
+        s"WITH sh AS MATERIALIZED (${DS.shinglesSql(3)}), " +
+          s"sig AS MATERIALIZED (${DS.minhashSignatureSql}), " +
           s"bands AS (${DS.lshBandsSql}), " +
-          "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
           "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key " +
           s"WHERE (${isTrainSql("a.doc_id")}) AND NOT (${isTrainSql("b.doc_id")})), " +
           "counts AS (SELECT doc_id, n FROM sig), " +

@@ -36,14 +36,17 @@ object PrfPowerOpsQueries extends QueryModule {
     // re-index.
     Q("sim_prf_expansion",
       Some {
+        // tf/idf MATERIALIZED (r7 verdict #1): tf feeds r1/exp/r2/idf and
+        // idf feeds three joins — without the hint DuckDB re-tokenizes the
+        // corpus per reference; one pinned copy bounds the oracle's peak.
         val qlist = QTerms.map(t => s"('$t')").mkString(", ")
         s"""WITH q(term) AS (VALUES $qlist),
            |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
            |  FROM documents),
-           |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |tf AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
            |  FROM tok WHERE term <> '' GROUP BY 1, 2),
            |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-           |idf AS (SELECT term, CAST(floor(ln(CAST(nn.n AS DOUBLE)
+           |idf AS MATERIALIZED (SELECT term, CAST(floor(ln(CAST(nn.n AS DOUBLE)
            |    / CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
            |    AS idf_micro
            |  FROM tf, nn GROUP BY term, nn.n),
