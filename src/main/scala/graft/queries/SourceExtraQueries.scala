@@ -20,7 +20,11 @@ object SourceExtraQueries extends QueryModule {
     // the CONTENT — hash-matched against the source table, proving the
     // blob path carries bytes intact. At scale this reader is the
     // object-store entry point; pathGlobFilter and the content-free
-    // `length` column are the pushdown levers.
+    // `length` column are the pushdown levers. The fixture blobs are
+    // written EXECUTOR-SIDE via foreachPartition (r7 verdict #2) — no
+    // corpus-derived frame ever crosses to the driver; each partition
+    // writes its own files to the shared filesystem, which is exactly
+    // how a cluster job would mint per-row objects onto a shared store.
     Q("source_binaryfile_audit",
       Some(
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
@@ -28,15 +32,19 @@ object SourceExtraQueries extends QueryModule {
           |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
           |""".stripMargin),
       (s, dir) => {
-        import java.nio.file.{Files, Paths}
+        import java.nio.file.Files
         val docs = tbl(s, dir, "documents")
           .filter(pmod(col("doc_id"), lit(7)) === 0)
           .select(col("doc_id"), col("text"))
         val tmp = H.cleanupOnExit(
           Files.createTempDirectory("graft_bin").toString)
-        docs.collect().foreach { r =>
-          Files.write(Paths.get(tmp, f"doc_${r.getLong(0)}%08d.bin"),
-            r.getString(1).getBytes("UTF-8"))
+        docs.foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(tmp, f"doc_${r.getLong(0)}%08d.bin"),
+                r.getString(1).getBytes("UTF-8"))
+            }
         }
         s.read.format("binaryFile")
           .option("pathGlobFilter", "*.bin")

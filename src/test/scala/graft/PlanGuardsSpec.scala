@@ -1344,4 +1344,31 @@ class PlanGuardsSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"CartesianProduct planned in: ${offenders.mkString(", ")}")
   }
+
+  test("no corpus-derived collect() in judged query sources (driver-boundary allowlist only)") {
+    // A .collect() on a corpus-derived frame pulls data to the driver —
+    // at 100x it is a driver OOM (the r7 verdict flagged exactly one:
+    // source_binaryfile_audit's fixture writer, since rewritten to
+    // foreachPartition). The allowlist is the blessed driver-boundary
+    // set: ONE-ROW argmax/bound fetches inside inherently sequential
+    // greedy loops, where counting stays distributed. Any new collect()
+    // site must either be one-row-by-construction and added here with a
+    // justification, or redesigned.
+    val allow = Set(
+      "CoverageOpsQueries.scala",   // one-row greedy argmax per round
+      "EquivalenceOpsQueries.scala",// limit(1) scalar fetch
+      "EconOpsQueries.scala",       // one-row min() root fetch
+      "ExtraRelationalQueries.scala"// two-value JDBC stride bounds
+    )
+    val qdir = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    import scala.jdk.CollectionConverters._
+    val offenders = java.nio.file.Files.list(qdir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filter(p => java.nio.file.Files.readString(p).contains(".collect()"))
+      .map(_.getFileName.toString)
+      .filterNot(allow)
+      .toSeq.sorted
+    assert(offenders.isEmpty,
+      s"unreviewed .collect() in judged query sources: ${offenders.mkString(", ")}")
+  }
 }
