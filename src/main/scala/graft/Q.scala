@@ -104,6 +104,15 @@ object H {
     } else System.getProperty("java.io.tmpdir")
   }
 
+  /** Fresh exit-cleaned scratch directory for query-program sinks
+    * (streaming checkpoints, roundtrip files, layout rewrites), placed on
+    * the RAM-backed scratch volume rather than /tmp: on this box /tmp is
+    * disk-backed, and a streaming checkpoint's WAL/state fsync cadence on
+    * it measurably inflates every micro-batch (r7 verdict #3). */
+  def tmpDir(prefix: String): String =
+    cleanupOnExit(java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(scratchDir), prefix).toString)
+
   /** Register a scratch directory for recursive deletion at JVM exit.
     *
     * Query programs that exercise a SINK (layout rewrites, streaming

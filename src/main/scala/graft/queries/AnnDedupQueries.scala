@@ -256,8 +256,7 @@ object AnnDedupQueries extends QueryModule {
         val bands = DS.lshBands(DS.minhashSignature(DS.shingles(docs, 3)))
           .select(col("doc_id"), col("band"),
             col("key").cast("string").as("key")).localCheckpoint()
-        val tmp = graft.H.cleanupOnExit(
-          Files.createTempDirectory("graft_sminhash").toString)
+        val tmp = graft.H.tmpDir("graft_sminhash")
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         WindowingQueries.writeReplay(
           (0 until 3).map(i => bands.filter(pmod(col("doc_id"), lit(3)) === i)),

@@ -228,9 +228,7 @@ object CostingOpsQueries extends QueryModule {
         "CAST(p_size AS BIGINT) AS p_size FROM part " +
         "WHERE p_partkey % 97 = 13 ORDER BY 1"),
       (s, dir) => {
-        val scratch = H.cleanupOnExit(
-          java.nio.file.Files.createTempDirectory("graft_bloom")
-            .toString) + "/part_bloom"
+        val scratch = H.tmpDir("graft_bloom") + "/part_bloom"
         tbl(s, dir, "part")
           .write.mode("overwrite")
           .option("parquet.bloom.filter.enabled#p_partkey", "true")

@@ -120,7 +120,7 @@ object ExtraRelationalQueries extends QueryModule {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val orders = tbl(s, dir, "orders")
-        val tmp = H.cleanupOnExit(java.nio.file.Files.createTempDirectory("graft_streampull").toString)
+        val tmp = H.tmpDir("graft_streampull")
         val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         graft.sources.ODataTestServer.registerDf("orders_stream",
           orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0))
@@ -183,7 +183,7 @@ object ExtraRelationalQueries extends QueryModule {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val orders = tbl(s, dir, "orders")
-        val tmp = H.cleanupOnExit(java.nio.file.Files.createTempDirectory("graft_httpstream").toString)
+        val tmp = H.tmpDir("graft_httpstream")
         val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         graft.sources.ODataTestServer.registerDf("orders_http_stream",
           orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0))
@@ -225,8 +225,7 @@ object ExtraRelationalQueries extends QueryModule {
         "o_custkey AS ord " +
         "FROM orders WHERE o_orderkey % 20 = 0 ORDER BY ordname"),
       (s, dir) => {
-        val home = H.cleanupOnExit(
-          Files.createTempDirectory("graft_derby").toString)
+        val home = H.tmpDir("graft_derby")
         // absolute db path: derby.system.home is only read at engine boot,
         // so a relative URL would pin every later run to the first run's dir
         val url = s"jdbc:derby:$home/db;create=true"
@@ -465,7 +464,7 @@ object ExtraRelationalQueries extends QueryModule {
     Q("source_csv_roundtrip",
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"),
       (s, dir) => {
-        val out = H.cleanupOnExit(Files.createTempDirectory("graft_csv").toString) + "/nation"
+        val out = H.tmpDir("graft_csv") + "/nation"
         tbl(s, dir, "nation").write.mode("overwrite")
           .option("header", "true").csv(out)
         s.read
@@ -481,7 +480,7 @@ object ExtraRelationalQueries extends QueryModule {
     Q("source_json_roundtrip",
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
       (s, dir) => {
-        val out = H.cleanupOnExit(Files.createTempDirectory("graft_json").toString) + "/region"
+        val out = H.tmpDir("graft_json") + "/region"
         tbl(s, dir, "region").write.mode("overwrite").json(out)
         s.read
           .schema(StructType(Seq(
@@ -498,7 +497,7 @@ object ExtraRelationalQueries extends QueryModule {
     Q("source_xml_roundtrip",
       Some("SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey"),
       (s, dir) => {
-        val out = H.cleanupOnExit(Files.createTempDirectory("graft_xml").toString) + "/supplier"
+        val out = H.tmpDir("graft_xml") + "/supplier"
         tbl(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
           .write.mode("overwrite").option("rowTag", "supplier")
           .format("xml").save(out)

@@ -219,8 +219,7 @@ object FidelityOpsQueries extends QueryModule {
         import graft.streaming.StreamingRefresh
         val ev = H.events(s, dir)
           .select("event_id", "user_id", "event_type", "ts", "value")
-        val tmp = H.cleanupOnExit(
-          Files.createTempDirectory("graft_cdc").toString)
+        val tmp = H.tmpDir("graft_cdc")
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         WindowingQueries.writeReplay(
           (0 until 3).map(i =>

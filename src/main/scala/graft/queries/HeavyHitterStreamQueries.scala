@@ -59,7 +59,7 @@ object HeavyHitterStreamQueries extends QueryModule {
         val ev = H.events(s, dir)
           .select("event_id", "user_id", "event_type", "ts")
           .filter(pmod(col("event_id"), lit(5)) === 2)
-        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_topk").toString)
+        val tmp = H.tmpDir("graft_topk")
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         WindowingQueries.writeReplay(
           (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i)),

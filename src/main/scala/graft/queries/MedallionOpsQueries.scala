@@ -46,8 +46,7 @@ object MedallionOpsQueries extends QueryModule {
           |  CAST((SELECT nq FROM quar) AS BIGINT) AS n_quarantined
           |FROM gold g ORDER BY day, event_type""".stripMargin),
       (s, dir) => {
-        val tmp = H.cleanupOnExit(java.nio.file.Files
-          .createTempDirectory("graft_medallion").toString)
+        val tmp = H.tmpDir("graft_medallion")
         // bronze: executed raw append
         H.events(s, dir).write.mode(SaveMode.Overwrite)
           .parquet(s"$tmp/bronze")
@@ -93,8 +92,7 @@ object MedallionOpsQueries extends QueryModule {
         import graft.streaming.StreamingRefresh
         val ev = H.events(s, dir)
           .select("event_id", "user_id", "event_type", "ts", "value")
-        val tmp = H.cleanupOnExit(
-          Files.createTempDirectory("graft_fanout").toString)
+        val tmp = H.tmpDir("graft_fanout")
         val in = s"$tmp/in"; val raw = s"$tmp/raw"; val agg = s"$tmp/agg"
         val ckpt = s"$tmp/ckpt"
         WindowingQueries.writeReplay(

@@ -232,8 +232,7 @@ object PairedTestOpsQueries extends QueryModule {
           |FROM events WHERE event_id < 3000 GROUP BY 1 ORDER BY 1
           |""".stripMargin),
       (s, dir) => {
-        val out = H.cleanupOnExit(java.nio.file.Files
-          .createTempDirectory("graft_log").toString) + "/lines"
+        val out = H.tmpDir("graft_log") + "/lines"
         H.events(s, dir)
           .filter(col("event_id") < 3000)
           .select(concat(lit("evt id="), col("event_id"),

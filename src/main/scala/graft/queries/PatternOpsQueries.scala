@@ -64,7 +64,7 @@ object PatternOpsQueries extends QueryModule {
         val ev = H.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),
             unix_micros(col("ts")).as("ts_us"))
-        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_cep").toString)
+        val tmp = H.tmpDir("graft_cep")
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         // day-range batches: per-user arrival order equals event-time
         // order, which is what makes the arrival-order state machine the

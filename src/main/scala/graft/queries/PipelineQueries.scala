@@ -82,7 +82,7 @@ object PipelineQueries extends QueryModule {
         val fs = dbPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(dbPath)) fs.delete(dbPath, true)
 
-        val sinkDir = graft.H.cleanupOnExit(Files.createTempDirectory("graft_bootstrap").toString)
+        val sinkDir = graft.H.tmpDir("graft_bootstrap")
         val report = Bootstrap.initialDataLoad(
           s, bootCfg, tpchEdmx,
           sources = _ => nestChild(
@@ -142,7 +142,7 @@ object PipelineQueries extends QueryModule {
         s"WHERE o_orderdate >= TIMESTAMP '$lastRun' " +
         "ORDER BY table_name"),
       (s, dir) => {
-        val sinkDir = graft.H.cleanupOnExit(Files.createTempDirectory("graft_refresh").toString)
+        val sinkDir = graft.H.tmpDir("graft_refresh")
         val state = new StateStore(s"$sinkDir/_state.json")
         val nested = nestChild(
           parent = tbl(s, dir, "orders"), child = tbl(s, dir, "lineitem"),

@@ -132,7 +132,7 @@ object PlannerOpsQueries extends QueryModule {
         import graft.streaming.StreamingRefresh
         val quota = 200
         val ev = H.events(s, dir).select("event_id", "event_type")
-        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_quota").toString)
+        val tmp = H.tmpDir("graft_quota")
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         WindowingQueries.writeReplay(
           (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i)),

@@ -243,8 +243,7 @@ object PrfPowerOpsQueries extends QueryModule {
         val src = tbl(s, dir, "documents")
           .filter(col("doc_id") < 200)
           .select(col("doc_id"), payload.as("payload"))
-        val out = H.cleanupOnExit(java.nio.file.Files
-          .createTempDirectory("graft_csvq").toString) + "/payload"
+        val out = H.tmpDir("graft_csvq") + "/payload"
         src.coalesce(1).write.mode("overwrite")
           .option("quoteAll", "true").option("escape", "\"")
           .option("header", "true").csv(out)

@@ -71,7 +71,7 @@ object ReliabilityQueries extends QueryModule {
         "CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total " +
         "FROM events GROUP BY 1 ORDER BY 1"),
       (s, dir) => {
-        val tmp = H.cleanupOnExit(java.nio.file.Files.createTempDirectory("graft_evolve").toString)
+        val tmp = H.tmpDir("graft_evolve")
         val ev = H.events(s, dir)
         // generation 1: no event_type column yet
         ev.filter(pmod(col("event_id"), lit(2)) === 0)
@@ -137,7 +137,7 @@ object ReliabilityQueries extends QueryModule {
         "FROM events WHERE ts >= TIMESTAMP '2024-01-14' AND ts < TIMESTAMP '2024-01-17' " +
         "GROUP BY 1 ORDER BY 1"),
       (s, dir) => {
-        val tmp = H.cleanupOnExit(java.nio.file.Files.createTempDirectory("graft_backfill").toString)
+        val tmp = H.tmpDir("graft_backfill")
         val ev = H.events(s, dir)
           .filter(col("ts") >= lit("2024-01-14").cast("timestamp") &&
             col("ts") < lit("2024-01-17").cast("timestamp"))
@@ -183,7 +183,7 @@ object ReliabilityQueries extends QueryModule {
         import graft.streaming.StreamingRefresh
         val ev = H.events(s, dir)
           .select("event_id", "user_id", "event_type", "ts", "value")
-        val tmp = H.cleanupOnExit(java.nio.file.Files.createTempDirectory("graft_enrich").toString)
+        val tmp = H.tmpDir("graft_enrich")
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         (0 until 3).foreach { i =>
           ev.filter(pmod(col("event_id"), lit(3)) === i)

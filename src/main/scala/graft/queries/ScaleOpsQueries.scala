@@ -83,8 +83,7 @@ object ScaleOpsQueries extends QueryModule {
         "WHERE l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '1995-06-01' " +
         "GROUP BY 1 ORDER BY 1"),
       (s, dir) => {
-        val tmp = H.cleanupOnExit(java.nio.file.Files
-          .createTempDirectory("graft_layout").toString) + "/lineitem_sorted"
+        val tmp = H.tmpDir("graft_layout") + "/lineitem_sorted"
         tbl(s, dir, "lineitem")
           .repartitionByRange(8, col("l_shipdate"))
           .sortWithinPartitions("l_shipdate")
@@ -394,8 +393,7 @@ object ScaleOpsQueries extends QueryModule {
           "GROUP BY 1 ORDER BY 1"
       },
       (s, dir) => {
-        val tmp = H.cleanupOnExit(java.nio.file.Files
-          .createTempDirectory("graft_zorder").toString) + "/orders_z"
+        val tmp = H.tmpDir("graft_zorder") + "/orders_z"
         val o = tbl(s, dir, "orders")
         val z = zorder(col("o_custkey").bitwiseAND(lit(65535L)),
           datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))

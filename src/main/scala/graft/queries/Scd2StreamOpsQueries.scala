@@ -83,8 +83,7 @@ object Scd2StreamOpsQueries extends QueryModule {
             unix_micros(col("ts")).as("valid_from_us"),
             floor(col("value") * 100 + lit(0.5)).cast("long")
               .as("cents"))
-        val tmp = H.cleanupOnExit(
-          Files.createTempDirectory("graft_scd2s").toString)
+        val tmp = H.tmpDir("graft_scd2s")
         val in = s"$tmp/in"; val sink = s"$tmp/sink"
         val ckpt = s"$tmp/ckpt"
         WindowingQueries.writeReplay(

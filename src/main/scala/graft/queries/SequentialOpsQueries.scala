@@ -116,7 +116,7 @@ object SequentialOpsQueries extends QueryModule {
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("ts_us"),
             expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-        val tmp = H.cleanupOnExit(Files.createTempDirectory("graft_l3").toString)
+        val tmp = H.tmpDir("graft_l3")
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         val d10 = unix_micros(to_timestamp(lit("2024-01-11 00:00:00")))
         val d20 = unix_micros(to_timestamp(lit("2024-01-21 00:00:00")))

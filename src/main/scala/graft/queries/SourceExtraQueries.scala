@@ -36,8 +36,7 @@ object SourceExtraQueries extends QueryModule {
         val docs = tbl(s, dir, "documents")
           .filter(pmod(col("doc_id"), lit(7)) === 0)
           .select(col("doc_id"), col("text"))
-        val tmp = H.cleanupOnExit(
-          Files.createTempDirectory("graft_bin").toString)
+        val tmp = H.tmpDir("graft_bin")
         docs.foreachPartition {
           (it: Iterator[org.apache.spark.sql.Row]) =>
             it.foreach { r =>
@@ -73,8 +72,7 @@ object SourceExtraQueries extends QueryModule {
           |""".stripMargin),
       (s, dir) => {
         import java.nio.file.Files
-        val tmp = H.cleanupOnExit(
-          Files.createTempDirectory("graft_hivep").toString)
+        val tmp = H.tmpDir("graft_hivep")
         H.events(s, dir)
           .select(col("event_id"), col("ts"), col("value"),
             col("event_type"))

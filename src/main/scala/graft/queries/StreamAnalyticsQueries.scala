@@ -80,8 +80,7 @@ object StreamAnalyticsQueries extends QueryModule {
           .filter(pmod(col("event_id"), lit(2)) === 0)
           .select(col("event_id"), col("event_type"),
             floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-        val tmp = H.cleanupOnExit(
-          Files.createTempDirectory("graft_ewma").toString)
+        val tmp = H.tmpDir("graft_ewma")
         val in = s"$tmp/in"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         WindowingQueries.writeReplay(
           (0 until 3).map(i =>

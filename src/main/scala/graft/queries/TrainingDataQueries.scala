@@ -183,7 +183,7 @@ object TrainingDataQueries extends QueryModule {
           "FROM lineitem WHERE l_quantity >= 45 " +
           "GROUP BY l_returnflag ORDER BY l_returnflag"),
       (s, dir) => {
-        val tmp = H.cleanupOnExit(java.nio.file.Files.createTempDirectory("graft_orc").toString)
+        val tmp = H.tmpDir("graft_orc")
         tbl(s, dir, "lineitem")
           .filter(col("l_quantity") >= 45)
           .select("l_returnflag", "l_quantity", "l_extendedprice")
@@ -209,7 +209,7 @@ object TrainingDataQueries extends QueryModule {
           "FROM orders WHERE substr(o_orderpriority, 1, 1) = '1' " +
           "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
       (s, dir) => {
-        val tmp = H.cleanupOnExit(java.nio.file.Files.createTempDirectory("graft_dpp").toString)
+        val tmp = H.tmpDir("graft_dpp")
         val orders = tbl(s, dir, "orders")
         orders.select("o_orderpriority", "o_totalprice")
           .write.partitionBy("o_orderpriority").mode("overwrite")
@@ -473,7 +473,7 @@ object TrainingDataQueries extends QueryModule {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
       (s, dir) => {
-        val tmp = H.cleanupOnExit(java.nio.file.Files.createTempDirectory("graft_incr").toString)
+        val tmp = H.tmpDir("graft_incr")
         val o = tbl(s, dir, "orders")
           .withColumn("batch", pmod(col("o_orderkey"), lit(4)))
         def part(d: org.apache.spark.sql.DataFrame) =
@@ -775,7 +775,7 @@ object TrainingDataQueries extends QueryModule {
         "count(*) AS n_rows, 1 AS content_match " +
         "FROM events WHERE event_id % 5 = 4"),
       (s, dir) => {
-        val tmp = H.cleanupOnExit(java.nio.file.Files.createTempDirectory("graft_compact").toString)
+        val tmp = H.tmpDir("graft_compact")
         val ev = H.events(s, dir).filter(pmod(col("event_id"), lit(5)) === 4)
           .select("event_id", "user_id", "event_type", "ts", "value")
         ev.repartition(16).write.mode("overwrite").parquet(s"$tmp/frag")
