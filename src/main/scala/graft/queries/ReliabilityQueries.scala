@@ -120,6 +120,62 @@ object ReliabilityQueries extends QueryModule {
           .orderBy("event_type")
       }),
 
+    // QUARANTINE SINK ROUTING (r7 verdict #6): source_json_corrupt proves
+    // PERMISSIVE parse-outcome *classification*; this query pins the
+    // *routing contract* as its own judged entry — corrupt records are
+    // MATERIALIZED to a quarantine sink carrying their RAW payload (the
+    // replay contract: once the producer is fixed, quarantined rows
+    // re-enter the pipeline from the quarantine table, so the original
+    // bytes must survive untouched), good records land typed in the main
+    // sink, and the audit reads BOTH sinks back. quar_bytes (total raw
+    // payload length in the quarantine sink) is the integrity witness the
+    // oracle can state exactly from the planted corruption rule
+    // (event_id % 10 = 0 → closing brace truncated).
+    Q("dq_quarantine_route",
+      Some("SELECT event_type, " +
+        "CAST(sum(CASE WHEN event_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good, " +
+        "CAST(sum(CASE WHEN event_id % 10 <> 0 THEN " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_k, " +
+        "CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined, " +
+        "CAST(sum(CASE WHEN event_id % 10 = 0 THEN length(props) - 1 ELSE 0 END) AS BIGINT) AS quar_bytes " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+      (s, dir) => {
+        val tmp = H.tmpDir("graft_quar")
+        val mangled = H.events(s, dir)
+          .select("event_id", "event_type", "props")
+          .withColumn("payload",
+            when(pmod(col("event_id"), lit(10)) === 0,
+              expr("substring(props, 1, length(props) - 1)"))
+              .otherwise(col("props")))
+          .withColumn("j", from_json(col("payload"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType)))))
+        // route by parse outcome: typed rows to the main sink, raw
+        // payloads to quarantine — both real writes, both read back
+        mangled.filter(col("j.k").isNull)
+          .select("event_id", "event_type", "payload")
+          .write.mode("overwrite").parquet(s"$tmp/quarantine")
+        mangled.filter(col("j.k").isNotNull)
+          .select(col("event_id"), col("event_type"), col("j.k").as("k"))
+          .write.mode("overwrite").parquet(s"$tmp/good")
+        val good = s.read.parquet(s"$tmp/good")
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n_good"),
+            sum(col("k")).cast("long").as("sum_k"))
+        val quar = s.read.parquet(s"$tmp/quarantine")
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n_quarantined"),
+            sum(length(col("payload"))).cast("long").as("quar_bytes"))
+        good.join(quar, Seq("event_type"), "fullouter")
+          .select(col("event_type"),
+            coalesce(col("n_good"), lit(0L)).as("n_good"),
+            coalesce(col("sum_k"), lit(0L)).as("sum_k"),
+            coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"),
+            coalesce(col("quar_bytes"), lit(0L)).as("quar_bytes"))
+          .orderBy("event_type")
+      }),
+
     // Partition backfill via dynamic partition overwrite: a day-partitioned
     // sink gets ONE day's partition rewritten (values re-scaled) while
     // every other partition's files are untouched — INSERT OVERWRITE
