@@ -359,8 +359,8 @@ object ODataHttpServer {
     Option(x.getRequestHeaders.getFirst("Authorization")).contains(expect)
   }
 
-  private def queryParams(x: HttpExchange): Map[String, String] =
-    Option(x.getRequestURI.getRawQuery).getOrElse("").split('&')
+  private def parseQuery(raw: String): Map[String, String] =
+    raw.split('&')
       .filter(_.nonEmpty)
       .map { kv =>
         kv.indexOf('=') match {
@@ -371,6 +371,9 @@ object ODataHttpServer {
             URLDecoder.decode(kv.drop(i + 1), UTF_8)
         }
       }.toMap
+
+  private def queryParams(x: HttpExchange): Map[String, String] =
+    parseQuery(Option(x.getRequestURI.getRawQuery).getOrElse(""))
 
   /** Fault injection for specs: the next N authorized requests are
     * answered 503 before any handling — drives the reader's
@@ -402,8 +405,67 @@ object ODataHttpServer {
           "Content-Type" -> "application/xml")
         return
       }
+      // OData v4.01 JSON batch (POST /odata/$batch): N sub-requests, ONE
+      // round-trip — the protocol's multi-entity transfer reducer the
+      // reference never uses (it issues one GET per entity,
+      // priorityDataSource.py:639-746). Each sub-request is the same
+      // entity-serving path as a standalone GET, so every query option
+      // ($select/$filter/$top/$orderby/$applyaggs) composes inside a
+      // batch; failures are per-sub-request (status in the response
+      // envelope), never the whole batch.
+      if (entity == "$batch") {
+        require(x.getRequestMethod == "POST", "odata-http: $batch is POST-only")
+        val req = mapper.readTree(x.getRequestBody)
+        val out = mapper.createObjectNode()
+        val arr = out.putArray("responses")
+        req.get("requests").forEach { r =>
+          val node = arr.addObject()
+          node.put("id", r.get("id").asText())
+          try {
+            val m = r.get("method").asText()
+            require(m == "GET", s"odata-http: $$batch supports GET only, got $m")
+            val url = r.get("url").asText()
+            val qi = url.indexOf('?')
+            val ent = if (qi < 0) url else url.take(qi)
+            val rawQ = if (qi < 0) "" else url.drop(qi + 1)
+            logRequest(s"BATCH GET /odata/$url")
+            node.put("status", 200)
+            node.set[ObjectNode]("body",
+              mapper.readTree(serveEntity(ent, parseQuery(rawQ), rawQ)))
+          } catch {
+            case e: Throwable =>
+              node.put("status", 500)
+              node.set[ObjectNode]("body", mapper.createObjectNode()
+                .put("error", String.valueOf(e.getMessage)))
+          }
+        }
+        respond(x, 200, mapper.writeValueAsBytes(out),
+          "Content-Type" -> "application/json")
+        return
+      }
+      respond(x, 200,
+        serveEntity(entity, queryParams(x),
+          Option(x.getRequestURI.getRawQuery).getOrElse("")),
+        "Content-Type" -> "application/json")
+    } catch {
+      case e: Throwable =>
+        // if the failure struck AFTER sendResponseHeaders committed the
+        // response, this second send throws — swallow it so the original
+        // error still lands in the request log instead of being replaced
+        // by an IllegalStateException and a dropped connection
+        logRequest(s"ERROR ${x.getRequestURI}: ${String.valueOf(e.getMessage)}")
+        try respond(x, 500,
+          mapper.writeValueAsBytes(
+            mapper.createObjectNode().put("error", String.valueOf(e.getMessage))),
+          "Content-Type" -> "application/json")
+        catch { case _: Throwable => () }
+    }
+
+  /** Serve one entity request (shared by the GET path and `$batch`
+    * sub-requests): returns the JSON body bytes, throws on bad input. */
+  private def serveEntity(entity: String, p: Map[String, String],
+      rawQuery: String): Array[Byte] = {
       val full = ODataTestServer.schemaOf(entity)
-      val p = queryParams(x)
       // an EMPTY $select is a pruned-to-zero-columns scan (a bare count():
       // Spark prunes every column and only row existence matters)
       def selected(): StructType = p.get("$select") match {
@@ -423,9 +485,7 @@ object ODataHttpServer {
         val arr = body.putArray("value")
         ODataTestServer.fetchRange(entity, required, from, until)
           .foreach(r => arr.add(ODataJson.seqToJson(mapper, required, r)))
-        respond(x, 200, mapper.writeValueAsBytes(body),
-          "Content-Type" -> "application/json")
-        return
+        return mapper.writeValueAsBytes(body)
       }
       // pushed aggregation: the service computes the whole aggregate and
       // answers |groups| rows (group keys first, aggregates after)
@@ -443,9 +503,7 @@ object ODataHttpServer {
           val arr = body.putArray("value")
           rows.foreach(r => arr.add(ODataJson.seqToJson(mapper, schema, r)))
         }
-        respond(x, 200, mapper.writeValueAsBytes(body),
-          "Content-Type" -> "application/json")
-        return
+        return mapper.writeValueAsBytes(body)
       }
       val required = selected()
       val filters = p.get("$filter")
@@ -481,7 +539,7 @@ object ODataHttpServer {
         rows.foreach { r => arr.add(ODataJson.seqToJson(mapper, required, r)); served += 1 }
         val limitExhausted = top.exists(n => (pageNo + 1).toLong * pageSize >= n)
         if (served == pageSize && !limitExhausted) {
-          val nextQ = Option(x.getRequestURI.getRawQuery).getOrElse("").split('&')
+          val nextQ = rawQuery.split('&')
             .filter(_.nonEmpty)
             .filterNot(_.startsWith("%24skiptoken="))
             .filterNot(_.startsWith("$skiptoken=")) :+
@@ -490,21 +548,8 @@ object ODataHttpServer {
             s"$endpoint/$entity?${nextQ.mkString("&")}")
         }
       }
-      respond(x, 200, mapper.writeValueAsBytes(body),
-        "Content-Type" -> "application/json")
-    } catch {
-      case e: Throwable =>
-        // if the failure struck AFTER sendResponseHeaders committed the
-        // response, this second send throws — swallow it so the original
-        // error still lands in the request log instead of being replaced
-        // by an IllegalStateException and a dropped connection
-        logRequest(s"ERROR ${x.getRequestURI}: ${String.valueOf(e.getMessage)}")
-        try respond(x, 500,
-          mapper.writeValueAsBytes(
-            mapper.createObjectNode().put("error", String.valueOf(e.getMessage))),
-          "Content-Type" -> "application/json")
-        catch { case _: Throwable => () }
-    }
+      mapper.writeValueAsBytes(body)
+  }
 
   /** Spark type → EDM type, the reverse of the reference's datatype
     * dictionary (resources/static/datatypesConvert.json). Types outside
@@ -641,6 +686,37 @@ object ODataHttpServer {
 
   def get(url: String, user: String, pass: String): JsonNode =
     mapper.readTree(getRaw(url, user, pass))
+
+  /** POST with a JSON body and the same retry discipline as [[getRaw]]. */
+  def postRaw(url: String, user: String, pass: String,
+      payload: Array[Byte]): Array[Byte] = {
+    def req = HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Authorization", "Basic " + Base64.getEncoder
+        .encodeToString(s"$user:$pass".getBytes(UTF_8)))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(payload)).build()
+    var attempt = 1
+    while (true) {
+      val failure: String =
+        try {
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+          val code = resp.statusCode()
+          if (code == 200) return resp.body()
+          val detail = s"HTTP $code: " + new String(resp.body(), UTF_8).take(200)
+          if (code < 500) sys.error(s"odata-http POST $url -> $detail")
+          detail
+        } catch {
+          case e: java.io.IOException =>
+            s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
+      if (attempt >= MaxAttempts)
+        sys.error(s"odata-http POST $url failed after $MaxAttempts attempts " +
+          s"(last: $failure)")
+      Thread.sleep(50L << (attempt - 1))
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   def enc(s: String): String = URLEncoder.encode(s, UTF_8)
 }
@@ -1044,4 +1120,49 @@ final class ODataHttpMicroBatchStream(endpoint: String, entity: String,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** OData v4.01 JSON-batch client: N entity requests in ONE HTTP round-trip
+  * (`POST $batch`, json batch format) — the protocol's multi-entity
+  * transfer reducer. The reference refresh loop issues one GET per entity
+  * per cycle (resources/priorityDataSource.py:639-746); for the config/
+  * dimension snapshot that loop re-pulls every cycle, batching collapses
+  * K requests into one round-trip. Scale note: this is the DIMENSION
+  * channel — small entities that land driver-side and broadcast into
+  * joins. Facts keep the paged, partitioned [[ODataHttpSource]] scan;
+  * a batch response is one JSON document and must stay small. */
+object ODataBatchClient {
+
+  final case class SubRequest(id: String, url: String)
+
+  private val mapper = new ObjectMapper()
+
+  /** POST the batch; returns sub-request id → response body. Throws if any
+    * sub-request reports a non-200 status (per-sub-request failure is the
+    * protocol contract — the envelope itself is always 200). */
+  def pull(endpoint: String, user: String, pass: String,
+      reqs: Seq[SubRequest]): Map[String, JsonNode] = {
+    val body = mapper.createObjectNode()
+    val arr = body.putArray("requests")
+    reqs.foreach { r =>
+      val n = arr.addObject()
+      n.put("id", r.id); n.put("method", "GET"); n.put("url", r.url)
+    }
+    val resp = mapper.readTree(ODataHttpServer.postRaw(
+      s"$endpoint/$$batch", user, pass, mapper.writeValueAsBytes(body)))
+    import scala.jdk.CollectionConverters._
+    resp.get("responses").elements().asScala.map { r =>
+      val id = r.get("id").asText()
+      require(r.get("status").asInt() == 200,
+        s"odata-http $$batch sub-request '$id' failed: ${r.get("body")}")
+      id -> r.get("body")
+    }.toMap
+  }
+
+  /** A sub-response's `value` rows as external Rows against a schema. */
+  def rows(schema: StructType, body: JsonNode): Seq[Row] = {
+    import scala.jdk.CollectionConverters._
+    body.get("value").elements().asScala
+      .map(n => Row.fromSeq(ODataJson.jsonToSeq(schema, n))).toVector
+  }
 }

@@ -366,4 +366,36 @@ class ODataHttpSpec extends AnyFunSuite {
     assert(back(1).isNullAt(1) && back(1).isNullAt(2))
     assert(back(1).getSeq[org.apache.spark.sql.Row](3).isEmpty)
   }
+
+  test("$batch: N entity pulls in ONE POST round-trip; failures isolate per sub-request") {
+    import graft.sources.ODataBatchClient
+    import scala.jdk.CollectionConverters._
+    ODataTestServer.register(spark, "batch_nation", s"$sf/nation.parquet")
+    ODataTestServer.register(spark, "batch_region", s"$sf/region.parquet")
+    ODataHttpServer.requestLog.clear()
+    val resp = ODataBatchClient.pull(ODataHttpServer.endpoint,
+      ODataHttpServer.user, ODataHttpServer.pass, Seq(
+        ODataBatchClient.SubRequest("n", "batch_nation?%24select=n_nationkey,n_name"),
+        ODataBatchClient.SubRequest("r", "batch_region")))
+    val served = ODataHttpServer.requestLog.asScala.toList
+    // exactly ONE request hit the socket; the sub-requests are log lines
+    // tagged BATCH, not HTTP round-trips
+    assert(served.count(_.startsWith("POST /odata/$batch")) == 1, served)
+    assert(!served.exists(_.startsWith("GET /odata/batch_")), served)
+    assert(served.count(_.startsWith("BATCH GET")) == 2, served)
+    assert(resp("n").get("value").size() == 25)
+    assert(resp("r").get("value").size() == 5)
+    // $select projected inside the batch
+    val first = resp("n").get("value").elements().next()
+    assert(first.has("n_nationkey") && first.has("n_name") && !first.has("n_comment"))
+    // a bad sub-request fails ITS slot with a 500 envelope, not the batch:
+    // the client surfaces it as an error naming the sub-request id
+    val e = intercept[RuntimeException] {
+      ODataBatchClient.pull(ODataHttpServer.endpoint,
+        ODataHttpServer.user, ODataHttpServer.pass, Seq(
+          ODataBatchClient.SubRequest("ok", "batch_region"),
+          ODataBatchClient.SubRequest("bad", "no_such_entity")))
+    }
+    assert(e.getMessage.contains("'bad'"), e.getMessage)
+  }
 }
