@@ -89,9 +89,23 @@ object ScaleProbe {
     (0 until k).map(c => supplier.withColumn("s_suppkey", col("s_suppkey") + lit(c * nSupp)))
       .reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/supplier.parquet")
+    // parts replicate with offset keys for the same reason as suppliers:
+    // the co-purchase graph queries (graph_modularity, basket analyses)
+    // self-join lineitem on orderkey and aggregate on part pairs — a FIXED
+    // part universe under k x facts densifies that graph toward the
+    // complete graph (k=100 measured slope 20.9 on graph_modularity: the
+    // edge list grew ~81x toward all-unique pairs — the dataset, not the
+    // engine). Disjoint per-copy part universes keep the graph replicating
+    // k-linearly, matching how a k x-larger real catalog behaves.
+    val part = spark.read.parquet(s"$srcSf/part.parquet")
+    val nPart = part.agg(max(col("p_partkey"))).head.getLong(0) + 1
+    (0 until k).map(c => part.withColumn("p_partkey", col("p_partkey") + lit(c * nPart)))
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/part.parquet")
     (0 until k).map(c => lineitem
         .withColumn("l_orderkey", col("l_orderkey") + lit(c * nOrd))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(c * nSupp)))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(c * nSupp))
+        .withColumn("l_partkey", col("l_partkey") + lit(c * nPart)))
       .reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
 
@@ -142,7 +156,7 @@ object ScaleProbe {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
     }
 
-    Seq("region", "nation", "customer", "part")
+    Seq("region", "nation", "customer")
       .foreach { t =>
         val p = s"$srcSf/$t.parquet"
         if (new java.io.File(p).exists())

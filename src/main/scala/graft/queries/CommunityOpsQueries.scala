@@ -16,11 +16,17 @@ object CommunityOpsQueries extends QueryModule {
 
     // Modularity of the brand partition on the weighted co-purchase graph
     // Q = Σ_c [ e_c/m − (d_c/2m)² ]: per-community intra-edge weight and
-    // degree mass, each term floored to micro. The edge list is the
-    // standard same-orderkey self-join (pk1 < pk2, weight = pair count);
-    // degrees and community masses are two tiny reaggregations of it.
-    // At 100 TB the self-join shuffles on orderkey once and every
-    // downstream frame is node- or community-sized.
+    // degree mass, each term floored to micro. The ORACLE states the
+    // textbook form (edge list with weights, then degree/community
+    // reaggregation); the Spark plan exploits that every downstream sum
+    // TELESCOPES through the per-pair weight: m = Σw = total pair
+    // instances, d_c = instances incident to brand c, e_c = same-brand
+    // instances — so brands attach BEFORE the self-join and the pair
+    // stream aggregates straight onto the |brands|² domain (map-side
+    // partial, ~625 keys). The node-pair edge list is never materialized
+    // (the r8 k=100 probe measured the old plan's 90M-row edge groupBy +
+    // checkpoint at slope 19 — all of it avoidable): the only wide op is
+    // the orderkey self-join, and everything after is community-sized.
     Q("graph_modularity",
       Some(
         """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
@@ -47,32 +53,32 @@ object CommunityOpsQueries extends QueryModule {
           |ORDER BY brand
           |""".stripMargin),
       (s, dir) => {
+        val pb = tbl(s, dir, "part")
+          .select(col("p_partkey").as("pk"), col("p_brand"))
         val li = tbl(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          .join(broadcast(pb), Seq("pk")) // brand attached pre-self-join
+          .select(col("ok"), col("pk"), col("p_brand").as("b"))
           .localCheckpoint() // both self-join sides
-        val ed = li.join(
-            li.select(col("ok").as("ok2"), col("pk").as("pk2")),
+        // pair instances collapse directly onto the brand×brand domain:
+        // weight w of a node pair is its instance count, and m/d_c/e_c
+        // are all sums of w — summing instances per (b1,b2) first is the
+        // same total in a frame of |brands|² rows
+        val pairs = li.join(
+            li.select(col("ok").as("ok2"), col("pk").as("pk2"),
+              col("b").as("b2")),
             col("ok") === col("ok2") && col("pk") < col("pk2"))
-          .groupBy(col("pk").as("p1"), col("pk2").as("p2"))
-          .agg(count(lit(1)).cast("long").as("w"))
-          .localCheckpoint() // m, degrees, and the intra-community sum
-        val m = ed.agg(sum("w").cast("long").as("m"))
-        val deg = ed.select(col("p1").as("pk"), col("w"))
-          .unionAll(ed.select(col("p2").as("pk"), col("w")))
-          .groupBy("pk").agg(sum("w").cast("long").as("d"))
-        val pb = tbl(s, dir, "part")
-          .select(col("p_partkey").as("pk"), col("p_brand"))
-        val dc = deg.join(broadcast(pb), Seq("pk"))
-          .groupBy("p_brand").agg(sum("d").cast("long").as("d_c"))
-        val ec = ed
-          .join(broadcast(pb.select(col("pk").as("p1"),
-            col("p_brand").as("b1"))), Seq("p1"))
-          .join(broadcast(pb.select(col("pk").as("p2"),
-            col("p_brand").as("b2"))), Seq("p2"))
-          .filter(col("b1") === col("b2"))
+          .groupBy(col("b").as("b1"), col("b2"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .localCheckpoint() // m, degree masses, intra sums all read it
+        val m = pairs.agg(sum("n").cast("long").as("m"))
+        val dc = pairs.select(col("b1").as("p_brand"), col("n"))
+          .unionAll(pairs.select(col("b2").as("p_brand"), col("n")))
+          .groupBy("p_brand").agg(sum("n").cast("long").as("d_c"))
+        val ec = pairs.filter(col("b1") === col("b2"))
           .groupBy(col("b1").as("p_brand"))
-          .agg(sum("w").cast("long").as("e_c"))
+          .agg(sum("n").cast("long").as("e_c"))
         val out = dc.crossJoin(broadcast(m))
           .join(ec, Seq("p_brand"), "left")
           .withColumn("e_in", coalesce(col("e_c"), lit(0L)))
@@ -85,7 +91,7 @@ object CommunityOpsQueries extends QueryModule {
               .as("contrib_micro"))
           .orderBy("brand")
         H.materialized(out, caches = Nil,
-          checkpoints = Seq(li, ed))
+          checkpoints = Seq(li, pairs))
       }),
 
     // Duration-weighted mean event value per user cohort: each reading
