@@ -263,7 +263,16 @@ object AnnDedupQueries extends QueryModule {
           tmp, in)
         graft.H.freeLocalCheckpoint(bands)
         val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        // state partitions sized to VOLUME, not a constant: each shuffle
+        // partition is a state-store instance (fixed per-batch overhead),
+        // so tiny replays want few, but a fixed 4 caps the stateful
+        // stage's parallelism as the corpus grows (the r8 k=10→k=100
+        // probe measured slope 9.7 with 4 partitions pinned — 500k docs'
+        // band rows funneled through 4 of 32 cores). One doc ≈ 4 band
+        // rows; ~5k docs per store instance keeps both regimes right.
+        val nDocs = docs.count()
+        ss.conf.set("spark.sql.shuffle.partitions",
+          math.max(4L, math.min(32L, nDocs / 5000L)).toString)
         // transformWithState needs column families → RocksDB provider
         ss.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
