@@ -150,7 +150,8 @@ object SparkEntry {
     qm.CohensHOpsQueries,
     qm.RollupPrivacyOpsQueries,
     qm.LoyaltyOpsQueries,
-    qm.CadenceOpsQueries)
+    qm.CadenceOpsQueries,
+    qm.SamplingSkewOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

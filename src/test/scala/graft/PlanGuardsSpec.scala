@@ -1345,6 +1345,20 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"CartesianProduct planned in: ${offenders.mkString(", ")}")
   }
 
+  test("sample_bottomk_minwise: bottom-k plans TakeOrderedAndProject, never a global sort") {
+    val plan = executed("sample_bottomk_minwise")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("join_salted_skew: the salted join is a SHUFFLE join keyed on (dom, salt), not broadcast") {
+    // a broadcast would dodge the planted hot key and prove nothing; the
+    // guard pins the shuffle-join-with-salt-in-the-keys shape
+    val plan = executed("join_salted_skew")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(raw"(ShuffledHashJoin|SortMergeJoin) \[dom[#L0-9]*, salt".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("no corpus-derived collect() in judged query sources (driver-boundary allowlist only)") {
     // A .collect() on a corpus-derived frame pulls data to the driver —
     // at 100x it is a driver OOM (the r7 verdict flagged exactly one:
