@@ -151,7 +151,8 @@ object SparkEntry {
     qm.RollupPrivacyOpsQueries,
     qm.LoyaltyOpsQueries,
     qm.CadenceOpsQueries,
-    qm.SamplingSkewOpsQueries)
+    qm.SamplingSkewOpsQueries,
+    qm.WapCupedOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
