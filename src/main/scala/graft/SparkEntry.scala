@@ -152,7 +152,8 @@ object SparkEntry {
     qm.LoyaltyOpsQueries,
     qm.CadenceOpsQueries,
     qm.SamplingSkewOpsQueries,
-    qm.WapCupedOpsQueries)
+    qm.WapCupedOpsQueries,
+    qm.LoaderGazetteerOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
