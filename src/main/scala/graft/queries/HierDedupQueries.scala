@@ -22,6 +22,11 @@ object HierDedupQueries extends QueryModule {
       Some {
         val shOnSurv = DS.shinglesSql(3)
           .replace("FROM documents", "FROM surv_docs")
+        // sh/sig/cand MATERIALIZED (r8 oracle-memory discipline, same as
+        // split_leakage_audit): each is referenced by several downstream
+        // CTEs (bands is a 4-way UNION ALL over sig; the verify joins sh
+        // twice; pairs reads sig twice) — the 500 MB stress sweep OOM'd
+        // on the inlined recomputation, one pinned copy passes.
         s"""WITH RECURSIVE ex AS (
            |  SELECT doc_id, source, text,
            |    min(doc_id) OVER (PARTITION BY source, md5(text)) AS ex_keeper
@@ -29,10 +34,10 @@ object HierDedupQueries extends QueryModule {
            |surv_docs AS (
            |  SELECT doc_id, text FROM ex WHERE doc_id = ex_keeper),
            |""".stripMargin +
-          s"sh AS ($shOnSurv), " +
-          s"sig AS (${DS.minhashSignatureSql}), " +
+          s"sh AS MATERIALIZED ($shOnSurv), " +
+          s"sig AS MATERIALIZED (${DS.minhashSignatureSql}), " +
           s"bands AS (${DS.lshBandsSql}), " +
-          s"cand AS (${DS.candidatePairsSql}), " +
+          s"cand AS MATERIALIZED (${DS.candidatePairsSql}), " +
           "inter AS (SELECT doc_a, doc_b, count(*) AS ni FROM cand " +
           "JOIN sh sa ON sa.doc_id = doc_a " +
           "JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle " +
