@@ -154,6 +154,66 @@ object H {
     out
   }
 
+  /** Two-phase PARALLEL global rank — the engine's replacement for
+    * `row_number() OVER (ORDER BY …)`, which plans a single-partition
+    * window (one task sorts the whole input; the r8 events_rfm nit).
+    * Phase 1 range-partitions by the total order `ord` (so partition i's
+    * rows all sort before partition i+1's) and ranks WITHIN partitions;
+    * phase 2 adds broadcast per-partition row-count offsets. `ord` must be
+    * a total order (include a tie-break key) for the rank to be
+    * deterministic. Returns (ranked frame with `out` = 1-based global
+    * rank, the checkpointed range-partitioned frame) — the caller frees
+    * the checkpoint via [[freeLocalCheckpoint]] (or [[materialized]])
+    * once the result is materialized. The only remaining sub-frame is the
+    * ≤32-row partition-offset table (bounded by partition count). */
+  def globalRank(df: DataFrame, ord: Seq[Column], out: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val pp = df.repartitionByRange(32, ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // read by the offset pass AND the rank pass
+    val offs = pp.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        sum("__cnt").over(Window.orderBy("__pid")) - col("__cnt"))
+      .select(col("__pid").as("__pid2"), col("__off"))
+    val ranked = pp
+      .withColumn("__lrk", row_number().over(
+        Window.partitionBy("__pid").orderBy(ord: _*)).cast("long"))
+      .join(broadcast(offs), col("__pid") === col("__pid2"))
+      .withColumn(out, (col("__off") + col("__lrk")).cast("long"))
+      .drop("__pid", "__pid2", "__off", "__lrk")
+    (ranked, pp)
+  }
+
+  /** Two-phase PARALLEL prefix sum — the engine's replacement for
+    * `sum(v) OVER (ORDER BY …)`, which (like the global rank) plans a
+    * single-partition window. Same machinery as [[globalRank]]: phase 1
+    * range-partitions by the total order `ord` and prefix-sums WITHIN
+    * partitions; phase 2 adds broadcast per-partition sum offsets (exact
+    * for any associative +: longs, exact decimals). `ord` must be a total
+    * order for boundary ties to land deterministically. Returns (frame
+    * with `out` = inclusive running sum of `value`, the checkpointed
+    * range-partitioned frame to free once the result materializes). */
+  def globalCumSum(df: DataFrame, ord: Seq[Column], value: Column,
+      out: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val pp = df.repartitionByRange(32, ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value)
+      .localCheckpoint() // read by the offset pass AND the cumsum pass
+    val offs = pp.groupBy("__pid").agg(sum("__v").as("__s"))
+      .withColumn("__off",
+        sum("__s").over(Window.orderBy("__pid")) - col("__s"))
+      .select(col("__pid").as("__pid2"), col("__off"))
+    val cum = pp
+      .withColumn("__lc", sum("__v").over(
+        Window.partitionBy("__pid").orderBy(ord: _*)))
+      .join(broadcast(offs), col("__pid") === col("__pid2"))
+      .withColumn(out, col("__off") + col("__lc"))
+      .drop("__pid", "__pid2", "__off", "__lc", "__v")
+    (cum, pp)
+  }
+
   /** Free the executor blocks behind an (eager) localCheckpoint frame — a
     * checkpointed RDD is persisted OUTSIDE the CacheManager, so
     * Dataset.unpersist() can't reach it; its LogicalRDD leaf can. Safe only

@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   *     which is exactly the slope a scale-correct dedup must track. (Plain
   *     duplication would near-dup every copy against every other: a k²
   *     blow-up by construction, measuring the dataset, not the engine.)
-  *   - `orders`/`lineitem`/`supplier` replicate k times with offset order
-  *     and supplier keys (join integrity preserved; disjoint per-copy
-  *     supplier universes keep the co-occurrence graph replicating
-  *     k-linearly instead of densifying). Customers/parts stay fixed, so
-  *     each sees k× the facts — the TPC-H-ish shape.
+  *   - `orders`/`lineitem`/`supplier`/`part` replicate k times with offset
+  *     order/supplier/part keys (join integrity preserved; disjoint
+  *     per-copy supplier AND part universes keep every co-occurrence
+  *     graph replicating k-linearly instead of densifying — so part-side
+  *     broadcasts grow k× with the catalog, as they would in production).
+  *     Customers stay fixed, so each sees k× the facts — the TPC-H-ish
+  *     shape the relational heads are probed on.
   *   - `embeddings` replicate k times with offset vec_id and a per-copy
   *     cyclic rotation (norm-preserving, direction-diversifying).
   *   - all other tables copy through unchanged.

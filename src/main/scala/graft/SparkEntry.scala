@@ -153,7 +153,8 @@ object SparkEntry {
     qm.CadenceOpsQueries,
     qm.SamplingSkewOpsQueries,
     qm.WapCupedOpsQueries,
-    qm.LoaderGazetteerOpsQueries)
+    qm.LoaderGazetteerOpsQueries,
+    qm.TakedownOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

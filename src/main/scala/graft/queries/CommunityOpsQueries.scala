@@ -19,14 +19,18 @@ object CommunityOpsQueries extends QueryModule {
     // degree mass, each term floored to micro. The ORACLE states the
     // textbook form (edge list with weights, then degree/community
     // reaggregation); the Spark plan exploits that every downstream sum
-    // TELESCOPES through the per-pair weight: m = Σw = total pair
-    // instances, d_c = instances incident to brand c, e_c = same-brand
-    // instances — so brands attach BEFORE the self-join and the pair
-    // stream aggregates straight onto the |brands|² domain (map-side
-    // partial, ~625 keys). The node-pair edge list is never materialized
-    // (the r8 k=100 probe measured the old plan's 90M-row edge groupBy +
-    // checkpoint at slope 19 — all of it avoidable): the only wide op is
-    // the orderkey self-join, and everything after is community-sized.
+    // TELESCOPES all the way to per-order brand counts — the self-join
+    // itself is algebra'd away (r9; the r8 plan still ran the orderkey
+    // self-join before collapsing onto brands², measured 7.1×/decade).
+    // With cnt = items of brand c in order o and n_o = Σ_c cnt:
+    //   m   = Σ_o C(n_o,2)        (every within-order pair, weight 1 each)
+    //   d_c = Σ_o cnt·(n_o−1)     (each pair touches both endpoints:
+    //                              cross pairs once per side, same-brand
+    //                              pairs twice ⇒ cnt·(n_o−cnt)+2·C(cnt,2))
+    //   e_c = Σ_o C(cnt,2)        (same-brand pairs)
+    // so the whole computation is one distinct + one (order,brand) groupBy
+    // + one order-keyed window — strictly linear in lineitems, no pair
+    // stream at any point.
     Q("graph_modularity",
       Some(
         """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
@@ -53,35 +57,32 @@ object CommunityOpsQueries extends QueryModule {
           |ORDER BY brand
           |""".stripMargin),
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val pb = tbl(s, dir, "part")
           .select(col("p_partkey").as("pk"), col("p_brand"))
-        val li = tbl(s, dir, "lineitem")
+        // per-(order, brand) distinct-part counts: the ONLY fact-sized ops
+        val ob = tbl(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
-          .join(broadcast(pb), Seq("pk")) // brand attached pre-self-join
-          .select(col("ok"), col("pk"), col("p_brand").as("b"))
-          .localCheckpoint() // both self-join sides
-        // pair instances collapse directly onto the brand×brand domain:
-        // weight w of a node pair is its instance count, and m/d_c/e_c
-        // are all sums of w — summing instances per (b1,b2) first is the
-        // same total in a frame of |brands|² rows
-        val pairs = li.join(
-            li.select(col("ok").as("ok2"), col("pk").as("pk2"),
-              col("b").as("b2")),
-            col("ok") === col("ok2") && col("pk") < col("pk2"))
-          .groupBy(col("b").as("b1"), col("b2"))
-          .agg(count(lit(1)).cast("long").as("n"))
-          .localCheckpoint() // m, degree masses, intra sums all read it
-        val m = pairs.agg(sum("n").cast("long").as("m"))
-        val dc = pairs.select(col("b1").as("p_brand"), col("n"))
-          .unionAll(pairs.select(col("b2").as("p_brand"), col("n")))
-          .groupBy("p_brand").agg(sum("n").cast("long").as("d_c"))
-        val ec = pairs.filter(col("b1") === col("b2"))
-          .groupBy(col("b1").as("p_brand"))
-          .agg(sum("n").cast("long").as("e_c"))
-        val out = dc.crossJoin(broadcast(m))
-          .join(ec, Seq("p_brand"), "left")
-          .withColumn("e_in", coalesce(col("e_c"), lit(0L)))
+          .join(broadcast(pb), Seq("pk"))
+          .groupBy(col("ok"), col("p_brand").as("b"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .withColumn("no", sum("cnt").over(Window.partitionBy("ok")))
+          .localCheckpoint() // read by the brand reduce AND the m reduce
+        // brand-domain reduce (~25 rows; map-side partial combine)
+        // oracle's dc keeps only brands with an incident edge (deg comes
+        // from the pair list) — d_c = 0 brands drop out, hence the filter
+        val bysum = ob.groupBy(col("b").as("p_brand"))
+          .agg(sum(col("cnt") * (col("no") - 1)).cast("long").as("d_c"),
+            sum(expr("cnt * (cnt - 1) div 2")).cast("long").as("e_c"))
+          .filter(col("d_c") > 0)
+        // m from the per-order frame: Σ C(n_o, 2), counted once per order
+        // (rows with the order's FIRST brand avoid a separate distinct)
+        val m = ob.groupBy("ok")
+          .agg(first(col("no")).as("no1"))
+          .agg(sum(expr("no1 * (no1 - 1) div 2")).cast("long").as("m"))
+        val out = bysum.crossJoin(broadcast(m))
+          .withColumn("e_in", col("e_c"))
           .select(col("p_brand").as("brand"), col("e_in"),
             col("d_c").as("degree_mass"),
             // (d_c/2m)² enters as the square of the milli-scaled ratio so
@@ -90,8 +91,7 @@ object CommunityOpsQueries extends QueryModule {
               " - (d_c * 1000 div (2 * m)) * (d_c * 1000 div (2 * m))")
               .as("contrib_micro"))
           .orderBy("brand")
-        H.materialized(out, caches = Nil,
-          checkpoints = Seq(li, pairs))
+        H.materialized(out, caches = Nil, checkpoints = Seq(ob))
       }),
 
     // Duration-weighted mean event value per user cohort: each reading

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Q, QueryModule}
+import graft.{H, Q, QueryModule}
 import graft.H.tbl
 import graft.functions.{VectorSim => VS}
 
@@ -195,12 +195,14 @@ object MiningOpsQueries extends QueryModule {
       (s, dir) => {
         val c = tbl(s, dir, "lineitem")
           .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("c"))
-        val r = c
-          .withColumn("rnk",
-            row_number().over(Window.orderBy(col("c"), col("k"))).cast("long"))
-          .withColumn("nk",
-            count(lit(1)).over(Window.partitionBy()).cast("long"))
-        r.agg(count(lit(1)).as("n_keys"), sum("c").cast("long").as("n_rows"),
+        // r9: the rank over the |keys| frame is a two-phase PARALLEL
+        // global rank (H.globalRank) — the key domain is exactly what a
+        // skew report profiles, so it can be 10⁸ rows; the old global
+        // row_number sorted it in ONE task (the events_rfm nit class)
+        val (ranked, pp) = H.globalRank(c, Seq(col("c"), col("k")), "rnk")
+        val r = ranked.crossJoin(broadcast(
+          pp.agg(count(lit(1)).cast("long").as("nk"))))
+        val out = r.agg(count(lit(1)).as("n_keys"), sum("c").cast("long").as("n_rows"),
             max("c").cast("long").as("max_c"),
             sum(col("rnk") * col("c")).cast("long").as("src"),
             sum(when(col("rnk") * 10 > col("nk") * 9, col("c")).otherwise(0L))
@@ -213,6 +215,7 @@ object MiningOpsQueries extends QueryModule {
             ((lit(2) * col("src") - (col("n_keys") + 1) * col("n_rows"))
               .cast("double") /
               (col("n_keys") * col("n_rows")).cast("double")).as("gini"))
+        H.materialized(out, caches = Nil, checkpoints = Seq(pp))
       })
   )
 }

@@ -30,9 +30,11 @@ object PlannerOpsQueries extends QueryModule {
     // shard floor(rowsBefore·16/n) so every shard's planned row count is
     // within one value-group of balanced, and the output reports the
     // per-shard bounds plus the balance ratio a table optimizer would act
-    // on. (At true 100 TB the distribution cumsum itself becomes a
-    // two-phase range-partitioned prefix sum; the planner here is the
-    // exact single-node form of that step.)
+    // on. The distribution cumsum IS the two-phase range-partitioned
+    // prefix sum (H.globalCumSum — range partitions + broadcast
+    // per-partition sum offsets): the key domain is unbounded at 100 TB,
+    // so a global `sum OVER (ORDER BY v)` window would sort it in ONE
+    // task (r9 window-discipline sweep catch).
     Q("layout_range_planner",
       Some(
         """WITH dist AS (
@@ -52,11 +54,10 @@ object PlannerOpsQueries extends QueryModule {
       (s, dir) => {
         val dist = tbl(s, dir, "lineitem")
           .groupBy(col("l_partkey").as("v")).agg(count(lit(1)).as("c"))
-        val tot = dist.agg(sum("c").as("n"))
-        val cum = dist
-          .withColumn("cum", sum("c").over(Window.orderBy("v")))
-          .crossJoin(broadcast(tot))
-        cum.select(
+        val (cs, pp) = H.globalCumSum(dist, Seq(col("v")), col("c"), "cum")
+        val tot = pp.agg(sum("c").as("n"))
+        val out = cs.crossJoin(broadcast(tot))
+          .select(
             least(lit(15), floor((col("cum") - col("c")) * 16.0 / col("n"))
               .cast("long")).as("shard"),
             col("v"), col("c"), col("n"))
@@ -66,6 +67,7 @@ object PlannerOpsQueries extends QueryModule {
             count(lit(1)).as("n_distinct"),
             (sum("c").cast("double") * 16 / max("n")).as("balance"))
           .orderBy("shard")
+        H.materialized(out, caches = Nil, checkpoints = Seq(pp))
       }),
 
     // TOKENIZER FERTILITY REPORT: per-language tokens-per-word and

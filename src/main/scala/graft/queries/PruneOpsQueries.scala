@@ -115,28 +115,34 @@ object PruneOpsQueries extends QueryModule {
           |FROM k, (SELECT CAST(sum(rev) AS DECIMAL(18,2)) AS tot FROM r) t
           |GROUP BY abc ORDER BY abc""".stripMargin),
       (s, dir) => {
+        // the cumulative revenue share runs as the two-phase PARALLEL
+        // prefix sum (H.globalCumSum; exact decimal addition is
+        // associative, so the partition-offset split is value-identical
+        // to the oracle's single window) — the |parts| domain is
+        // unbounded at 100 TB, so a global `sum OVER (ORDER BY rev)`
+        // would sort it in ONE task (r9 window-discipline sweep catch);
+        // the grand total attaches as a 1-row broadcast, not a window.
         val r = tbl(s, dir, "lineitem")
           .groupBy(col("l_partkey").as("part"))
           .agg(sum(H.dec2(col("l_extendedprice")))
             .cast("decimal(18,2)").as("rev"))
-        val c = r
-          .withColumn("cum",
-            sum("rev").over(Window.orderBy(col("rev").desc, col("part")))
-              .cast("decimal(18,2)"))
-          .withColumn("tot",
-            sum("rev").over(Window.partitionBy()).cast("decimal(18,2)"))
-        val k = c.select(col("part"), col("rev"),
-          when(col("cum") * 5 <= col("tot") * 4, "A")
-            .when(col("cum") * 20 <= col("tot") * 19, "B")
-            .otherwise("C").as("abc"))
-        val tot = r.agg(sum("rev").cast("decimal(18,2)").as("tot"))
-        k.crossJoin(broadcast(tot))
+        val (cs, pp) = H.globalCumSum(r,
+          Seq(col("rev").desc, col("part")), col("rev"), "cum0")
+        val tot = pp.agg(sum("rev").cast("decimal(18,2)").as("tot"))
+        val k = cs.crossJoin(broadcast(tot))
+          .select(col("part"), col("rev"), col("tot"),
+            when(col("cum0").cast("decimal(18,2)") * 5 <= col("tot") * 4, "A")
+              .when(col("cum0").cast("decimal(18,2)") * 20 <= col("tot") * 19,
+                "B")
+              .otherwise("C").as("abc"))
+        val out = k
           .groupBy("abc")
           .agg(count(lit(1)).as("n_parts"),
             sum("rev").cast("double").as("revenue"),
             (sum("rev").cast("double") / max("tot").cast("double"))
               .as("revenue_share"))
           .orderBy("abc")
+        H.materialized(out, caches = Nil, checkpoints = Seq(pp))
       }),
 
     // RFM SEGMENTATION: customers scored 1-5 on Recency (days since last

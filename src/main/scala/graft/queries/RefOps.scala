@@ -220,6 +220,35 @@ object RefOps extends QueryModule {
           .orderBy("entity")
       }),
 
+    // O16b: the SAME entity metadata rendered for every warehouse dialect
+    // the reference's type dictionary declares (datatypesConvert.json:4-36
+    // carries MySQLDatatype / postgresDatatype / AzureSQLDatatype columns;
+    // the reference executes only the Azure column — see EdmTypes.renderType
+    // scaladoc). One row per (entity, dialect): the multi-target DDL a user
+    // pointing a config at MySQL/Postgres would deploy.
+    Q("o16b_ddl_dialects",
+      Some {
+        val m = Fixtures.ordersMeta
+        val rows = Seq("azuresql", "mysql", "postgres").map { d =>
+          s"('${m.entityName.toLowerCase}', '$d', " +
+            s"'${EdmTypes.ddlDialect(m, "stg_", d)}', " +
+            s"'${EdmTypes.createTableColumnTypes(m, d)}')"
+        }
+        "SELECT * FROM (VALUES " + rows.mkString(", ") +
+          ") AS t(entity, dialect, ddl, jdbc_column_types) " +
+          "ORDER BY entity, dialect"
+      },
+      (s, dir) => {
+        import s.implicits._
+        val m = Fixtures.ordersMeta
+        Seq("azuresql", "mysql", "postgres")
+          .map(d => (m.entityName.toLowerCase, d,
+            EdmTypes.ddlDialect(m, "stg_", d),
+            EdmTypes.createTableColumnTypes(m, d)))
+          .toDF("entity", "dialect", "ddl", "jdbc_column_types")
+          .orderBy("entity", "dialect")
+      }),
+
     // O17: config → flat table worklist.
     Q("o17_config_flatten",
       Some {

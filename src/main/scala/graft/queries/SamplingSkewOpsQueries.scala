@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{H, Q, QueryModule}
@@ -111,14 +112,18 @@ object SamplingSkewOpsQueries extends QueryModule {
       }),
 
     // RFM SEGMENTATION: per purchasing user — recency (latest purchase),
-    // frequency (purchase count), monetary (cents) — each quintiled by
-    // ntile(5) under a DETERMINISTIC total order (metric desc, user_id),
-    // then the 5x5x5 segment cube with user counts and money totals: the
-    // classic marketing-value partition ("511" = recent-rare-big, "155" =
-    // lapsed-frequent-big...). The windows run on the USER domain (the
-    // per-key frame, dimension-sized), not the event stream — the same
-    // key-domain window discipline as dq_skew_report; the only fact-sized
-    // op is the per-user aggregate.
+    // frequency (purchase count), monetary (cents) — each quintiled with
+    // ntile(5) SEMANTICS under a DETERMINISTIC total order (metric desc,
+    // user_id), then the 5x5x5 segment cube with user counts and money
+    // totals: the classic marketing-value partition ("511" =
+    // recent-rare-big, "155" = lapsed-frequent-big...). The ORACLE states
+    // the textbook ntile windows; the Spark plan computes each quintile
+    // via the TWO-PHASE global rank (range partitions + broadcast
+    // per-partition offsets — the stats_theil_sen idiom): at 10⁸⁺
+    // purchasing users an un-partitioned ntile window would sort the
+    // whole user frame in ONE task, three times over (r8 verdict nit #1).
+    // The closed-form tile from (rank, n) reproduces ntile's bucket
+    // boundaries exactly: the first n%5 buckets carry ceil(n/5) rows.
     Q("events_rfm",
       Some(
         """WITH p AS (SELECT user_id, max(ts) AS last_ts,
@@ -139,6 +144,17 @@ object SamplingSkewOpsQueries extends QueryModule {
           |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
           |""".stripMargin),
       (s, dir) => {
+        val (out, chks) = rfmFrames(s, dir)
+        H.materialized(out, caches = Nil, checkpoints = chks)
+      }))
+
+  /** events_rfm's pre-materialization interior (result, checkpoint frames),
+    * exposed so PlanGuardsSpec can assert the no-global-ntile shape that
+    * H.materialized otherwise hides behind an RDD scan. */
+  def rfmFrames(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+        // the only fact-sized op: one map-side-combined per-user aggregate;
+        // everything below runs on the purchasing-USER domain
         val p = H.events(s, dir)
           .filter(col("event_type") === "purchase")
           .groupBy("user_id")
@@ -146,16 +162,33 @@ object SamplingSkewOpsQueries extends QueryModule {
             count(lit(1)).cast("long").as("freq"),
             sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
               .cast("long").as("cents"))
-        val sc = p.select(col("user_id"), col("cents"),
-          ntile(5).over(Window.orderBy(col("last_ts").desc, col("user_id")))
-            .cast("long").as("r_score"),
-          ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
-            .cast("long").as("f_score"),
-          ntile(5).over(Window.orderBy(col("cents").desc, col("user_id")))
-            .cast("long").as("m_score"))
-        sc.groupBy("r_score", "f_score", "m_score")
+          .localCheckpoint() // read by three rank passes + the cents join
+        val nTot = p.agg(count(lit(1)).cast("long").as("n"))
+        // ntile(5) bucket from a parallel global rank: first n%5 buckets
+        // take n/5+1 rows, the rest n/5 (CASE keeps the n/5==0 divisor
+        // branch unevaluated when every row lands in the WHEN arm)
+        def tileExpr(rk: String) =
+          s"CAST(CASE WHEN $rk <= (n % 5) * (n div 5 + 1) " +
+            s"THEN ($rk - 1) div (n div 5 + 1) + 1 " +
+            s"ELSE (n % 5) + ($rk - 1 - (n % 5) * (n div 5 + 1)) div " +
+            s"(n div 5) + 1 END AS BIGINT)"
+        def quintile(ord: Seq[Column], out: String) = {
+          val (ranked, pp) = H.globalRank(p, ord, "rk")
+          (ranked.crossJoin(broadcast(nTot))
+            .select(col("user_id").as(s"u_$out"),
+              expr(tileExpr("rk")).as(out)), pp)
+        }
+        val (r, ppr) = quintile(Seq(col("last_ts").desc, col("user_id")), "r_score")
+        val (f, ppf) = quintile(Seq(col("freq").desc, col("user_id")), "f_score")
+        val (m, ppm) = quintile(Seq(col("cents").desc, col("user_id")), "m_score")
+        val sc = p.select(col("user_id"), col("cents"))
+          .join(r, col("user_id") === col("u_r_score"))
+          .join(f, col("user_id") === col("u_f_score"))
+          .join(m, col("user_id") === col("u_m_score"))
+        val out = sc.groupBy("r_score", "f_score", "m_score")
           .agg(count(lit(1)).cast("long").as("n_users"),
             sum("cents").cast("long").as("segment_cents"))
           .orderBy("r_score", "f_score", "m_score")
-      }))
+        (out, Seq(p, ppr, ppf, ppm))
+  }
 }

@@ -369,30 +369,35 @@ object TpchFullQueries extends QueryModule {
         "AND l3.l_suppkey <> l1.l_suppkey AND l3.late) " +
         "GROUP BY s_name ORDER BY numwait DESC, s_name"),
       (s, dir) => {
-        // base (the fact x orders join) is read by l1/l2/l3 — checkpoint
-        // it ONCE, already hash-partitioned on the EXISTS key, so the
-        // semi and anti joins consume the partitioning instead of
-        // re-running the big join three times and re-shuffling each copy
-        // (r8 probe: 22.1 -> measured below at k=100)
-        val base = tbl(s, dir, "lineitem")
+        // The semi/anti chain collapses to per-order supplier counts:
+        // EXISTS(other supplier)      ⟺ distinct suppliers on order ≥ 2
+        // NOT EXISTS(other LATE supp) ⟺ distinct LATE suppliers == 1
+        //   (the probe line is itself late, so "no OTHER late supplier"
+        //    means the late-supplier set is exactly {sk}).
+        // One (orderkey, suppkey) partial-agg pass + one order-keyed
+        // window replaces the r8 plan's 30M-row localCheckpoint feeding
+        // separate LEFT SEMI and LEFT ANTI joins (r8 probe: that plan
+        // measured 8.5×/decade, checkpoint-write-bound at saturated
+        // cores) — the fact is now shuffled twice and never materialized.
+        val grp = tbl(s, dir, "lineitem")
           .join(tbl(s, dir, "orders").filter(col("o_orderstatus") === "F"),
             col("o_orderkey") === col("l_orderkey"))
           .withColumn("late",
             col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-          .select("l_orderkey", "l_suppkey", "late")
-          .localCheckpoint()
-        val l1 = base.filter(col("late")).select(
-          col("l_orderkey").as("k"), col("l_suppkey").as("sk"))
-        val l2 = base.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
-        val l3 = base.filter(col("late")).select(
-          col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
-        val out = l1
-          .join(l2, col("k2") === col("k") && col("sk2") =!= col("sk"), "left_semi")
-          .join(l3, col("k3") === col("k") && col("sk3") =!= col("sk"), "left_anti")
-          .join(broadcast(tbl(s, dir, "supplier")), col("s_suppkey") === col("sk"))
+          .groupBy(col("l_orderkey").as("k"), col("l_suppkey").as("sk"))
+          .agg(sum(when(col("late"), 1L).otherwise(0L)).as("late_lines"))
+        val w = Window.partitionBy("k")
+        val out = grp
+          .withColumn("ns", count(lit(1)).over(w))
+          .withColumn("nls",
+            sum(when(col("late_lines") > 0, 1L).otherwise(0L)).over(w))
+          .filter(col("late_lines") > 0 && col("ns") >= 2 &&
+            col("nls") === 1)
+          .join(broadcast(tbl(s, dir, "supplier")),
+            col("s_suppkey") === col("sk"))
           .groupBy("s_name")
-          .agg(count(lit(1)).as("numwait"))
+          .agg(sum("late_lines").cast("long").as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
-        H.materialized(out, caches = Nil, checkpoints = Seq(base))
+        out
       }))
 }

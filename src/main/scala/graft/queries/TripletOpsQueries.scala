@@ -110,31 +110,39 @@ object TripletOpsQueries extends QueryModule {
           |FROM d
           |""".stripMargin),
       (s, dir) => {
+        // r9: both "next row" constructs run as RANK-ADJACENCY equi-joins
+        // on a two-phase parallel global rank (H.globalRank) instead of
+        // lead() windows. The old plan's `lead OVER (ORDER BY vec_id)`
+        // single-partition-sorted the WHOLE embeddings table (and the
+        // per-label lead sorted corpus/|labels| per task); rank r ⋈ r+1
+        // under the same total order is the identical adjacency with only
+        // range-partitioned sorts. The (label, vec_id) rank gives the
+        // within-label successor for free: consecutive ranks share a
+        // label exactly when the successor exists (label boundaries drop,
+        // as lead's null did).
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), expr(
             "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
               " * 1000 + 0.5) AS BIGINT))").as("v"))
-          .localCheckpoint()
-        val wl = Window.partitionBy("label").orderBy("vec_id")
-        val wg = Window.orderBy("vec_id")
-        val pos = e
-          .withColumn("p_id", lead("vec_id", 1).over(wl))
-          .withColumn("pv", lead("v", 1).over(wl))
-        val neg = e
-          .withColumn("n_id", lead("vec_id", 1).over(wg))
-          .withColumn("n_label", lead("label", 1).over(wg))
-          .withColumn("nv", lead("v", 1).over(wg))
-          .select(col("vec_id").as("vid2"), col("n_id"),
-            col("n_label"), col("nv"))
+        val (rkL, ppL) = H.globalRank(e, Seq(col("label"), col("vec_id")), "lrnk")
+        val pos = rkL.join(
+          rkL.select((col("lrnk") - 1).as("lj"), col("label").as("p_label"),
+            col("vec_id").as("p_id"), col("v").as("pv")),
+          col("lrnk") === col("lj") && col("label") === col("p_label"))
+        val (rkG, ppG) = H.globalRank(e, Seq(col("vec_id")), "grnk")
+        val neg = rkG.select(col("vec_id").as("vid2"), col("grnk"))
+          .join(rkG.select((col("grnk") - 1).as("gj"),
+            col("vec_id").as("n_id"), col("label").as("n_label"),
+            col("v").as("nv")), col("grnk") === col("gj"))
+          .select(col("vid2"), col("n_id"), col("n_label"), col("nv"))
         def ssd(a: String, b: String) =
           expr(s"aggregate(zip_with($a, $b, (x, y)" +
             " -> (x - y) * (x - y)), CAST(0 AS BIGINT)," +
             " (acc, x) -> acc + x)")
         val t = pos.join(neg, col("vid2") === col("vec_id"))
-          .filter(col("p_id").isNotNull && col("n_id").isNotNull &&
-            col("n_label") =!= col("label"))
+          .filter(col("n_label") =!= col("label"))
           .select(ssd("v", "pv").as("dp"), ssd("v", "nv").as("dn"))
-        t.agg(count(lit(1)).cast("long").as("n_triplets"),
+        val out = t.agg(count(lit(1)).cast("long").as("n_triplets"),
             sum(when(col("dp") >= col("dn"), 1L).otherwise(0L))
               .cast("long").as("violations"),
             sum((col("dn") - col("dp")).cast("decimal(38,0)"))
@@ -144,6 +152,7 @@ object TripletOpsQueries extends QueryModule {
               .as("violation_bps"),
             expr("CAST(marg div n_triplets AS BIGINT)")
               .as("mean_margin_milli2"))
+        H.materialized(out, caches = Nil, checkpoints = Seq(ppL, ppG))
       }),
 
     // Dot-product vs cosine retrieval bias: the same 10 queries

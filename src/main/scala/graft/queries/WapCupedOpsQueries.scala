@@ -75,6 +75,15 @@ object WapCupedOpsQueries extends QueryModule {
           }
           v -> (if (pass) 1L else 0L)
         }.toMap
+        // the data-shape assumption the oracle hardcodes (v1 publishes,
+        // v2 is rejected) is asserted HERE: if the pre-cut window were
+        // empty or carried duplicate event_ids, the pointer would never
+        // be written and the raw file read below would throw a bare
+        // NoSuchFileException far from the cause
+        require(published == 1L,
+          s"pipeline_wap: batch v1 failed its audit (published=$published)" +
+            " — expected a non-empty pre-2024-01-08 window with unique" +
+            " event_ids; nothing was promoted")
         // the consumer's path: resolve the pointer, read that version only
         val current = Files.readString(Paths.get(s"$tmp/CURRENT")).trim
         val lineage = broadcast(s.range(1).select(

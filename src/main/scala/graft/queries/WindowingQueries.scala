@@ -827,8 +827,19 @@ object WindowingQueries extends QueryModule {
           .start()
         q.awaitTermination()
         ev.unpersist(blocking = false)
-        s.read.parquet(sink)
-          .filter(col("p_id") >= 0)
+        val sunk = s.read.parquet(sink).filter(col("p_id") >= 0)
+        // eviction tripwire: the null-padded outer rows are emitted by the
+        // trailing no-data micro-batch under Trigger.AvailableNow — an
+        // empirically verified behavior, NOT a documented Spark contract.
+        // If a Spark change stops running that eviction pass, fail HERE
+        // with a pointed message instead of as an oracle hash mismatch
+        // three layers away (the sink is micro-batch-sized, so this extra
+        // probe action is cheap).
+        require(sunk.filter(col("c_id").isNull).limit(1).count() == 1L,
+          "stream_join_outer: sink contains no null-padded outer rows — " +
+            "the trailing no-data micro-batch did not run the watermark " +
+            "eviction pass (AvailableNow behavior change?)")
+        sunk
           .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"),
             col("user_id"),
             fmtTs(col("p_ts")).as("p_ts"),

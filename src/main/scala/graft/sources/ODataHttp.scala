@@ -1155,7 +1155,18 @@ object ODataBatchClient {
       val id = r.get("id").asText()
       require(r.get("status").asInt() == 200,
         s"odata-http $$batch sub-request '$id' failed: ${r.get("body")}")
-      id -> r.get("body")
+      val body = r.get("body")
+      // the server still paginates at $pagesize inside a $batch
+      // sub-response; silently returning the first page would hand back
+      // partial data as if complete — fail loudly instead. Batch is the
+      // DIMENSION channel: an entity too big for one page belongs on the
+      // paged, partitioned ODataHttpSource scan (or pass an explicit
+      // $pagesize covering the entity in the sub-request url).
+      require(!body.has("@odata.nextLink"),
+        s"odata-http $$batch sub-response '$id' is paginated " +
+          "(@odata.nextLink present): the entity exceeds one page — raise " +
+          "$pagesize on the sub-request or use the paged source scan")
+      id -> body
     }.toMap
   }
 

@@ -86,19 +86,11 @@ object EdmTypes {
   }
 
   /** `CREATE TABLE` DDL string for the JDBC sink — the reference generates the
-    * same shape through SQLAlchemy `Table` objects (sqlDwh.py:320-390). */
-  def ddl(meta: EntityMeta, tablePrefix: String = ""): String = {
-    val cols = meta.fields.map { f =>
-      val t = targetFor(meta.sourceSystem, f)
-      s"${f.fieldName.toLowerCase} ${t.azureSql}"
-    } ++ auditColumns.map { case (n, sqlT, _) => s"$n $sqlT" }
-    val pk =
-      if (meta.entityPk.nonEmpty)
-        Seq(s"PRIMARY KEY (${meta.entityPk.map(_.toLowerCase).mkString(", ")})")
-      else Seq.empty
-    s"CREATE TABLE IF NOT EXISTS ${tablePrefix}${meta.entityName.toLowerCase} " +
-      (cols ++ pk).mkString("(", ", ", ")")
-  }
+    * same shape through SQLAlchemy `Table` objects (sqlDwh.py:320-390).
+    * Azure-authored; `renderType(_, "azuresql")` is the identity, so this
+    * is `ddlDialect(meta, tablePrefix, "azuresql")`. */
+  def ddl(meta: EntityMeta, tablePrefix: String = ""): String =
+    ddlDialect(meta, tablePrefix, "azuresql")
 
   /** The warehouse types are authored in the Azure SQL dialect (reference
     * target); render them for another ANSI target. `derby` is the embedded
@@ -106,7 +98,22 @@ object EdmTypes {
     * production Azure SQL render with every type explicitly bounded
     * (T-SQL quirk: an unlengthed VARCHAR in DDL means VARCHAR(1), and an
     * unlengthed NUMERIC means NUMERIC(18,0) — both silent data loss, so
-    * the engine always renders the bound). */
+    * the engine always renders the bound).
+    *
+    * `mysql`/`postgres` render the OTHER TWO target columns the reference's
+    * type dictionary carries (resources/static/datatypesConvert.json:4-36:
+    * `MySQLDatatype` "TEXT(255)"/"Numeric(scale=3)"/"DateTime"/"BigInteger",
+    * `postgresDatatype` "VARCHAR"/"NUMERIC"/"TIMESTAMP"/"BIGINT") — declared
+    * surface the reference never executes (priorityDataSource.py:546-552
+    * reads only `AzureSQLDatatype`), but a user pointing a config at those
+    * targets would hit it. The dictionary's MySQL strings are SQLAlchemy
+    * constructor expressions (it `eval()`s them); the engine renders what
+    * they MEAN as executable DDL, applying the same explicit-bound rule as
+    * `tsql` where the bare type would silently lose data:
+    *   - `Numeric(scale=3)` → NUMERIC(38,3) (MySQL's bare NUMERIC defaults
+    *     to (10,0) — integer rounding, same failure class as T-SQL's);
+    *   - bare postgres VARCHAR/NUMERIC stay bare: in Postgres those are
+    *     UNLIMITED length/precision — no silent default, nothing to bound. */
   def renderType(azureSql: String, dialect: String): String = dialect match {
     case "derby" => azureSql match {
       case "DATETIME" | "DATETIMEOFFSET" => "TIMESTAMP"
@@ -120,7 +127,34 @@ object EdmTypes {
         // NUMERIC, which Azure SQL defaults to (18,0) and silently rounds to integers
       case other => other
     }
+    case "mysql" => azureSql match {
+      case "VARCHAR" => "TEXT(255)"   // datatypesConvert.json:9 (MySQLDatatype)
+      case "NUMERIC" => "NUMERIC(38,3)" // "Numeric(scale=3)" with the bound explicit
+      case "DATETIMEOFFSET" => "DATETIME" // json:27; MySQL has no offset type
+      case other => other // DATETIME, BIGINT, VARCHAR(n) carry over
+    }
+    case "postgres" => azureSql match {
+      case "DATETIMEOFFSET" | "DATETIME" => "TIMESTAMP" // json:28
+      case other => other // VARCHAR/NUMERIC bare = unlimited in PG; BIGINT
+    }
     case _ => azureSql
+  }
+
+  /** `CREATE TABLE` DDL rendered for a named dialect — `ddl` is the
+    * azure-authored shape; this is the same column walk with every type
+    * passed through `renderType`. `ddl(m, p)` == `ddlDialect(m, p,
+    * "azuresql")` byte-for-byte. */
+  def ddlDialect(meta: EntityMeta, tablePrefix: String, dialect: String): String = {
+    val cols = meta.fields.map { f =>
+      val t = targetFor(meta.sourceSystem, f)
+      s"${f.fieldName.toLowerCase} ${renderType(t.azureSql, dialect)}"
+    } ++ auditColumns.map { case (n, sqlT, _) => s"$n ${renderType(sqlT, dialect)}" }
+    val pk =
+      if (meta.entityPk.nonEmpty)
+        Seq(s"PRIMARY KEY (${meta.entityPk.map(_.toLowerCase).mkString(", ")})")
+      else Seq.empty
+    s"CREATE TABLE IF NOT EXISTS ${tablePrefix}${meta.entityName.toLowerCase} " +
+      (cols ++ pk).mkString("(", ", ", ")")
   }
 
   /** The full T-SQL `CREATE TABLE` in the exact shape the reference's

@@ -55,6 +55,33 @@ class EdmTypesSpec extends AnyFunSuite {
     assert(ddl.contains("PRIMARY KEY (ordname)"))
   }
 
+  test("multi-dialect DDL: golden renders for the dictionary's three targets") {
+    // the reference dictionary (datatypesConvert.json:4-36) declares MySQL
+    // and Postgres target columns it never executes; pin the engine's
+    // render of each byte-for-byte so a mapping drift is a test diff here,
+    // not an oracle mismatch in o16b_ddl_dialects
+    val m = Fixtures.ordersMeta
+    assert(EdmTypes.ddlDialect(m, "stg_", "azuresql") ==
+      EdmTypes.ddl(m, "stg_")) // azure render is the identity
+    assert(EdmTypes.ddlDialect(m, "stg_", "mysql") ==
+      "CREATE TABLE IF NOT EXISTS stg_orders (" +
+        "ordname VARCHAR(255), curdate DATETIME, qprice NUMERIC(38,3), " +
+        "ord BIGINT, extractionid VARCHAR(36), " +
+        "extractiontimestamputc DATETIME, PRIMARY KEY (ordname))")
+    assert(EdmTypes.ddlDialect(m, "stg_", "postgres") ==
+      "CREATE TABLE IF NOT EXISTS stg_orders (" +
+        "ordname VARCHAR(255), curdate TIMESTAMP, qprice NUMERIC, " +
+        "ord BIGINT, extractionid VARCHAR(36), " +
+        "extractiontimestamputc TIMESTAMP, PRIMARY KEY (ordname))")
+    // the non-key String/Decimal cells follow the dictionary rows exactly:
+    // MySQL TEXT(255) / scale-3 numeric, Postgres bare VARCHAR/NUMERIC
+    val s = EdmTypes.renderType(
+      EdmTypes.targetFor("priority",
+        FieldMeta("X", "Edm.String", keyFlag = false)).azureSql, "mysql")
+    assert(s == "TEXT(255)")
+    assert(EdmTypes.renderType("VARCHAR", "postgres") == "VARCHAR")
+  }
+
   test("composite PKs render comma-separated") {
     val m = EntityMeta("T", "priority",
       Seq(FieldMeta("A", "Edm.String", keyFlag = true),

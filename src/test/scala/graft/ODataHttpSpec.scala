@@ -143,6 +143,58 @@ class ODataHttpSpec extends AnyFunSuite {
     assert(rows == 25 && pages == 4, s"rows=$rows pages=$pages") // 7+7+7+4
   }
 
+  test("paging parity: HTTP transport and in-memory registry serve identical pages for one $skiptoken walk") {
+    // Pins the simulation-boundary claim (ODataSource.scala:460-471): "a
+    // production deployment replaces fetchPage/preflight with paged HTTP
+    // and inherits the same executor-side fetch shape". The two transports
+    // must agree page-BY-page — same page count, same rows per page, same
+    // in-page order — not merely row-set-wise, under a walk that exercises
+    // projection + filter + $orderby + a partial final page.
+    import graft.sources.{ODataFilterSyntax, ODataJson, ODataPageRef, ODataSortKey}
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    import org.apache.spark.sql.types.StructType
+    ODataTestServer.register(spark, "nation_parity", s"$sf/nation.parquet")
+    val full = ODataTestServer.schemaOf("nation_parity")
+    val required = StructType(Seq(
+      full("n_nationkey"), full("n_name"), full("n_regionkey")))
+    val filters: Array[org.apache.spark.sql.sources.Filter] =
+      Array(GreaterThanOrEqual("n_nationkey", 3L))
+    val orderBy = Seq(ODataSortKey("n_name", asc = true, nullsFirst = true))
+    val pageSize = 7 // 22 matching rows -> pages of 7,7,7,1
+    // transport 1: the in-memory registry, exactly as ODataSource scans do
+    val (nPages, gen) = ODataTestServer.preflight(
+      "nation_parity", required, filters, None, pageSize, orderBy)
+    val direct = (0 until nPages).map { pn =>
+      ODataTestServer.fetchPage(ODataPageRef("nation_parity", required,
+        filters, None, pn, pageSize, gen, orderBy)).toVector
+    }
+    // transport 2: the HTTP endpoint, following @odata.nextLink
+    import ODataHttpServer.enc
+    var next = Option(s"${ODataHttpServer.endpoint}/nation_parity?" +
+      s"%24select=${enc(required.fieldNames.mkString(","))}" +
+      s"&%24filter=${enc(ODataFilterSyntax.render(filters.toSeq))}" +
+      s"&%24orderby=${enc(ODataFilterSyntax.renderOrderBy(orderBy))}" +
+      s"&%24pagesize=$pageSize")
+    val viaHttp = scala.collection.mutable.ArrayBuffer.empty[Vector[Seq[Any]]]
+    while (next.isDefined) {
+      val node = ODataHttpServer.get(next.get,
+        ODataHttpServer.user, ODataHttpServer.pass)
+      import scala.jdk.CollectionConverters._
+      viaHttp += node.get("value").elements().asScala
+        .map(ODataJson.jsonToSeq(required, _)).toVector
+      next = Option(node.get("@odata.nextLink")).map(_.asText)
+    }
+    // the HTTP walk may end with one empty trailing page on an exact
+    // multiple; here the last page is partial, so counts match exactly
+    assert(viaHttp.length == direct.length,
+      s"page counts differ: http=${viaHttp.length} direct=${direct.length}")
+    direct.indices.foreach { i =>
+      assert(viaHttp(i) == direct(i),
+        s"page $i differs:\nhttp=${viaHttp(i)}\ndirect=${direct(i)}")
+    }
+    assert(direct.map(_.size) == Seq(7, 7, 7, 1), direct.map(_.size))
+  }
+
   test("DSv2 over HTTP: pushdown crosses the wire and results match parquet") {
     ODataTestServer.register(spark, "nation_http_scan", s"$sf/nation.parquet")
     ODataHttpServer.requestLog.clear()
