@@ -396,4 +396,55 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
     ss.sql("DROP TABLE nation_stats")
   }
+
+  test("H.globalRank equals the single-window row_number under the same total order") {
+    // the two-phase parallel rank must be VALUE-identical to
+    // row_number() OVER (ORDER BY ...), including across range-partition
+    // boundaries and under heavy ties (the tie-break key decides)
+    import org.apache.spark.sql.expressions.Window
+    val df = H.tbl(spark, sf, "lineitem")
+      .select(col("l_suppkey").as("k"), col("l_quantity").cast("long").as("v"))
+      .groupBy("k").agg(sum("v").as("v")) // |keys| frame with duplicate v's
+    val ord = Seq(col("v").desc, col("k"))
+    val (ranked, pp) = H.globalRank(df, ord, "rk")
+    try {
+      val got = ranked.orderBy("k").select("k", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val want = df.withColumn("rk",
+          row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        .orderBy("k").select("k", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == want.toSeq)
+      // ranks are a permutation of 1..n (no gap/dup across boundaries)
+      assert(got.map(_._2).sorted.toSeq == (1L to got.length.toLong).toSeq)
+    } finally H.freeLocalCheckpoint(pp)
+  }
+
+  test("H.globalCumSum equals the single-window running sum for longs AND decimals") {
+    import org.apache.spark.sql.expressions.Window
+    val base = H.tbl(spark, sf, "lineitem")
+      .groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("c"),
+        sum(H.dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("d"))
+    val ord = Seq(col("d").desc, col("k")) // ties possible on d; k breaks
+    val (cs, pp) = H.globalCumSum(base, ord, col("c"), "cum")
+    val (csd, ppd) = H.globalCumSum(base, ord, col("d"), "cumd")
+    try {
+      val wantL = base.withColumn("cum", sum("c").over(
+          Window.orderBy(ord: _*)))
+        .orderBy("k").select(col("k"), col("cum").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val gotL = cs.orderBy("k").select(col("k"), col("cum").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(gotL.toSeq == wantL.toSeq)
+      val wantD = base.withColumn("cumd", sum("d").over(
+          Window.orderBy(ord: _*)).cast("decimal(28,2)"))
+        .orderBy("k").select(col("k"), col("cumd").cast("string")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val gotD = csd.orderBy("k")
+        .select(col("k"), col("cumd").cast("decimal(28,2)").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(gotD.toSeq == wantD.toSeq) // exact decimal addition: associative
+    } finally { H.freeLocalCheckpoint(pp); H.freeLocalCheckpoint(ppd) }
+  }
 }
