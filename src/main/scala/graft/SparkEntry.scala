@@ -154,7 +154,8 @@ object SparkEntry {
     qm.SamplingSkewOpsQueries,
     qm.WapCupedOpsQueries,
     qm.LoaderGazetteerOpsQueries,
-    qm.TakedownOpsQueries)
+    qm.TakedownOpsQueries,
+    qm.SubgroupConformalOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

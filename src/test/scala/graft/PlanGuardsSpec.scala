@@ -1402,7 +1402,8 @@ class PlanGuardsSpec extends AnyFunSuite {
       "mix_budget_waterfill" -> "source domain (20 rows)",
       "events_time_to_convert" -> "minute-latency value-count histogram",
       "corpus_vocab_growth" -> "10-row decile frame",
-      "clf_roc_auc" -> "score value-count histogram"
+      "clf_roc_auc" -> "score value-count histogram",
+      "sample_neyman_allocation" -> "language-strata domain (|langs| rows)"
     )
     val winPat = raw"Window [^\n]*\n[^\n]*\n[^\n]*Exchange SinglePartition".r
     var cartesian = List.empty[String]
