@@ -155,7 +155,8 @@ object SparkEntry {
     qm.WapCupedOpsQueries,
     qm.LoaderGazetteerOpsQueries,
     qm.TakedownOpsQueries,
-    qm.SubgroupConformalOpsQueries)
+    qm.SubgroupConformalOpsQueries,
+    qm.CompetingRisksOpsQueries)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)
