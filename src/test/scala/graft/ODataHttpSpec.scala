@@ -450,4 +450,30 @@ class ODataHttpSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("'bad'"), e.getMessage)
   }
+
+  test("$batch: a paginated sub-response fails loudly instead of returning one page as complete") {
+    // The r9 guard: the server still paginates at $pagesize inside a
+    // $batch slot; an entity bigger than one page must NOT silently
+    // truncate to its first page. The client refuses any sub-response
+    // carrying @odata.nextLink with a pointed message — and succeeds
+    // when the sub-request's own $pagesize covers the entity.
+    import graft.sources.ODataBatchClient
+    ODataTestServer.register(spark, "batch_cust", s"$sf/customer.parquet")
+    val total = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(total > 7, s"fixture too small: $total")
+    val e = intercept[IllegalArgumentException] {
+      ODataBatchClient.pull(ODataHttpServer.endpoint,
+        ODataHttpServer.user, ODataHttpServer.pass, Seq(
+          ODataBatchClient.SubRequest("c", "batch_cust?%24pagesize=7")))
+    }
+    assert(e.getMessage.contains("paginated") &&
+      e.getMessage.contains("'c'"), e.getMessage)
+    // explicit $pagesize covering the entity: the same pull succeeds whole
+    val ok = ODataBatchClient.pull(ODataHttpServer.endpoint,
+      ODataHttpServer.user, ODataHttpServer.pass, Seq(
+        ODataBatchClient.SubRequest("c",
+          s"batch_cust?%24pagesize=${total + 1}")))
+    assert(ok("c").get("value").size().toLong == total)
+    assert(!ok("c").has("@odata.nextLink"))
+  }
 }
