@@ -147,6 +147,76 @@ object CorpusScrubQueries extends QueryModule {
 
     // Sub-document dedup: explode docs into positional segments, keep only
     // the globally FIRST occurrence of each distinct segment (by doc_id,
+    // ONION-STYLE DUPLICATED-N-GRAM GATING (r9): gate each document by
+    // the fraction of its distinct 5-grams that appear in ANY other
+    // document — the cross-document duplication rate MassiveText/Gopher
+    // filter on (public: Rae et al. 2021 §A.1.2; the "onion" dedup of
+    // Pomikálek 2011). Distinct from the pairwise dedup family: no pair
+    // is ever formed — and no per-gram frequency JOINS BACK to the gram
+    // stream either. The identity dup = total − owned does it with two
+    // independent reduces: a gram appears in exactly one doc ⟺ its
+    // group has count 1, and that group's max(doc_id) IS the owner, so
+    // the gram-keyed reduce (map-side combined) directly yields per-doc
+    // unique-gram counts; the ORACLE states the textbook df-join form.
+    // (A first cut checkpointed the gram stream and joined df back —
+    // the k=100 probe measured 65 s at slope 10.6; this shape measures
+    // 0.7 s at the same k=100, each gram shuffled once and reduced
+    // map-side.) Docs shorter than
+    // the gram width carry no evidence and are kept. Per-source summary
+    // output (drop share + mean duplication ppm), domain-bounded.
+    Q("dedup_onion_ngram",
+      Some {
+        import graft.functions.{DedupSketches => DS}
+        s"""WITH sh AS (${DS.shinglesSql(5)}),
+           |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS nd
+           |  FROM sh GROUP BY 1),
+           |perdoc AS (
+           |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS total,
+           |    CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS dup
+           |  FROM sh JOIN df USING (shingle) GROUP BY 1),
+           |gated AS (
+           |  SELECT d.doc_id, d.source,
+           |    coalesce(p.dup * 1000000 // p.total, 0) AS dup_ppm
+           |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN dup_ppm > 500000 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dropped,
+           |  CAST(sum(dup_ppm) // count(*) AS BIGINT) AS mean_dup_ppm
+           |FROM gated GROUP BY source ORDER BY source
+           |""".stripMargin
+      },
+      (s, dir) => {
+        import graft.functions.{DedupSketches => DS}
+        val docs = tbl(s, dir, "documents")
+        val sh = DS.shingles(docs, 5) // map-side explode, recomputed by
+                                      // both reduces (cheaper than
+                                      // materializing the gram stream)
+        val total = sh.groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("total"))
+        // count-1 gram groups: max(doc_id) is the sole owner — per-doc
+        // OWNED counts without ever joining frequencies back
+        val owned = sh.groupBy("shingle")
+          .agg(count(lit(1)).as("nd"), max(col("doc_id")).as("doc_id"))
+          .filter(col("nd") === 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("uniq"))
+        val gated = docs.select("doc_id", "source")
+          .join(total, Seq("doc_id"), "left")
+          .join(owned, Seq("doc_id"), "left")
+          .select(col("source"),
+            coalesce(
+              expr("(total - coalesce(uniq, 0)) * 1000000 div total"),
+              lit(0L)).as("dup_ppm"))
+        gated.groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("dup_ppm") > 500000, 1L).otherwise(0L))
+              .cast("long").as("n_dropped"),
+            expr("CAST(sum(dup_ppm) div count(1) AS BIGINT)")
+              .as("mean_dup_ppm"))
+          .orderBy("source")
+      }),
+
     // then position), reassemble survivors in document order. One shuffle
     // on the segment hash — linear, the keep-first shape of `dedup_exact`
     // applied below document granularity (what C4/CCNet do to boilerplate
