@@ -35,7 +35,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "sim_cosine_topk",        // float dot-product ranking, tie discipline
     "mix_temperature",        // weighted-sampling selection
     "pack_contexts",          // prefix-sum pack assignment
-    "emb_kmeans"              // centroid update step
+    "emb_kmeans",             // centroid update step
+    // r9 two-phase primitives: results must not depend on how
+    // repartitionByRange slices the domain (offsets re-derive per run)
+    "events_rfm",             // 3x H.globalRank quintiles
+    "agg_pareto_abc",         // H.globalCumSum over the parts domain
+    "stats_conformal_interval", // histogram + cumsum exact selection
+    "rank_exposure_fairness"  // salted two-phase grouped top-k
   )
 
   private def rows(name: String): Seq[String] = {
