@@ -65,9 +65,7 @@ object LlmQueries2 extends QueryModule {
     // Embedding-cosine near-dup: candidates from hyperplane-bucket
     // co-residency (never all-pairs), verified sim >= 0.4.
     Q("dedup_embedding_cosine",
-      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        s"n AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm, " +
-        s"${VS.lshBucketSql("v")} AS bucket FROM e), " +
+      Some(s"WITH ${VS.skewCappedCtesSql}, " +
         "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
         s"(${VS.dotSql("a.v", "b.v")}) / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim " +
         "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
@@ -76,11 +74,11 @@ object LlmQueries2 extends QueryModule {
         import graft.functions.{CustomExpressions => CE}
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        // count-adaptive plane count (== the oracle's 8 planes at every
-        // gate SF; grows with the corpus so buckets never saturate — see
-        // VS.planesFor). The count() is a parquet-metadata job, not a scan.
-        val n = e.withColumn("bucket",
-          VS.lshBucketN("v", VS.planesFor(e.count()))).cache()
+        // skew-capped join keys (== the oracle's plain 8-plane buckets at
+        // every gate SF; mega-buckets split on longer prefixes at corpus
+        // scale — see VS.skewCappedKey). count() is a metadata job.
+        val (nk, sigCk) = VS.skewCappedKey(e, "v", e.count(), "bucket")
+        val n = nk.cache()
         val a = n.select(col("vec_id").as("vec_a"), col("v").as("av"),
           col("bucket"))
         val b = n.select(col("vec_id").as("vec_b"), col("v").as("bv"),
@@ -90,7 +88,7 @@ object LlmQueries2 extends QueryModule {
             .withColumn("sim", CE.cosine_sim(col("av"), col("bv")))
             .filter(col("sim") >= 0.4)
             .select("vec_a", "vec_b", "sim").orderBy("vec_a", "vec_b"),
-          caches = Seq(n))
+          caches = Seq(n), checkpoints = Seq(sigCk))
       }),
 
     // Multimodal resize + feature-extract over TRUE pixels: each doc is

@@ -54,9 +54,7 @@ object OutlierOpsQueries extends QueryModule {
     // through the n_cand column rather than silently ranked (no silent
     // coverage gap). Distances stay micro-rounded integers.
     Q("emb_knn_outliers",
-      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        s"n AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm, " +
-        s"${VS.lshBucketSql("v")} AS bucket FROM e), " +
+      Some(s"WITH ${VS.skewCappedCtesSql}, " +
         "p AS (SELECT a.vec_id AS id, b.vec_id AS nb, " +
         s"CAST(round((1 - (${VS.dotSql("a.v", "b.v")}) / (sqrt(a.nrm) * sqrt(b.nrm))) * 1000000) AS BIGINT) AS dist_micro " +
         "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
@@ -70,8 +68,8 @@ object OutlierOpsQueries extends QueryModule {
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val n = e.withColumn("bucket",
-          VS.lshBucketN("v", VS.planesFor(e.count()))).localCheckpoint()
+        val (nk, sigCk) = VS.skewCappedKey(e, "v", e.count(), "bucket")
+        val n = nk.localCheckpoint()
         val p = n.select(col("vec_id").as("id"), col("v").as("av"), col("bucket"))
           .join(n.select(col("vec_id").as("nb"), col("v").as("bv"),
             col("bucket").as("bb")),
@@ -92,7 +90,7 @@ object OutlierOpsQueries extends QueryModule {
           top.withColumn("rnk", row_number().over(
               Window.orderBy(col("knn3_micro").desc, col("id"))).cast("long"))
             .select("rnk", "id", "knn3_micro", "n_cand").orderBy("rnk"),
-          caches = Nil, checkpoints = Seq(n))
+          caches = Nil, checkpoints = Seq(n, sigCk))
       }),
 
     // Bounded all-pairs shortest paths: multi-source BFS — state is

@@ -179,9 +179,7 @@ object PeriodicityOpsQueries extends QueryModule {
     // many antihubs is the canonical symptom that cosine retrieval over
     // this space will concentrate on a few hub vectors.
     Q("emb_hubness_audit",
-      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        s"n AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm, " +
-        s"${VS.lshBucketSql("v")} AS bucket FROM e), " +
+      Some(s"WITH ${VS.skewCappedCtesSql}, " +
         "p AS (SELECT a.vec_id AS src, b.vec_id AS dst, " +
         s"(${VS.dotSql("a.v", "b.v")}) / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim " +
         "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
@@ -217,18 +215,22 @@ object PeriodicityOpsQueries extends QueryModule {
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val n = e.withColumn("bucket",
-            VS.lshBucketN("v", VS.planesFor(e.count())))
-          .withColumn("nrm", VS.norm2("v"))
-          .localCheckpoint()
+        val (nk, sigCk) = VS.skewCappedKey(e, "v", e.count(), "bucket")
+        val n = nk.localCheckpoint()
         val a = n.select(col("vec_id").as("src"), col("v").as("av"),
-          col("nrm").as("an"), col("bucket"))
+          col("bucket"))
         val b = n.select(col("vec_id").as("dst"), col("v").as("bv"),
-          col("nrm").as("bn"), col("bucket").as("bucket_b"))
+          col("bucket").as("bucket_b"))
+        // fused native cosine (bit-identical to the unrolled oracle form)
+        // + array columns projected away BEFORE the ranking window: the
+        // unrolled 64-term chain broke whole-stage codegen and the window
+        // shuffled kilobyte rows — measured 17x/decade at 20k vectors,
+        // 1.4x after this rewrite (same fix as sim_graph_walk_eval)
         val knn = a.join(b,
             col("bucket") === col("bucket_b") && col("src") =!= col("dst"))
-          .withColumn("sim", VS.dot("av", "bv") /
-            (sqrt(col("an")) * sqrt(col("bn"))))
+          .withColumn("sim", graft.functions.CustomExpressions.cosine_sim(
+            col("av"), col("bv")))
+          .select("src", "dst", "sim")
           .withColumn("rnk", row_number().over(
             Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))))
           .filter(col("rnk") <= 5)
@@ -258,7 +260,7 @@ object PeriodicityOpsQueries extends QueryModule {
             col("hub_vec").cast("long").as("top_hub_vec"),
             when(m2 <= 0.0, 0.0).otherwise(m3 / (m2 * sqrt(m2)))
               .as("skew_g1"))
-        H.materialized(out, Nil, Seq(n, occ))
+        H.materialized(out, Nil, Seq(n, occ, sigCk))
       }),
 
     // Burrows' Delta between language sub-corpora: z-score each

@@ -301,9 +301,7 @@ object SuffixOpsQueries extends QueryModule {
     // unordered pair and requiring count = 2 implements mutuality with
     // one shuffle, no second self-join.
     Q("sim_knn_graph",
-      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        s"n AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm, " +
-        s"${VS.lshBucketSql("v")} AS bucket FROM e), " +
+      Some(s"WITH ${VS.skewCappedCtesSql}, " +
         "p AS (SELECT a.vec_id AS src, b.vec_id AS dst, " +
         s"(${VS.dotSql("a.v", "b.v")}) / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim " +
         "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
@@ -316,8 +314,11 @@ object SuffixOpsQueries extends QueryModule {
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val n = e.withColumn("bucket",
-          VS.lshBucketN("v", VS.planesFor(e.count()))).localCheckpoint()
+        // skew-capped join keys: oversized buckets split on longer prefixes
+        // so the pair stream never goes quadratic in a mega-bucket
+        // (identical to the plain 8-plane bucketing at gate SFs)
+        val (nk, sigCk) = VS.skewCappedKey(e, "v", e.count(), "bucket")
+        val n = nk.localCheckpoint()
         val a = n.select(col("vec_id").as("src"), col("v").as("av"),
           col("bucket"))
         val b = n.select(col("vec_id").as("dst"), col("v").as("bv"),
@@ -327,6 +328,7 @@ object SuffixOpsQueries extends QueryModule {
             col("bucket") === col("bucket_b") && col("src") =!= col("dst"))
           .withColumn("sim",
             graft.functions.CustomExpressions.cosine_sim(col("av"), col("bv")))
+          .select("src", "dst", "sim")
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .select("src", "dst", "sim")
@@ -336,7 +338,7 @@ object SuffixOpsQueries extends QueryModule {
             .agg(min("sim").as("sim"), count(lit(1)).as("deg"))
             .filter(col("deg") === 2).drop("deg")
             .orderBy("a", "b"),
-          caches = Nil, checkpoints = Seq(n))
+          caches = Nil, checkpoints = Seq(n, sigCk))
       }))
 
   /** RAKE stopword list — deliberately small and inline so the oracle
