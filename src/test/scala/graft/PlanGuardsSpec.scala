@@ -1403,7 +1403,8 @@ class PlanGuardsSpec extends AnyFunSuite {
       "events_time_to_convert" -> "minute-latency value-count histogram",
       "corpus_vocab_growth" -> "10-row decile frame",
       "clf_roc_auc" -> "score value-count histogram",
-      "sample_neyman_allocation" -> "language-strata domain (|langs| rows)"
+      "sample_neyman_allocation" -> "language-strata domain (|langs| rows)",
+      "stats_hill_tail" -> "top-401 TakeOrdered frame (bounded by construction)"
     )
     val winPat = raw"Window [^\n]*\n[^\n]*\n[^\n]*Exchange SinglePartition".r
     var cartesian = List.empty[String]
