@@ -182,14 +182,20 @@ object VectorSim {
 
   /** Oracle-side CTE pair for the same construction over the 8-plane base
     * (valid at every gate SF, where planesFor(n) == NumPlanes): emits
-    * `s0` (vec_id, v, nrm, sig) and `n` (.. bucket) from `embeddings`. */
+    * `s0` (vec_id, v, nrm, sig) and `n` (.. bucket) from `embeddings`.
+    * s0/n are MATERIALIZED (r10 oracle-memory discipline, same class as
+    * the r8/r9 OOM fixes): s0 carries the 20-plane signature expression —
+    * ~130k chars of unrolled arithmetic — and n is self-joined by every
+    * consumer; without the hints DuckDB inlines that expression into BOTH
+    * join sides of every downstream pass, which is exactly the footprint
+    * shape that flaked in the driver's long-lived comparator process. */
   def skewCappedCtesSql: String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |s0 AS (SELECT vec_id, v, (${norm2Sql("v")}) AS nrm,
+       |s0 AS MATERIALIZED (SELECT vec_id, v, (${norm2Sql("v")}) AS nrm,
        |  ${lshBucketSqlN("v", NumPlanes + SubExtra)} AS sig FROM e),
        |bc AS (SELECT substr(sig, 1, $NumPlanes) AS base,
        |  CAST(count(*) AS BIGINT) AS cnt FROM s0 GROUP BY 1),
-       |n AS (SELECT s0.vec_id, s0.v, s0.nrm,
+       |n AS MATERIALIZED (SELECT s0.vec_id, s0.v, s0.nrm,
        |  substr(s0.sig, 1, ${subDepthSql("bc.cnt", NumPlanes)}) AS bucket
        |  FROM s0 JOIN bc ON substr(s0.sig, 1, $NumPlanes) = bc.base)"""
       .stripMargin

@@ -121,9 +121,9 @@ object ChunkOpsQueries extends QueryModule {
     // side reuses the production bucket join. recall_micro = hits·1e5/10.
     Q("sim_ann_recall_eval",
       Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        s"n AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm, " +
+        s"n AS MATERIALIZED (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm, " +
         s"${VS.lshBucketSql("v")} AS bucket FROM e), " +
-        "q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qb FROM n WHERE vec_id < 20), " +
+        "q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qb FROM n WHERE vec_id < 20), " +
         "ex AS (SELECT qid, vid FROM (SELECT q.qid, c.vec_id AS vid, " +
         s"row_number() OVER (PARTITION BY q.qid ORDER BY (${VS.dotSql("q.qv", "c.v")}) / (sqrt(q.qn) * sqrt(c.nrm)) DESC, c.vec_id) AS rnk " +
         "FROM q CROSS JOIN n c WHERE c.vec_id <> q.qid) WHERE rnk <= 10), " +

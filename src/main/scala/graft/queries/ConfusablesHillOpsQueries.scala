@@ -70,7 +70,11 @@ object ConfusablesHillOpsQueries extends QueryModule {
           .agg(countDistinct("doc_id").cast("long").as("n_docs"),
             countDistinct("fdoc").cast("long").as("flagged_docs"),
             count(col("t")).cast("long").as("flagged_tokens"),
-            countDistinct(expr("regexp_extract(t, '[^\\x00-\\x7F]', 0)"))
+            // Column API, NOT expr(): the SQL string-literal parser strips
+            // the backslash, turning [^\x00-\x7F] into [^x00-x7F] — a char
+            // class over '0'..'x' that matches 'y'/'z'/punctuation before
+            // the first real non-ASCII char (r9 advisor catch)
+            countDistinct(regexp_extract(col("t"), "[^\\x00-\\x7F]", 0))
               .cast("long").as("n_confusable_chars"))
           .orderBy("lang")
         graft.H.materialized(out, Nil, Seq(planted))

@@ -216,22 +216,22 @@ object InterleaveOpsQueries extends QueryModule {
     Q("sim_filtered_topk",
       Some("WITH e AS (SELECT vec_id, label, " +
         "embedding::DOUBLE[] AS v FROM embeddings), " +
-        s"n AS (SELECT vec_id, label, v, " +
+        s"n AS MATERIALIZED (SELECT vec_id, label, v, " +
         s"(${graft.functions.VectorSim.norm2Sql("v")}) AS nrm FROM e), " +
-        "q AS (SELECT vec_id AS qid, label AS ql, v AS qv, nrm AS qn " +
+        "q AS MATERIALIZED (SELECT vec_id AS qid, label AS ql, v AS qv, nrm AS qn " +
         "FROM n WHERE vec_id < 10), " +
-        "sims AS (SELECT q.qid, q.ql, c.vec_id AS vid, " +
+        "sims AS MATERIALIZED (SELECT q.qid, q.ql, c.vec_id AS vid, " +
         "c.label AS cl, " +
         s"(${graft.functions.VectorSim.dotSql("q.qv", "c.v")}) " +
         "/ (sqrt(q.qn) * sqrt(c.nrm)) AS sim " +
         "FROM q CROSS JOIN n c WHERE c.vec_id <> q.qid), " +
-        "truth AS (SELECT qid, vid FROM (SELECT qid, vid, " +
+        "truth AS MATERIALIZED (SELECT qid, vid FROM (SELECT qid, vid, " +
         "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) " +
         "AS rnk FROM sims WHERE cl = ql) WHERE rnk <= 5), " +
         "pre AS (SELECT qid, vid, cl, ql FROM (SELECT qid, vid, cl, ql, " +
         "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) " +
         "AS rnk FROM sims) WHERE rnk <= 20), " +
-        "post AS (SELECT qid, vid FROM (SELECT qid, vid, " +
+        "post AS MATERIALIZED (SELECT qid, vid FROM (SELECT qid, vid, " +
         "row_number() OVER (PARTITION BY qid ORDER BY vid) AS k " +
         "FROM pre WHERE cl = ql) WHERE k <= 5) " +
         "SELECT CAST(count(*) AS BIGINT) AS truth_pairs, " +

@@ -117,27 +117,33 @@ object LlmQueries extends QueryModule {
     // ---- similarity search ----------------------------------------------
 
     // Brute-force cosine top-5 for 10 query vectors (exact baseline).
+    // Oracle memory discipline (r9 red row, duckdb OOM in the driver's
+    // long-lived process): n is MATERIALIZED once (norms computed N times,
+    // not 2N× through two inlined references), and the 10-vector query side
+    // is hoisted into its own MATERIALIZED CTE so the product DuckDB plans
+    // is 10×N with precomputed norms — never an N×N-shaped allocation.
     Q("sim_cosine_topk",
       Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        s"n AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm FROM e), " +
+        s"n AS MATERIALIZED (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm FROM e), " +
+        "qn AS MATERIALIZED (SELECT vec_id, v, nrm FROM n WHERE vec_id < 10), " +
         "p AS (SELECT q.vec_id AS qid, c.vec_id AS vid, " +
         s"(${VS.dotSql("q.v", "c.v")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS sim " +
-        "FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) " +
+        "FROM qn q, n c WHERE c.vec_id <> q.vec_id) " +
         "SELECT qid, vid, CAST(row_number() OVER " +
         "(PARTITION BY qid ORDER BY sim DESC, vid) AS BIGINT) AS rnk, sim " +
         "FROM p QUALIFY rnk <= 5 ORDER BY qid, rnk"),
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val n = e.withColumn("nrm", VS.norm2("v"))
-        val q = n.select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn")).filter(col("qid") < 10)
-        val c = n.select(col("vec_id").as("vid"), col("v").as("cv"),
-          col("nrm").as("cn"))
+        val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+          .filter(col("qid") < 10)
+        val c = e.select(col("vec_id").as("vid"), col("v").as("cv"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
+        // fused native cosine (single-loop dot+norms, bit-identical to the
+        // oracle's unrolled form — same left-assoc accumulation)
         c.join(broadcast(q), col("vid") =!= col("qid"))
           .withColumn("sim",
-            VS.dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
+            graft.functions.CustomExpressions.cosine_sim(col("qv"), col("cv")))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 5)
           .select("qid", "vid", "rnk", "sim").orderBy("qid", "rnk")

@@ -31,8 +31,13 @@ object MultiTableFleissOpsQueries extends QueryModule {
     // and exists because this is an eval.
     Q("sim_ann_multitable",
       Some {
+        // every multi-referenced CTE is MATERIALIZED (r10 oracle-memory
+        // discipline): e2 carries the unrolled norm (referenced 7×), each
+        // n$t is probed twice (candidate leg + correlated bucket lookup),
+        // and cand/ex/a* feed correlated per-probe counts — inlining any
+        // of them multiplies 64-term expression trees across the plan
         val tableCtes = (0 until Tables).map { t =>
-          s"n$t AS (SELECT vec_id, v, nrm, " +
+          s"n$t AS MATERIALIZED (SELECT vec_id, v, nrm, " +
             s"${VS.lshBucketSqlRange("v", t * 8, 8)} AS b FROM e2)"
         }.mkString(", ")
         val candLegs = (0 until Tables).map { t =>
@@ -41,27 +46,27 @@ object MultiTableFleissOpsQueries extends QueryModule {
             "AND c.vec_id <> q.qid"
         }.mkString(" UNION ")
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-          s"e2 AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm FROM e), " +
+          s"e2 AS MATERIALIZED (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm FROM e), " +
           s"$tableCtes, " +
-          "qs AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e2 WHERE vec_id < 20), " +
-          s"cand1 AS (SELECT q.qid, c.vec_id AS vid FROM qs q " +
+          "qs AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e2 WHERE vec_id < 20), " +
+          s"cand1 AS MATERIALIZED (SELECT q.qid, c.vec_id AS vid FROM qs q " +
           "JOIN n0 c ON c.b = (SELECT b FROM n0 WHERE vec_id = q.qid) " +
           "AND c.vec_id <> q.qid), " +
-          s"cand3 AS ($candLegs), " +
-          "ex AS (SELECT qid, vid FROM (SELECT q.qid, c.vec_id AS vid, " +
+          s"cand3 AS MATERIALIZED ($candLegs), " +
+          "ex AS MATERIALIZED (SELECT qid, vid FROM (SELECT q.qid, c.vec_id AS vid, " +
           s"row_number() OVER (PARTITION BY q.qid ORDER BY (${VS.dotSql("q.qv", "c.v")}) / (sqrt(q.qn) * sqrt(c.nrm)) DESC, c.vec_id) AS rnk " +
           "FROM qs q CROSS JOIN e2 c WHERE c.vec_id <> q.qid) WHERE rnk <= 10), " +
-          "a1 AS (SELECT qid, vid FROM (SELECT q.qid, c.vec_id AS vid, " +
+          "a1 AS MATERIALIZED (SELECT qid, vid FROM (SELECT q.qid, c.vec_id AS vid, " +
           s"row_number() OVER (PARTITION BY q.qid ORDER BY (${VS.dotSql("q.qv", "c.v")}) / (sqrt(q.qn) * sqrt(c.nrm)) DESC, c.vec_id) AS rnk " +
           "FROM qs q JOIN cand1 ON cand1.qid = q.qid JOIN e2 c ON c.vec_id = cand1.vid) WHERE rnk <= 10), " +
-          "a3 AS (SELECT qid, vid FROM (SELECT q.qid, c.vec_id AS vid, " +
+          "a3 AS MATERIALIZED (SELECT qid, vid FROM (SELECT q.qid, c.vec_id AS vid, " +
           s"row_number() OVER (PARTITION BY q.qid ORDER BY (${VS.dotSql("q.qv", "c.v")}) / (sqrt(q.qn) * sqrt(c.nrm)) DESC, c.vec_id) AS rnk " +
           "FROM qs q JOIN cand3 ON cand3.qid = q.qid JOIN e2 c ON c.vec_id = cand3.vid) WHERE rnk <= 10) " +
           "SELECT qs.qid, " +
           "CAST(coalesce((SELECT count(*) FROM cand1 WHERE cand1.qid = qs.qid), 0) AS BIGINT) AS n_cand_1t, " +
           "CAST(coalesce((SELECT count(*) FROM cand3 WHERE cand3.qid = qs.qid), 0) AS BIGINT) AS n_cand_3t, " +
-          "CAST(coalesce((SELECT count(*) FROM ex JOIN a1 ON a1.qid = ex.qid AND a1.vid = ex.vid WHERE ex.qid = qs.qid), 0) * 100000 // 10 AS BIGINT) AS recall1_micro, " +
-          "CAST(coalesce((SELECT count(*) FROM ex JOIN a3 ON a3.qid = ex.qid AND a3.vid = ex.vid WHERE ex.qid = qs.qid), 0) * 100000 // 10 AS BIGINT) AS recall3_micro " +
+          "CAST(coalesce((SELECT count(*) FROM ex JOIN a1 ON a1.qid = ex.qid AND a1.vid = ex.vid WHERE ex.qid = qs.qid), 0) * 1000000 // 10 AS BIGINT) AS recall1_micro, " +
+          "CAST(coalesce((SELECT count(*) FROM ex JOIN a3 ON a3.qid = ex.qid AND a3.vid = ex.vid WHERE ex.qid = qs.qid), 0) * 1000000 // 10 AS BIGINT) AS recall3_micro " +
           "FROM qs ORDER BY qs.qid"
       },
       (s, dir) => {
@@ -123,9 +128,12 @@ object MultiTableFleissOpsQueries extends QueryModule {
           .select(col("qid"),
             coalesce(col("n1"), lit(0L)).cast("long").as("n_cand_1t"),
             coalesce(col("n3"), lit(0L)).cast("long").as("n_cand_3t"),
-            expr("CAST(coalesce(h1, 0) * 100000 div 10 AS BIGINT)")
+            // ×10^6/10 — true per-million scale, consistent with the
+            // _micro suffix convention everywhere else (r9 advisor: the
+            // old ×10^5 was a per-10k value mislabeled as micro)
+            expr("CAST(coalesce(h1, 0) * 1000000 div 10 AS BIGINT)")
               .as("recall1_micro"),
-            expr("CAST(coalesce(h3, 0) * 100000 div 10 AS BIGINT)")
+            expr("CAST(coalesce(h3, 0) * 1000000 div 10 AS BIGINT)")
               .as("recall3_micro"))
           .orderBy("qid")
         graft.H.materialized(out, Nil, Seq(e2, cand1, cand3, ex))

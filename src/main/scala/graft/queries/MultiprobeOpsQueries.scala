@@ -33,16 +33,16 @@ object MultiprobeOpsQueries extends QueryModule {
           .map(p => s"WHEN $p THEN d$p").mkString(" ")
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
            |  FROM embeddings),
-           |n AS (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm,
+           |n AS MATERIALIZED (SELECT vec_id, v, (${VS.norm2Sql("v")}) AS nrm,
            |  ${VS.lshBucketSql("v")} AS bucket FROM e),
-           |q0 AS (SELECT vec_id, v, nrm, bucket, $dCols FROM n
+           |q0 AS MATERIALIZED (SELECT vec_id, v, nrm, bucket, $dCols FROM n
            |  WHERE vec_id < 10),
            |m AS (SELECT vec_id, i,
            |  abs(CASE i $dCase END) AS ad FROM q0,
            |  unnest(range(0, ${VS.NumPlanes})) t(i)),
            |fl AS (SELECT vec_id, i, row_number() OVER
            |  (PARTITION BY vec_id ORDER BY ad, i) AS rn FROM m),
-           |pr AS (SELECT q0.vec_id AS qid, q0.v AS qv, q0.nrm AS qn,
+           |pr AS MATERIALIZED (SELECT q0.vec_id AS qid, q0.v AS qv, q0.nrm AS qn,
            |    q0.bucket AS probe FROM q0
            |  UNION ALL
            |  SELECT q0.vec_id, q0.v, q0.nrm,

@@ -71,9 +71,14 @@ object TextRankMetaOpsQueries extends QueryModule {
         val tl = tbl(s, dir, "documents")
           .filter(length(col("text")) > 0)
           .select(split(col("text"), " ").as("ts"))
+        // size(ts) >= 2 guard (r9 advisor, medium): sequence(1, 0) is the
+        // DESCENDING [1, 0] in Spark, so a single-token document would hit
+        // element_at(ts, 0) and abort under ANSI — DuckDB's range(1, 1) is
+        // empty for the same input, matching the filtered form exactly
         val pr = tl
+          .filter(size(col("ts")) >= 2)
           .select(explode(expr(
-            """transform(sequence(1, greatest(size(ts) - 1, 0)), i ->
+            """transform(sequence(1, size(ts) - 1), i ->
               | named_struct('a', element_at(ts, i),
               |   'b', element_at(ts, i + 1)))""".stripMargin)).as("p"))
           .select(col("p.a").as("a"), col("p.b").as("b"))

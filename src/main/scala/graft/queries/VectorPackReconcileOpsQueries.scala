@@ -175,18 +175,18 @@ object VectorPackReconcileOpsQueries extends QueryModule {
           |  WHERE year(o_orderdate) IN (1996, 1997)
           |  GROUP BY 1, 2),
           |base AS (SELECT region, nat, c96, c97,
-          |    c97 * (c97 * 1000 // c96) // 1000 AS fc FROM a),
+          |    c97 * (c97 * 1000 // greatest(c96, 1)) // 1000 AS fc FROM a),
           |reg AS (SELECT region, CAST(sum(c96) AS BIGINT) AS r96,
           |    CAST(sum(c97) AS BIGINT) AS r97,
           |    CAST(sum(fc) AS BIGINT) AS bu
           |  FROM base GROUP BY 1),
           |rfc AS (SELECT region, r96, r97, bu,
-          |    r97 * (r97 * 1000 // r96) // 1000 AS rf FROM reg),
+          |    r97 * (r97 * 1000 // greatest(r96, 1)) // 1000 AS rf FROM reg),
           |alloc AS (
           |  SELECT b.region, b.nat, b.fc, rfc.rf, rfc.bu,
-          |    rfc.rf * b.c97 // rfc.r97 AS floor_td,
-          |    rfc.rf * b.c97 % rfc.r97 AS rem,
-          |    rfc.rf - CAST(sum(rfc.rf * b.c97 // rfc.r97) OVER
+          |    rfc.rf * b.c97 // greatest(rfc.r97, 1) AS floor_td,
+          |    rfc.rf * b.c97 % greatest(rfc.r97, 1) AS rem,
+          |    rfc.rf - CAST(sum(rfc.rf * b.c97 // greatest(rfc.r97, 1)) OVER
           |      (PARTITION BY b.region) AS BIGINT) AS short
           |  FROM base b JOIN rfc ON rfc.region = b.region),
           |td AS (
@@ -217,16 +217,22 @@ object VectorPackReconcileOpsQueries extends QueryModule {
             sum(when(year(col("o_orderdate")) === 1997,
               floor(col("o_totalprice") + lit(0.5)).cast("long"))
               .otherwise(0L)).cast("long").as("c97"))
+        // denominators guarded with greatest(x, 1) on BOTH sides (r9
+        // advisor): a (region, nation) group with 1997 orders but no 1996
+        // orders — plausible on sparse SFs — would otherwise abort both
+        // engines on divide-by-zero. A zero year-total forces the matching
+        // numerator to 0, so the guard never shifts a real forecast.
         val base = a.withColumn("fc",
-          expr("c97 * (c97 * 1000 div c96) div 1000"))
+          expr("c97 * (c97 * 1000 div greatest(c96, 1)) div 1000"))
         val rfc = base.groupBy("region")
           .agg(sum("c96").cast("long").as("r96"),
             sum("c97").cast("long").as("r97"),
             sum("fc").cast("long").as("bu"))
-          .withColumn("rf", expr("r97 * (r97 * 1000 div r96) div 1000"))
+          .withColumn("rf",
+            expr("r97 * (r97 * 1000 div greatest(r96, 1)) div 1000"))
         val alloc = base.join(broadcast(rfc), Seq("region"))
-          .withColumn("floor_td", expr("rf * c97 div r97"))
-          .withColumn("rem", expr("rf * c97 % r97"))
+          .withColumn("floor_td", expr("rf * c97 div greatest(r97, 1)"))
+          .withColumn("rem", expr("rf * c97 % greatest(r97, 1)"))
           .withColumn("short", col("rf") -
             sum("floor_td").over(Window.partitionBy("region")))
         val td = alloc.withColumn("td_fc",

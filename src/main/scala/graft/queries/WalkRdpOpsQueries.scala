@@ -214,8 +214,13 @@ object WalkRdpOpsQueries extends QueryModule {
     // engines). Scale shape: one fact-sized (brand, month) reduce; the
     // recursion is a per-brand worklist of segments over the calendar-
     // bounded 80-point grid — segment frames shrink as splits finalize,
-    // every round is a bounded map, 16 rounds cover any split tree the
-    // 80-point grid can produce.
+    // every round is a bounded map. The 16-round cap is an INTENTIONAL
+    // truncation, mirrored exactly by the oracle's `t = $RdpRounds` stop:
+    // worst-case RDP split depth on 80 points is ~78 (every split peeling
+    // a 2-point segment), but real revenue curves split log-deep, and any
+    // segment still open at round 16 is emitted as-is by BOTH engines —
+    // parity holds by construction; the cap bounds cost, not correctness
+    // of the compare. Raising it costs one checkpointed pass per round.
     Q("ts_rdp_simplify",
       Some {
         val dev = """[abs( (s.pts[-1].m - s.pts[1].m) * (p.y - s.pts[1].y)

@@ -90,6 +90,25 @@ class CorpusScrubSpec extends AnyFunSuite {
     val exchanges = "Exchange ".r.findAllIn(plan).size
     assert(exchanges <= 1, s"map stage must not shuffle beyond the final sort:\n$plan")
   }
+  // text_confusables_audit regression (r9 advisor, high): the extract MUST
+  // go through the Column API — expr("regexp_extract(t,'[^\\x00-\\x7F]',0)")
+  // has its backslashes stripped by the SQL string-literal parser, yielding
+  // the char class [^x00-x7F] ('0'..'x'), which pulls 'y' out of "yeаh"
+  // instead of the Cyrillic 'а' the DuckDB oracle extracts.
+  test("confusable-char extract returns the first NON-ASCII char, not y/z/punct") {
+    import spark.implicits._
+    val planted = Seq("yeаh", "zoneа", "{weird}а", "plainа").toDF("t")
+      .withColumn("c", regexp_extract(col("t"), "[^\\x00-\\x7F]", 0))
+      .select("c").as[String].collect().toSeq
+    assert(planted == Seq("а", "а", "а", "а"), planted)
+    // and the broken form really is broken on this engine — pin the hazard
+    // so nobody "simplifies" the Column call back into expr()
+    val viaExpr = Seq("yeаh").toDF("t")
+      .withColumn("c", expr("regexp_extract(t, '[^\\x00-\\x7F]', 0)"))
+      .select("c").as[String].collect().head
+    assert(viaExpr == "y", s"SQL-literal stripping changed: got '$viaExpr'")
+  }
+
   // vocab_bpe_merge / vocab_bpe_train depend on replace() over the
   // boundary-doubled form realizing BPE's GREEDY LEFT-TO-RIGHT
   // NON-OVERLAPPING merge identically in Spark and DuckDB; pin the

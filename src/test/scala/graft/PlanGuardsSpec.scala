@@ -1468,6 +1468,29 @@ class PlanGuardsSpec extends AnyFunSuite {
     } finally H.freeLocalCheckpoint(cb)
   }
 
+  test("rec_item_item_cf: neighbor-count lookup is a shuffle join, not a part-domain broadcast") {
+    // r9 verdict nit: broadcast(n) shipped per-part order counts for ALL
+    // parts — the part domain grows with the corpus, so at 100x parts that
+    // broadcast outgrows sane limits. Focus-side broadcast (<100 parts by
+    // construction) stays; the neighbor-side lookup joins the already-
+    // aggregated pair frame on pk (mirror of the jaccard guard above).
+    // autoBroadcastJoinThreshold is disabled for the probe: at gate SF the
+    // optimizer legitimately size-broadcasts everything, which a 1000×
+    // corpus would not — the guard must see only the EXPLICIT hints.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (out, li) = graft.queries.RecsysOpsQueries.itemItemFrames(spark, sf)
+      val plan =
+        try out.queryExecution.executedPlan.toString
+        finally H.freeLocalCheckpoint(li)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"neighbor-count join not a shuffle join:\n$plan")
+      assert("BroadcastExchange".r.findAllIn(plan).size <= 1,
+        s"more than the one bounded focus-side broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q21_waiting_supplier: one aggregated pass — no checkpoint, no semi/anti replay") {
     // the r9 rewrite collapses the EXISTS/NOT-EXISTS chain into per-order
     // supplier counts: the fact is never materialized (no RDD scan) and

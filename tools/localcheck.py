@@ -36,6 +36,14 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Bounded footprint for the long-lived comparator connection: with the
+    # default (80% of RAM) limit and 32 threads, the heavy unrolled-vector
+    # oracles can spike transient allocations until a malloc fails
+    # nondeterministically late in the 697-oracle sweep (r9's
+    # sim_cosine_topk red was this class). A modest limit forces spilling
+    # instead, and fewer threads cap the per-query arena spike.
+    con.execute("SET memory_limit='4GB'")
+    con.execute("SET threads=8")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
