@@ -118,13 +118,23 @@ object Bench {
     final case class Attempt(sec: Double, ok: Boolean)
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Attempt = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      Attempt((System.nanoTime() - t0) / 1e9, ok)
+      try {
+        val df = fn(spark, sfDir)
+        df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // free the result's own localCheckpoint blocks once counted:
+        // H.materialized releases a query's INPUTS, but the checkpointed
+        // result frame itself otherwise lingers in executor storage until
+        // GC reaches the RDD reference — across a 697-query run that is
+        // the rising heap floor (13.4 GB tail in r9) that turns host
+        // pauses into 4x stall entries (r9 verdict item 5). Timed BEFORE
+        // the free: block release is bookkeeping, not query cost.
+        H.freeLocalCheckpoint(df)
+        Attempt(sec, ok = true)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        Attempt((System.nanoTime() - t0) / 1e9, ok = false)
+      }
     }
     val suspects = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -28,9 +28,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // release the result's own localCheckpoint blocks (H.materialized
+        // frees a query's INPUTS; the checkpointed result itself would
+        // otherwise sit in executor storage until GC notices — across ~700
+        // queries that is a steadily rising heap floor, r9 verdict item 5)
+        H.freeLocalCheckpoint(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

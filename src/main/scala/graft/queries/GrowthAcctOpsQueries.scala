@@ -229,14 +229,22 @@ object GrowthAcctOpsQueries extends QueryModule {
       (s, dir) => {
         val sh = DS.shingles(tbl(s, dir, "documents"), 3).cache()
         val sig = DS.minhashSignature(sh).cache()
+        // r10 slope fix (6.2×/decade → the q21 treatment): membership flags
+        // ride the UNION into one (doc_a, doc_b) groupBy instead of the old
+        // uni-distinct + two post-verification pair-frame re-joins against
+        // checkpointed lsh/anc copies — the pair list is shuffled ONCE to
+        // dedup-and-tag, and each generator leg streams into it
+        // un-checkpointed (each is now referenced exactly once). Same
+        // membership algebra: max(flag) over the union == the old left-join
+        // null test.
         val lsh = DS.lshBands(sig)
           .select(col("band"), col("key"), col("doc_id").as("doc_a"))
           .join(DS.lshBands(sig)
             .select(col("band"), col("key"), col("doc_id").as("doc_b")),
             Seq("band", "key"))
           .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-          .localCheckpoint()
+          .select(col("doc_a"), col("doc_b"),
+            lit(1).as("fl"), lit(0).as("fa"))
         val rare = sh.groupBy("shingle")
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df").between(2, 3)).select("shingle")
@@ -245,21 +253,18 @@ object GrowthAcctOpsQueries extends QueryModule {
           .join(sh.select(col("shingle"), col("doc_id").as("doc_b")),
             Seq("shingle"))
           .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-          .localCheckpoint()
-        val uni = lsh.unionByName(anc).distinct().localCheckpoint()
-        val j = DS.verifiedJaccard(uni, sh,
-            Some(sig.select(col("doc_id"), col("n"))))
           .select(col("doc_a"), col("doc_b"),
-            (col("jaccard") >= 0.5d).as("hit"))
-        val m = j
-          .join(lsh.select(col("doc_a"), col("doc_b"),
-            lit(1).as("in_lsh")), Seq("doc_a", "doc_b"), "left")
-          .join(anc.select(col("doc_a"), col("doc_b"),
-            lit(1).as("in_anc")), Seq("doc_a", "doc_b"), "left")
-          .select(col("hit"),
-            coalesce(col("in_lsh"), lit(0)).as("in_lsh"),
-            coalesce(col("in_anc"), lit(0)).as("in_anc"))
+            lit(0).as("fl"), lit(1).as("fa"))
+        // checkpointed: referenced twice inside verifiedJaccard (the same
+        // contract as cand in dedup_minhash_lsh)
+        val tagged = lsh.unionByName(anc)
+          .groupBy("doc_a", "doc_b")
+          .agg(max(col("fl")).as("in_lsh"), max(col("fa")).as("in_anc"))
+          .localCheckpoint()
+        val m = DS.verifiedJaccard(tagged, sh,
+            Some(sig.select(col("doc_id"), col("n"))))
+          .select((col("jaccard") >= 0.5d).as("hit"),
+            col("in_lsh"), col("in_anc"))
         val out = m.agg(
           sum(col("in_lsh")).cast("long").as("lsh_pairs"),
           sum(col("in_anc")).cast("long").as("anchor_pairs"),
@@ -276,7 +281,7 @@ object GrowthAcctOpsQueries extends QueryModule {
             col("in_lsh") === 0, 1L).otherwise(0L)).cast("long")
             .as("only_anchor_true"))
         H.materialized(out, caches = Seq(sh, sig),
-          checkpoints = Seq(lsh, anc, uni))
+          checkpoints = Seq(tagged))
       })
   )
 }
