@@ -81,4 +81,53 @@ class SkewCappedKeySpec extends AnyFunSuite {
     // asserted by the measured slopes in PLANS addendum 137)
     H.freeLocalCheckpoint(ck)
   }
+
+  test("200k-vector regime: per-key pair fan-out stays under the cap bound (r9 quadratic regression guard)") {
+    // Rebuilds the EXACT corpus shape where the r9 quadratic appeared
+    // (PLANS addendum 137): sf0.1 embeddings replicated 100× with
+    // norm-preserving cyclic rotations — ScaleProbe's gen. Pre-fix, the
+    // top base bucket held 3.2k vectors and the within-bucket pair stream
+    // was 167M rows (slopes 12-17×/decade); the skew-capped keys must hold
+    // the pair mass near the uniform expectation so a future signature /
+    // ladder change cannot silently reopen the quadratic. Guard, not
+    // probe: red if any key's fan-out exceeds the post-split bound.
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n0 = emb.count()
+    val k = 100
+    val corpus = (0 until k).map { c =>
+      if (c == 0) emb
+      else {
+        val r = pmod(lit(c), size(col("v")))
+        emb.withColumn("vec_id", col("vec_id") + lit(c * n0))
+          .withColumn("v", concat(
+            slice(col("v"), r + lit(1), size(col("v")) - r),
+            slice(col("v"), lit(1), r)))
+      }
+    }.reduce(_ unionByName _)
+    val (keyed, ck) = VS.skewCappedKey(corpus, "v", n0 * k, "jk")
+    val stats = keyed.groupBy("jk").agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("maxc"),
+        sum(col("c") * (col("c") - lit(1L))).cast("long").as("pairs2x"),
+        count(lit(1)).as("keys")).collect()(0)
+    H.freeLocalCheckpoint(ck)
+    val maxc = stats.getAs[Long]("maxc")
+    val pairs = stats.getAs[Long]("pairs2x") / 2
+    info(s"n=${n0 * k} keys=${stats.getAs[Long]("keys")} maxKey=$maxc pairMass=$pairs")
+    // Accepted post-fix state on this corpus (measured when the guard
+    // shipped): maxKey = 2142, pairMass = 45.75M. The 2142-key is a GENUINE
+    // near-parallel direction cluster (a base-label cluster times its
+    // norm-preserving rotations) — no number of sign planes separates
+    // near-parallel vectors, which is the documented LSH recall/cost dial,
+    // not ladder failure. Pre-fix the SAME corpus measured 167M pair rows
+    // (every 8-plane bucket oversized: 256 keys for 200k vectors) and the
+    // top key held 3.2k. The guard pins both sides with margin: a ladder
+    // or signature regression re-inflates pair mass toward 13× uniform
+    // long before it doubles the top key.
+    assert(maxc <= 20 * VS.SubCap, // 2560; current 2142, pre-fix 3.2k
+      s"mega-key regression: $maxc vectors on one join key")
+    val uniform = (n0 * k) * VS.SubCap / 2 // 12.8M at n=200k
+    assert(pairs <= 5 * uniform, // current 3.57×; pre-fix was 13×
+      s"pair mass $pairs exceeds 5x uniform $uniform — quadratic is back")
+  }
 }
