@@ -1491,6 +1491,21 @@ class PlanGuardsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("layout_bucket_pruning: the scan reads a strict subset of the 8 buckets") {
+    // the point of the query is PLANNING-time file-set pruning: the
+    // o_custkey IN (7, 19, 42) predicate must restrict the bucketed scan
+    // to the buckets those keys hash to (at most 3 of 8), before any row
+    // is read. A plan without SelectedBucketsCount means bucket metadata
+    // was lost; 8-of-8 means the filter stopped reaching the scan.
+    val (out, _) = graft.queries.BucketPruneDwOpsQueries
+      .bucketPruneFrames(spark, sf)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val m = raw"SelectedBucketsCount: (\d+) out of 8".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(m.get.group(1).toInt <= 3, s"scan reads ${m.get.group(1)} buckets:\n$plan")
+  }
+
   test("q21_waiting_supplier: one aggregated pass — no checkpoint, no semi/anti replay") {
     // the r9 rewrite collapses the EXISTS/NOT-EXISTS chain into per-order
     // supplier counts: the fact is never materialized (no RDD scan) and
