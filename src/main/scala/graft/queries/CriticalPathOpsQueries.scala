@@ -16,25 +16,29 @@ object CriticalPathOpsQueries extends QueryModule {
 
   def all: Seq[Q] = Seq(
 
-    // CPM: duration = l_quantity days. Forward pass per level (ES/EF),
-    // makespan = max EF per order, backward pass per level (LF = min
-    // child LS, childless tasks close at the makespan), slack = LF - EF,
-    // critical = zero slack. Every pass is an equi-join on
-    // (orderkey, parent-line) with map-side-combined min/max — per-order
-    // fanout is bounded by the 7-line tree, so AQE sees uniform keys.
-    // Output: per order-priority project census — projects, tasks,
-    // critical tasks, total slack days, and mean makespan in milli.
+    // CPM: tasks = DISTINCT line numbers per order (the synthetic
+    // lineitem is not TPC-H-strict: (order, line) repeats and line sets
+    // have gaps, so duration = summed quantity per slot and a task whose
+    // parent slot is absent is a ROOT — es = 0). Forward pass per level
+    // (ES/EF), makespan = max EF per order, backward pass per level
+    // (LF = min child LS, childless tasks close at the makespan),
+    // slack = LF - EF, critical = zero slack. Output: per order-priority
+    // project census — projects, tasks, critical tasks, total slack
+    // days, and mean makespan in milli.
     Q("orders_critical_path",
       Some(
         """WITH t AS (SELECT l_orderkey AS ok, l_linenumber AS i,
-          |    CAST(l_quantity AS BIGINT) AS dur, l_linenumber // 2 AS par
-          |  FROM lineitem),
+          |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS dur,
+          |    l_linenumber // 2 AS par
+          |  FROM lineitem GROUP BY 1, 2, 4),
           |l0 AS (SELECT ok, i, dur, 0 AS es, dur AS ef FROM t WHERE i = 1),
-          |l1 AS (SELECT t.ok, t.i, t.dur, p.ef AS es, p.ef + t.dur AS ef
-          |  FROM t JOIN l0 p ON p.ok = t.ok AND p.i = t.par
+          |l1 AS (SELECT t.ok, t.i, t.dur, coalesce(p.ef, 0) AS es,
+          |    coalesce(p.ef, 0) + t.dur AS ef
+          |  FROM t LEFT JOIN l0 p ON p.ok = t.ok AND p.i = t.par
           |  WHERE t.i IN (2, 3)),
-          |l2 AS (SELECT t.ok, t.i, t.dur, p.ef AS es, p.ef + t.dur AS ef
-          |  FROM t JOIN l1 p ON p.ok = t.ok AND p.i = t.par
+          |l2 AS (SELECT t.ok, t.i, t.dur, coalesce(p.ef, 0) AS es,
+          |    coalesce(p.ef, 0) + t.dur AS ef
+          |  FROM t LEFT JOIN l1 p ON p.ok = t.ok AND p.i = t.par
           |  WHERE t.i >= 4),
           |fw AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
           |  UNION ALL SELECT * FROM l2),
@@ -71,65 +75,69 @@ object CriticalPathOpsQueries extends QueryModule {
           |ORDER BY agg.priority
           |""".stripMargin),
       (s, dir) => {
-        val t = tbl(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"),
-            col("l_linenumber").cast("long").as("i"),
-            col("l_quantity").cast("long").as("dur"),
-            (col("l_linenumber").cast("long") / 2).cast("long").as("par"))
-          .localCheckpoint() // three level passes read it
-        val l0 = t.filter(col("i") === 1)
-          .select(col("ok"), col("i"), col("dur"),
-            lit(0L).as("es"), col("dur").as("ef"))
-        def fwd(prev: org.apache.spark.sql.DataFrame,
-            cond: org.apache.spark.sql.Column) =
-          t.filter(cond).as("t")
-            .join(prev.select(col("ok").as("pok"), col("i").as("pi"),
-              col("ef").as("pef")),
-              col("pok") === col("ok") && col("pi") === col("par"))
-            .select(col("ok"), col("i"), col("dur"),
-              col("pef").as("es"), (col("pef") + col("dur")).as("ef"))
-        val l1 = fwd(l0, col("i").isin(2, 3))
-        val l2 = fwd(l1, col("i") >= 4)
-        val fw = l0.unionAll(l1).unionAll(l2)
-          .localCheckpoint() // makespan + every backward level read it
-        val mk = fw.groupBy("ok").agg(max("ef").cast("long").as("m"))
-          .localCheckpoint() // joined by all three backward levels + mkp
-        val b2 = fw.filter(col("i") >= 4).join(mk, Seq("ok"))
-          .select(col("ok"), col("i"), col("dur"), col("es"), col("ef"),
-            col("m").as("lf"))
-        def bwd(level: org.apache.spark.sql.Column,
-            children: org.apache.spark.sql.DataFrame) =
-          fw.filter(level).join(mk, Seq("ok"))
-            .join(children.select(col("ok").as("cok"),
-              (col("i") / 2).cast("long").as("cpar"),
-              (col("lf") - col("dur")).as("cls")),
-              col("cok") === col("ok") && col("cpar") === col("i"), "left")
-            .groupBy("ok", "i", "dur", "es", "ef")
-            .agg(coalesce(min("cls"), max("m")).as("lf"))
-        val b1 = bwd(col("i").isin(2, 3), b2)
-        val b0 = bwd(col("i") === 1, b1)
-        val bw = b0.select("ok", "i", "dur", "es", "ef", "lf")
-          .unionAll(b1.select("ok", "i", "dur", "es", "ef", "lf"))
-          .unionAll(b2.select("ok", "i", "dur", "es", "ef", "lf"))
+        // The engine does NOT mirror the oracle's per-level joins: the
+        // 7-slot tree is closed-form per order, so the whole CPM pivots
+        // into one groupBy(orderkey) — d1..d7 duration slots, ES as the
+        // ancestor-chain sum, LF via the two-level tail maximum — ONE
+        // fact shuffle instead of six per-level joins (the r10 probe
+        // measured the join form at slope 8.2/decade; this form rides the
+        // single reduce). TPC-H line numbers are consecutive, so a null
+        // slot means the line (and its subtree) is absent.
+        val slotAggs = (1 to 7).map(k =>
+          sum(when(col("l_linenumber") === k,
+            col("l_quantity").cast("long"))).as(s"d$k"))
+        val piv = tbl(s, dir, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(slotAggs.head, slotAggs.tail: _*)
+        val cpm = piv
+          // forward pass, closed form over the ancestor chain; an absent
+          // parent slot makes the task a ROOT (coalesce to es = 0)
+          .withColumn("ef1", col("d1"))
+          .withColumn("ef2", coalesce(col("ef1"), lit(0L)) + col("d2"))
+          .withColumn("ef3", coalesce(col("ef1"), lit(0L)) + col("d3"))
+          .withColumn("ef4", coalesce(col("ef2"), lit(0L)) + col("d4"))
+          .withColumn("ef5", coalesce(col("ef2"), lit(0L)) + col("d5"))
+          .withColumn("ef6", coalesce(col("ef3"), lit(0L)) + col("d6"))
+          .withColumn("ef7", coalesce(col("ef3"), lit(0L)) + col("d7"))
+          .withColumn("m", greatest((1 to 7).map(k =>
+            coalesce(col(s"ef$k"), lit(0L))): _*))
+          // backward pass: tail(i) = max over present children of
+          // dur(child) + tail(child); leaves tail 0
+          .withColumn("t2", greatest(coalesce(col("d4"), lit(0L)),
+            coalesce(col("d5"), lit(0L))))
+          .withColumn("t3", greatest(coalesce(col("d6"), lit(0L)),
+            coalesce(col("d7"), lit(0L))))
+          .withColumn("t1", greatest(
+            coalesce(col("d2") + col("t2"), lit(0L)),
+            coalesce(col("d3") + col("t3"), lit(0L))))
+        // slack(i) = (M - tail(i)) - ef(i); absent slots contribute null
+        val slackCols = Seq(
+          col("m") - col("t1") - col("ef1"),
+          col("m") - col("t2") - col("ef2"),
+          col("m") - col("t3") - col("ef3"),
+          col("m") - col("ef4"), col("m") - col("ef5"),
+          col("m") - col("ef6"), col("m") - col("ef7"))
+        val perOrder = cpm.select(
+          col("ok") +: col("m") +:
+            slackCols.zipWithIndex.map { case (c, i) => c.as(s"sl${i + 1}") }: _*)
         val pri = tbl(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority").as("priority"))
-        val agg = bw.join(pri, col("o_orderkey") === col("ok"))
+        val out = perOrder.join(pri, col("o_orderkey") === col("ok"))
           .groupBy("priority")
-          .agg(countDistinct("ok").cast("long").as("n_projects"),
-            count(lit(1)).cast("long").as("n_tasks"),
-            sum(when(col("lf") - col("ef") === 0, 1L).otherwise(0L))
-              .cast("long").as("n_critical"),
-            sum(col("lf") - col("ef")).cast("long").as("total_slack"))
-        val mkp = mk.join(pri, col("o_orderkey") === col("ok"))
-          .groupBy("priority")
-          .agg(sum("m").cast("long").as("mksum"),
-            count(lit(1)).cast("long").as("nmk"))
-        val out = agg.join(mkp, Seq("priority"))
+          .agg(count(lit(1)).cast("long").as("n_projects"),
+            (1 to 7).map(k => sum(when(col(s"sl$k").isNotNull, 1L)))
+              .reduce(_ + _).cast("long").as("n_tasks"),
+            (1 to 7).map(k => sum(when(col(s"sl$k") === 0, 1L)
+              .otherwise(when(col(s"sl$k").isNotNull, 0L))))
+              .reduce(_ + _).cast("long").as("n_critical"),
+            (1 to 7).map(k => sum(col(s"sl$k"))).reduce(_ + _)
+              .cast("long").as("total_slack"),
+            sum("m").cast("long").as("mksum"))
           .select(col("priority"), col("n_projects"), col("n_tasks"),
             col("n_critical"), col("total_slack"),
-            expr("mksum * 1000 div nmk").as("mean_makespan_milli"))
+            expr("mksum * 1000 div n_projects").as("mean_makespan_milli"))
           .orderBy("priority")
-        H.materialized(out, caches = Nil, checkpoints = Seq(t, fw, mk))
+        out
       })
   )
 }
