@@ -97,12 +97,12 @@ object LinkageOpsQueries extends QueryModule {
             s"CAST(event_id AS VARCHAR)), $i, 1)) - 1)"
         val fold = (2 to 15).foldLeft(nib(1))((acc, i) =>
           s"($acc * 16 + ${nib(i)})")
-        s"""WITH e AS (SELECT event_id, event_type AS t, ($fold) AS h,
+        s"""WITH e AS MATERIALIZED (SELECT event_id, event_type AS t, ($fold) AS h,
            |  CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
            |ty AS (SELECT DISTINCT t FROM e),
            |pr AS (SELECT a.t AS t1, b.t AS t2 FROM ty a JOIN ty b
            |  ON a.t < b.t),
-           |pe AS (SELECT pr.t1, pr.t2, e.event_id, e.v, e.h,
+           |pe AS MATERIALIZED (SELECT pr.t1, pr.t2, e.event_id, e.v, e.h,
            |  CASE WHEN e.t = pr.t1 THEN 1 ELSE 2 END AS grp
            |  FROM pr JOIN e ON e.t = pr.t1 OR e.t = pr.t2),
            |obs AS (SELECT t1, t2,
