@@ -13,7 +13,7 @@ object FellegiRecEvalOpsQueries extends QueryModule {
 
   /** The er_blocked_linkage corruption fixture (GovernanceQueries:123),
     * inlined: three deterministic corruption modes keyed on c_custkey % 3,
-    * confined to the name tail so the 12-char blocking prefix survives. */
+    * confined to the name tail so the 16-char blocking prefix survives. */
   private val dirtySql: String =
     "CASE CAST(c_custkey % 3 AS INTEGER) " +
       "WHEN 0 THEN substr(c_name, 1, 16) || 'Q' || substr(c_name, 18, 1) " +
@@ -29,7 +29,7 @@ object FellegiRecEvalOpsQueries extends QueryModule {
 
   def all: Seq[Q] = Seq(
 
-    // FELLEGI-SUNTER MATCH WEIGHTS: candidate pairs from (nation, 12-char
+    // FELLEGI-SUNTER MATCH WEIGHTS: candidate pairs from (nation, 16-char
     // name prefix) blocking over the corrupted-vs-clean roster; per-pair
     // agreement pattern over three comparison fields — full-name equality,
     // 17-char-prefix equality, account-balance-band equality. Ground truth
@@ -55,7 +55,7 @@ object FellegiRecEvalOpsQueries extends QueryModule {
            |    CASE WHEN d.d_key = c.c_custkey THEN 1 ELSE 0 END AS lab
            |  FROM dirty d JOIN customer c
            |    ON c.c_nationkey = d.d_nat
-           |    AND substr(c.c_name, 1, 12) = substr(d.d_name, 1, 12)),
+           |    AND substr(c.c_name, 1, 16) = substr(d.d_name, 1, 16)),
            |mu AS (SELECT
            |    CAST(sum(lab) AS BIGINT) AS nm,
            |    CAST(sum(1 - lab) AS BIGINT) AS nu,
@@ -103,8 +103,8 @@ object FellegiRecEvalOpsQueries extends QueryModule {
           floor(col("c_acctbal") / 1000.0).cast("long").as("d_band"))
         val cand = dirty.join(cust,
             col("c_nationkey") === col("d_nat") &&
-              substring(col("c_name"), 1, 12) ===
-                substring(col("d_name"), 1, 12))
+              substring(col("c_name"), 1, 16) ===
+                substring(col("d_name"), 1, 16))
           .select(
             when(col("d_name") === col("c_name"), 1).otherwise(0).as("f1"),
             when(substring(col("d_name"), 1, 17) ===
