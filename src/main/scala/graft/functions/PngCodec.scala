@@ -89,9 +89,16 @@ object PngCodec {
     // DECODER never depends on the compression level, only the checksums)
     val defl = new java.util.zip.Deflater(6)
     defl.setInput(raw); defl.finish()
-    val buf = new Array[Byte](raw.length + 128)
+    // deflate can EXPAND incompressible input (stored-block overhead is
+    // 5 bytes per 64 KiB plus the 2-byte zlib header / 4-byte adler tail);
+    // a fixed raw+128 buffer would make the drain loop spin forever once
+    // the buffer fills (deflate returns 0 with !finished). Grow on demand.
+    var buf = new Array[Byte](raw.length + raw.length / 1000 + 128)
     var n = 0
-    while (!defl.finished()) n += defl.deflate(buf, n, buf.length - n)
+    while (!defl.finished()) {
+      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      n += defl.deflate(buf, n, buf.length - n)
+    }
     defl.end()
     val idat = java.util.Arrays.copyOf(buf, n)
     val ihdr = new Array[Byte](13)

@@ -36,8 +36,10 @@ object CramersVOpsQueries extends QueryModule {
           |    coalesce(o.obs, 0) AS obs
           |  FROM sp LEFT JOIN o ON o.seg = sp.seg AND o.pri = sp.pri),
           |x AS (SELECT CAST(sum(CAST(floor(
-          |    CAST(t2.obs * n.nt - t2.rt * t2.ct AS DOUBLE)
-          |      * CAST(t2.obs * n.nt - t2.rt * t2.ct AS DOUBLE) * 1000000.0
+          |    CAST(CAST(t2.obs AS HUGEINT) * n.nt
+          |        - CAST(t2.rt AS HUGEINT) * t2.ct AS DOUBLE)
+          |      * CAST(CAST(t2.obs AS HUGEINT) * n.nt
+          |        - CAST(t2.rt AS HUGEINT) * t2.ct AS DOUBLE) * 1000000.0
           |      / (CAST(t2.rt AS DOUBLE) * CAST(t2.ct AS DOUBLE)
           |         * CAST(n.nt AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT)
           |    AS chi2_micro
@@ -78,10 +80,16 @@ object CramersVOpsQueries extends QueryModule {
           .join(o, Seq("seg", "pri"), "left")
           .withColumn("obs", coalesce(col("obs"), lit(0L)))
           .crossJoin(broadcast(n))
+          // widen obs*nt / rt*ct to DECIMAL(38,0) (oracle: HUGEINT) BEFORE
+          // the product: at nt beyond ~3e9 rows the plain BIGINT product
+          // overflows — DuckDB errors, non-ANSI Spark wraps silently (the
+          // events_logrank_test widening discipline; r10 advice).
           .agg(sum(expr(
             """CAST(floor(
-              |  CAST(obs * nt - rt * ct AS DOUBLE)
-              |    * CAST(obs * nt - rt * ct AS DOUBLE) * 1000000.0
+              |  CAST(CAST(obs AS DECIMAL(38,0)) * nt
+              |      - CAST(rt AS DECIMAL(38,0)) * ct AS DOUBLE)
+              |    * CAST(CAST(obs AS DECIMAL(38,0)) * nt
+              |      - CAST(rt AS DECIMAL(38,0)) * ct AS DOUBLE) * 1000000.0
               |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
               |       * CAST(nt AS DOUBLE)) + 0.5) AS BIGINT)""".stripMargin))
             .cast("long").as("chi2_micro"))

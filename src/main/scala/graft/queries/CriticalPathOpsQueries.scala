@@ -30,7 +30,8 @@ object CriticalPathOpsQueries extends QueryModule {
         """WITH t AS (SELECT l_orderkey AS ok, l_linenumber AS i,
           |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS dur,
           |    l_linenumber // 2 AS par
-          |  FROM lineitem GROUP BY 1, 2, 4),
+          |  FROM lineitem WHERE l_linenumber BETWEEN 1 AND 7
+          |  GROUP BY 1, 2, 4),
           |l0 AS (SELECT ok, i, dur, 0 AS es, dur AS ef FROM t WHERE i = 1),
           |l1 AS (SELECT t.ok, t.i, t.dur, coalesce(p.ef, 0) AS es,
           |    coalesce(p.ef, 0) + t.dur AS ef
@@ -82,7 +83,10 @@ object CriticalPathOpsQueries extends QueryModule {
         // fact shuffle instead of six per-level joins (the r10 probe
         // measured the join form at slope 8.2/decade; this form rides the
         // single reduce). TPC-H line numbers are consecutive, so a null
-        // slot means the line (and its subtree) is absent.
+        // slot means the line (and its subtree) is absent. Both sides pin
+        // the task domain to slots 1..7 (oracle: WHERE l_linenumber
+        // BETWEEN 1 AND 7) so a future non-strict provision emitting
+        // line numbers >= 8 cannot diverge engine vs oracle (r10 advice).
         val slotAggs = (1 to 7).map(k =>
           sum(when(col("l_linenumber") === k,
             col("l_quantity").cast("long"))).as(s"d$k"))

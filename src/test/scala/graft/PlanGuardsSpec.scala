@@ -1406,20 +1406,89 @@ class PlanGuardsSpec extends AnyFunSuite {
       "sample_neyman_allocation" -> "language-strata domain (|langs| rows)",
       "stats_hill_tail" -> "top-401 TakeOrdered frame (bounded by construction)"
     )
+    // (c) r10 verdict item 6 — broadcast discipline, board-wide: the r8/r9
+    //     rounds each found the SAME nit (broadcast(n) where n groups by an
+    //     unbounded id domain — per-customer set sizes, per-part counts):
+    //     a frame keyed by a corpus-growing id is never broadcastable at
+    //     100 TB unless a top-k/limit bounds it first. The sweep inspects
+    //     every EXPLICIT broadcast() hint in the analyzed plan (size-based
+    //     auto-broadcasts re-decide at real scale; explicit hints do not)
+    //     and flags any whose subtree aggregates/dedups on an unbounded id
+    //     with no Limit above. Allow-listed cases are bounded by
+    //     construction and individually reviewed.
+    val broadcastAllow = Map(
+      "" -> "") - "" // reviewed r11: no exceptions needed — keep the hook
+    val unboundedId =
+      raw"(?i)(^|_)(orderkey|partkey|suppkey|custkey|nationkey|doc_id|user_id|event_id|vec_id)$$".r
+    def unboundedIdName(n: String): Boolean =
+      unboundedId.findFirstIn(n).isDefined
+    def offendingBroadcasts(
+        analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      // path-aware walk: an id-grouped Aggregate / id-keyed Deduplicate is
+      // only a violation if NO bounding node sits between it and the hint —
+      // a Limit, or an Aggregate whose grouping keys are free of unbounded
+      // ids (incl. the global aggregate), collapses the cardinality before
+      // the broadcast ships it (q15's max-scalar over the per-supplier
+      // view, the RFM boundary percentiles, the stickiness span, etc.)
+      def walk(p: LogicalPlan, bounded: Boolean): Seq[String] = {
+        val boundsHere = p match {
+          case _: GlobalLimit | _: LocalLimit => true
+          case a: Aggregate if !a.groupingExpressions.exists(
+            _.references.exists(r => unboundedIdName(r.name))) => true
+          case _ => false
+        }
+        val here = p match {
+          case a: Aggregate if !bounded && a.groupingExpressions.exists(
+            _.references.exists(r => unboundedIdName(r.name))) => Seq(a.nodeName)
+          case d: Deduplicate if !bounded &&
+            d.keys.exists(r => unboundedIdName(r.name)) => Seq(d.nodeName)
+          case _ => Seq.empty
+        }
+        here ++ p.children.flatMap(walk(_, bounded || boundsHere))
+      }
+      analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.exists(
+            _.toString.toLowerCase.contains("broadcast")) =>
+          val off = walk(h.child, bounded = false)
+          if (off.nonEmpty) Some(off.mkString("+")) else None
+      }.flatten
+    }
     val winPat = raw"Window [^\n]*\n[^\n]*\n[^\n]*Exchange SinglePartition".r
     var cartesian = List.empty[String]
     var singleWin = List.empty[String]
+    var badBroadcast = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan =
-        try fn(spark, sf).queryExecution.executedPlan.toString
+      val df0 =
+        try fn(spark, sf)
         catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      val plan = df0.queryExecution.executedPlan.toString
       if (plan.contains("CartesianProduct")) cartesian ::= name
       if (winPat.findFirstIn(plan).isDefined && !windowAllow.contains(name))
         singleWin ::= name
+      val off = offendingBroadcasts(df0.queryExecution.analyzed)
+      if (off.nonEmpty && !broadcastAllow.contains(name))
+        badBroadcast ::= s"$name (${off.mkString(", ")})"
     }
     assert(cartesian.isEmpty, s"CartesianProduct planned in: ${cartesian.mkString(", ")}")
     assert(singleWin.isEmpty,
       s"single-partition window over unreviewed input in: ${singleWin.mkString(", ")}")
+    assert(badBroadcast.isEmpty,
+      s"explicit broadcast of an unbounded-id-keyed frame (no limit) in: ${badBroadcast.mkString("; ")}")
+    // detector self-test: a seeded violation (the literal r9 nit shape —
+    // broadcast of per-part counts) MUST be flagged, and the same frame
+    // bounded by a top-k limit MUST pass
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val perPart = H.tbl(spark, sf, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val seeded = H.tbl(spark, sf, "lineitem")
+      .join(broadcast(perPart), Seq("l_partkey"))
+    assert(offendingBroadcasts(seeded.queryExecution.analyzed).nonEmpty,
+      "sweep self-test: seeded unbounded broadcast not flagged")
+    val bounded = H.tbl(spark, sf, "lineitem")
+      .join(broadcast(perPart.orderBy(col("n").desc).limit(50)), Seq("l_partkey"))
+    assert(offendingBroadcasts(bounded.queryExecution.analyzed).isEmpty,
+      "sweep self-test: top-k-bounded broadcast wrongly flagged")
   }
 
   test("sample_bottomk_minwise: bottom-k plans TakeOrderedAndProject, never a global sort") {

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-11 waves 158-160: semantic invariants the hash compare can't
+  * localize — an independent sequential Bradley-Terry fit, the state-
+  * evolution upgrade contract, and the KMV estimator's error envelope. */
+class Round11WavesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pref_bradley_terry matches an independent sequential MM fit (same integer arithmetic)") {
+    // derive the comparison counts on the driver from raw events —
+    // completely independent of the query's window/grid machinery
+    val ev = H.events(spark, sf)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getDouble(3)))
+    val wins = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a._2 % 8, b._2 % 8)
+          if (sa != sb) {
+            // current row b vs previous row a: b wins on higher value,
+            // ties to the lower system id (the query's rule)
+            val bWins = b._4 > a._4 || (b._4 == a._4 && sb < sa)
+            val (w, l) = if (bWins) (sb, sa) else (sa, sb)
+            wins((w, l)) = wins.getOrElse((w, l), 0L) + 1
+          }
+        case _ =>
+      }
+    }
+    val g = Array.tabulate(8, 8)((i, j) =>
+      wins.getOrElse((i.toLong, j.toLong), 0L) + wins.getOrElse((j.toLong, i.toLong), 0L))
+    val w = Array.tabulate(8)(i => (0 until 8).map(j => wins.getOrElse((i.toLong, j.toLong), 0L)).sum)
+    val wt = Array.tabulate(8)(i => (0 until 8).map(j => g(i)(j)).sum)
+    var p = Array.fill(8)(1000000L)
+    for (_ <- 1 to 20) {
+      val praw = Array.tabulate(8) { i =>
+        if (wt(i) == 0) p(i)
+        else {
+          val d = (0 until 8).map(j => if (j == i) 0L
+            else (BigInt(g(i)(j)) * 1000000000 / BigInt(p(i) + p(j))).toLong).sum
+          (BigInt(w(i)) * 1000000000 / BigInt(d)).toLong
+        }
+      }
+      val s = praw.map(BigInt(_)).sum
+      p = Array.tabulate(8)(i =>
+        if (wt(i) == 0) praw(i) else (BigInt(praw(i)) * 8000000 / s).toLong)
+    }
+    val got = SparkEntry.queries("pref_bradley_terry")(spark, sf)
+      .orderBy("sys").collect()
+    assert(got.length == 8)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("games") == wt(i), s"games sys=$i")
+      assert(r.getAs[Long]("wins") == w(i), s"wins sys=$i")
+      assert(r.getAs[Long]("strength_micro") == p(i),
+        s"strength sys=$i: got ${r.getAs[Long]("strength_micro")}, want ${p(i)}")
+    }
+    // normalization invariant: strengths of played systems sum to ~8e6
+    val played = got.filter(_.getAs[Long]("games") > 0)
+    if (played.nonEmpty) {
+      val s = played.map(_.getAs[Long]("strength_micro")).sum
+      assert(math.abs(s - 8000000L) <= 8 * played.length,
+        s"strengths not normalized: $s")
+    }
+  }
+
+  test("stream_state_evolve: upgrade carries v1 state and the evolved field only covers phase 2") {
+    val out = SparkEntry.queries("stream_state_evolve")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val sub = H.events(spark, sf).filter(pmod(col("event_id"), lit(7)) === 2)
+    val exp = sub.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(12,2)") * 100).cast("long")).as("cents"),
+        max(when(pmod(col("event_id"), lit(3)) === 2, col("event_id")))
+          .as("mx"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(-1L))).toMap
+    assert(out.length == exp.size, s"${out.length} vs ${exp.size} users")
+    out.foreach { r =>
+      val (n, cents, mx) = exp(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("total_cents") == cents
+        && r.getAs[Long]("max_event_id_p2") == mx, r.toString)
+    }
+    // the evolution is real only if BOTH populations exist at this sf:
+    // users whose state crossed the upgrade (mx >= 0 with phase-1 rows)
+    // and v1-only users (mx == -1)
+    assert(out.exists(_.getAs[Long]("max_event_id_p2") >= 0), "no phase-2 users")
+    assert(out.exists(_.getAs[Long]("max_event_id_p2") == -1L), "no v1-only users")
+  }
+
+  test("plan_join_cardinality: KMV containment estimate lands inside its error envelope on FK joins") {
+    val rows = SparkEntry.queries("plan_join_cardinality")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_rows") > 0, r.toString)
+      assert(r.getAs[Long]("true_rows") > 0, r.toString)
+      // KMV with k=64 has ~1/sqrt(62) ≈ 13% relative error; the
+      // containment assumption is EXACT for these FK joins (every fact
+      // key exists in the dimension), so 50% is a generous envelope
+      assert(r.getAs[Long]("err_pct") <= 50,
+        s"estimator off by ${r.getAs[Long]("err_pct")}%: $r")
+    }
+    // bottom-k must plan TakeOrderedAndProject (never a global sort)
+    val plan = SparkEntry.queries("plan_join_cardinality")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
