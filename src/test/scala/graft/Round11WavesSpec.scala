@@ -94,6 +94,44 @@ class Round11WavesSpec extends AnyFunSuite {
     assert(out.exists(_.getAs[Long]("max_event_id_p2") == -1L), "no v1-only users")
   }
 
+  test("pref_grpo_advantage: z-scores cancel within every group (floor-bounded)") {
+    // Σ(r·n − Σr) = 0 exactly per group, so the milli-floored advantages
+    // must sum within n of zero (each floor loses < 1 milli, signs mixed)
+    val rows = SparkEntry.queries("pref_grpo_advantage")(spark, sf)
+      .groupBy("user_id")
+      .agg(sum("adv_milli").as("sa"), count(lit(1)).as("n"),
+        max(abs(col("adv_milli"))).as("mx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("sa")) <= r.getAs[Long]("n"),
+        s"group z-scores do not cancel: $r")
+    }
+    // z-scores are scale-bounded: |adv| < sqrt(n)·1000 for any group
+    rows.foreach { r =>
+      val bound = math.ceil(math.sqrt(r.getAs[Long]("n").toDouble)) * 1000
+      assert(r.getAs[Long]("mx") <= bound, s"advantage out of range: $r")
+    }
+  }
+
+  test("plan_skew_advisor: census consistent with table counts; salt factor formula holds") {
+    val rows = SparkEntry.queries("plan_skew_advisor")(spark, sf).collect()
+    assert(rows.length == 4)
+    val orders = H.tbl(spark, sf, "orders").count()
+    val li = H.tbl(spark, sf, "lineitem").count()
+    val byKey = rows.map(r => r.getAs[String]("shuffle_key") -> r).toMap
+    assert(byKey("orders_custkey").getAs[Long]("n_rows") == orders)
+    assert(byKey("lineitem_partkey").getAs[Long]("n_rows") == li)
+    rows.foreach { r =>
+      val (n, mx, s0) = (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("max_key_rows"), r.getAs[Long]("salt_factor"))
+      assert(s0 == math.max(1L, math.ceil(mx * 32.0 / n).toLong), r.toString)
+      assert(r.getAs[Long]("max_key_rows") <= n)
+      assert((r.getAs[String]("decision") == "salt") == (mx * 32 > n * 2),
+        r.toString)
+    }
+  }
+
   test("plan_join_cardinality: KMV containment estimate lands inside its error envelope on FK joins") {
     val rows = SparkEntry.queries("plan_join_cardinality")(spark, sf).collect()
     assert(rows.length == 3)
