@@ -132,6 +132,55 @@ class Round11WavesSpec extends AnyFunSuite {
     }
   }
 
+  test("mix_doremi_step: weights normalize and order by excess loss") {
+    val rows = SparkEntry.queries("mix_doremi_step")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // integer-floor normalization: Σ weight_micro within |domains| of 1e6
+    val s = rows.map(_.getAs[Long]("weight_micro")).sum
+    assert(math.abs(s - 1000000L) <= rows.length, s"weights not normalized: $s")
+    // mirror descent is monotone: higher excess loss ⇒ weight not lower
+    val byExcess = rows.sortBy(_.getAs[Long]("excess_milli"))
+    byExcess.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("weight_micro") <= b.getAs[Long]("weight_micro") + 1,
+          s"weight not monotone in excess: $a vs $b")
+      case _ =>
+    }
+  }
+
+  test("parquet bloom writer contract: enabled column's row groups carry bloom offsets") {
+    // the source_parquet_bloom query relies on the writer actually
+    // emitting blooms — pin the footer-level contract so a Spark upgrade
+    // that silently drops the option fails here, not at 100 TB
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val out = H.tmpDir("graft_bloomspec") + "/part_bloom"
+    H.tbl(spark, sf, "part")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#p_partkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#p_partkey", "20000")
+      .option("parquet.enable.dictionary#p_partkey", "false")
+      .parquet(out)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(out)
+    val fs = root.getFileSystem(conf)
+    var groups = 0; var bloomed = 0
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try rd.getFooter.getBlocks.forEach { blk =>
+          groups += 1
+          blk.getColumns.forEach { cc =>
+            if (cc.getPath.toDotString == "p_partkey" &&
+                cc.getBloomFilterOffset >= 0) bloomed += 1
+          }
+        } finally rd.close()
+      }
+    assert(groups > 0 && bloomed == groups,
+      s"bloom offsets missing: $bloomed of $groups row groups")
+  }
+
   test("plan_join_cardinality: KMV containment estimate lands inside its error envelope on FK joins") {
     val rows = SparkEntry.queries("plan_join_cardinality")(spark, sf).collect()
     assert(rows.length == 3)
