@@ -132,32 +132,40 @@ object PngTtlOpsQueries extends QueryModule {
           .option("checkpointLocation", ckpt)
           .start()
         // engine-driven sync: a fed file is "reflected" once the keyed
-        // upsert sink covers every user that file introduces. The targets
-        // are computed from the INPUT frames (never from the oracle); an
-        // upsert mid-swap can make the sink transiently unreadable, so
-        // reads retry inside the poll. (The checkpoint's source/commit
-        // logs are NOT a sufficient barrier here: the admitting batch can
-        // commit with zero input rows and the data materializes a batch
-        // later — observed under 4 cores.)
-        def waitSinkUsers(expect: Long): Unit = {
+        // upsert sink carries the file's ROW MASS — Σ cum_n over users
+        // equals the number of input rows processed, because cum_n is
+        // each user's cumulative count and the upsert keeps the latest.
+        // (The r11 fix: the previous barrier waited on USER COVERAGE,
+        // which returns instantly when a later file introduces no new
+        // users — at sf0.001 both halves cover the same user set, so the
+        // stream was stopped before batch B processed; sf0.01 only passed
+        // by stop-latency luck. The targets are computed from the INPUT
+        // frames, never from the oracle; an upsert mid-swap can make the
+        // sink transiently unreadable, so reads retry inside the poll.
+        // The checkpoint's source/commit logs are NOT a sufficient
+        // barrier either: the admitting batch can commit with zero input
+        // rows and the data materializes a batch later — observed at 4
+        // cores.)
+        def waitSinkMass(expect: Long): Unit = {
           val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
           var seen = -1L
           while (seen < expect && System.nanoTime() < deadline) {
-            seen = try s.read.parquet(sink).select("user_id").distinct().count()
+            seen = try s.read.parquet(sink)
+              .agg(sum("cum_n")).collect()(0).getLong(0)
             catch { case _: Throwable => -1L }
             if (seen < expect) Thread.sleep(200)
           }
-          require(seen >= expect, s"sink has $seen users, expected $expect")
+          require(seen >= expect, s"sink carries $seen rows, expected $expect")
         }
-        val users0 = halves(0).select("user_id").distinct().count()
-        val usersAll = ev.select("user_id").distinct().count()
+        val mass0 = halves(0).count()
+        val massAll = ev.count()
         try {
-          waitSinkUsers(users0) // batch A: writes both states
+          waitSinkMass(mass0) // batch A: writes both states
           // sleep 6x past the 200 ms TTL — the idle gap every real
           // pipeline has between a user's activity bursts
           Thread.sleep(1200)
           WindowingQueries.writeReplay(Seq(halves(1)), tmp, in, startAt = 1)
-          waitSinkUsers(usersAll) // batch B: ttl expired, cum intact
+          waitSinkMass(massAll) // batch B: ttl expired, cum intact
         } finally q.stop()
         s.read.parquet(sink)
           .select(col("user_id"), col("cum_n"), col("ttl_n"))
