@@ -110,6 +110,28 @@ object Verify {
     }
     pool.shutdown()
     pool.awaitTermination(24, java.util.concurrent.TimeUnit.HOURS)
+    // Sequential retry of pool-phase failures: concurrent queries share
+    // the session-wide CacheManager, so two queries caching IDENTICAL
+    // subplans share one InMemoryRelation — the first query's unpersist
+    // can drop it mid-read for the second, whose rebuild then needs a
+    // localCheckpoint that was freed with it ("Block rdd_N does not
+    // exist", observed once in ~6 full boards on the dedup family).
+    // Alone on the session, the retry cannot hit the race.
+    val byName = SparkEntry.queries
+    failed.toArray.map(_.toString).sorted.foreach { name =>
+      val t0 = System.nanoTime()
+      var df: org.apache.spark.sql.DataFrame = null
+      try {
+        df = byName(name)(spark.newSession(), sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        H.freeLocalCheckpoint(df)
+        failed.remove(name)
+        System.err.println(f"[verify] $name%-32s ${(System.nanoTime() - t0) / 1e9}%7.2f s  (sequential retry ok)")
+      } catch { case e: Throwable =>
+        if (df != null) scala.util.Try(H.freeLocalCheckpoint(df))
+        System.err.println(s"[verify] $name failed on retry: ${e.getMessage}")
+      }
+    }
     val wall = (System.nanoTime() - t00) / 1e9
     System.err.println(f"[verify] dump complete: ${work.size - failed.size}/${work.size} ok, wall ${wall}%.1f s, par=$par")
     spark.stop()

@@ -1602,7 +1602,10 @@ class PlanGuardsSpec extends AnyFunSuite {
       "CoverageOpsQueries.scala",   // one-row greedy argmax per round
       "EquivalenceOpsQueries.scala",// limit(1) scalar fetch
       "EconOpsQueries.scala",       // one-row min() root fetch
-      "ExtraRelationalQueries.scala"// two-value JDBC stride bounds
+      "ExtraRelationalQueries.scala",// two-value JDBC stride bounds
+      "PngTtlOpsQueries.scala"      // one-row Σcum_n sink-mass poll (r11
+                                    // TTL barrier fix — a scalar per 200ms
+                                    // tick, never corpus rows)
     )
     val qdir = java.nio.file.Paths.get("src/main/scala/graft/queries")
     import scala.jdk.CollectionConverters._
