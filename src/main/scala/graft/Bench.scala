@@ -277,8 +277,17 @@ object Bench {
         newPq <= refPq * 1.25 // reference is already calib-scaled to this host
       }
     }
+    // never clobber the canonical reference with a run at ANOTHER scale
+    // factor (e.g. a k10 probe board): adopt only when the existing
+    // reference is absent or records the same sf
+    val sameSfAsRef = scala.util.Try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
+      txt.contains(s""""sf":"$sfDir"""")
+    }.getOrElse(true)
     val fullTarget =
-      if (failed.isEmpty && suspects.isEmpty && refRegressionOk) "BENCH_FULL.json"
+      if (failed.isEmpty && suspects.isEmpty && refRegressionOk && sameSfAsRef)
+        "BENCH_FULL.json"
       else "BENCH_LAST.json"
     scala.util.Try(java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullTarget), fullLine + "\n"))
