@@ -257,33 +257,40 @@ object LinkageOpsQueries extends QueryModule {
           |ORDER BY seed
           |""".stripMargin),
       (s, dir) => {
+        // The engine does NOT mirror the oracle's clique edge list: the
+        // co-presence graph's edge mass is Σ_cells c·(c−1) — QUADRATIC in
+        // cell density (the r11 k10 full-board run measured the clique
+        // form at 70×/decade when user replicas densify the cells).
+        // Temporal BFS traverses the BIPARTITE (user ↔ cell) structure
+        // instead: front user → cells attended after arrival →
+        // co-present members, with the (seed, cell) frontier DISTINCT'd
+        // before the member fan-out — O(Σc) per hop, semantics identical
+        // (an edge (u,v,t) exists iff u and v share a cell at t).
         val b = H.events(s, dir)
           .select(col("user_id"), col("event_type"),
             date_trunc("hour", col("ts")).as("h"))
           .distinct()
-          .localCheckpoint() // both edge sides + the seed set
-        val em = b.join(
-            b.select(col("user_id").as("v"), col("event_type").as("et2"),
-              col("h").as("h2")),
-            col("event_type") === col("et2") && col("h") === col("h2") &&
-              col("user_id") =!= col("v"))
-          .select(col("user_id").as("u"), col("v"),
-            unix_micros(col("h")).as("t"))
-          .localCheckpoint() // three hop expansions
-        val seed = b.filter(col("user_id") < 5)
-          .select(col("user_id").as("s")).distinct()
+          .localCheckpoint() // attend side + member side + the seed set
+        val att = b.select(col("user_id").as("fu"), col("event_type").as("g"),
+          unix_micros(col("h")).as("ct"))
+        val mem = b.select(col("event_type").as("g"),
+          unix_micros(col("h")).as("ct"), col("user_id").as("v"))
         def expand(front: DataFrame): DataFrame = front
-          .join(em.select(col("u").as("fu"), col("v"), col("t")),
-            col("fv") === col("fu") && col("t") > col("arr"))
+          .join(att, col("fv") === col("fu") && col("ct") > col("arr"))
+          .select(col("s"), col("g"), col("ct"))
+          .distinct() // (seed, cell) frontier — bounded by seeds × cells
+          .join(mem, Seq("g", "ct"))
           .filter(col("v") =!= col("s"))
           .groupBy(col("s"), col("v").as("fv"))
-          .agg(min("t").as("arr"))
+          .agg(min("ct").as("arr"))
         def merge(a: DataFrame, bb: DataFrame): DataFrame =
           a.unionAll(bb).groupBy("s", "fv").agg(min("arr").as("arr"))
-        val h1 = seed
-          .join(em, col("u") === col("s"))
+        val h1 = b.filter(col("user_id") < 5)
+          .select(col("user_id").as("s"), col("event_type").as("g"),
+            unix_micros(col("h")).as("ct"))
+          .join(mem, Seq("g", "ct"))
           .filter(col("v") =!= col("s"))
-          .groupBy(col("s"), col("v").as("fv")).agg(min("t").as("arr"))
+          .groupBy(col("s"), col("v").as("fv")).agg(min("ct").as("arr"))
           .localCheckpoint()
         val h2 = merge(h1, expand(h1)).localCheckpoint()
         val h3 = merge(h2, expand(h2))
@@ -295,6 +302,6 @@ object LinkageOpsQueries extends QueryModule {
           .select(col("s").as("seed"), col("reach1"), col("reach2"),
             col("reach3"))
           .orderBy("seed")
-        H.materialized(out, caches = Nil, checkpoints = Seq(b, em, h1, h2))
+        H.materialized(out, caches = Nil, checkpoints = Seq(b, h1, h2))
       }))
 }
