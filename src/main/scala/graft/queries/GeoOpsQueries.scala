@@ -141,35 +141,47 @@ object GeoOpsQueries extends QueryModule {
           |FROM c GROUP BY p_brand ORDER BY brand
           |""".stripMargin),
       (s, dir) => {
+        // The engine pairs DISTINCT POSITIONS (with multiplicities), not
+        // points: the plane is a fixed 1000×1000 grid, so the position
+        // domain is bounded at 1e6 no matter how the corpus grows, while
+        // a point-pair grid join is Θ(n²/plane) once cells densify (the
+        // r11 k100 probe measured the point form effectively hanging at
+        // 2M points — ~6e10 candidate pairs). Per point at position q:
+        // nn = Σ_{q' in ε-ball of q} m(q') − 1 (the −1 removes the point
+        // itself; q'=q contributes the other m−1 co-located points).
+        // Work: Θ(n) reduce + Θ(positions · ball) bounded pair join.
         val pts = tbl(s, dir, "part")
           .select(col("p_partkey").as("id"), col("p_brand"),
             (col("p_partkey") * 7919 % 1000).as("px"),
             (col("p_partkey") * 104729 % 1000).as("py"))
-          .localCheckpoint() // left (exploded), right, and pass-through
+          .localCheckpoint() // position reduce + final per-point join
+        val pos = pts.groupBy("px", "py")
+          .agg(count(lit(1)).cast("long").as("m"))
+          .localCheckpoint() // exploded left side + right side
         val offs = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
           struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
-        val left = pts
+        val left = pos
           .withColumn("o", explode(offs))
-          .select(col("id"), col("px"), col("py"),
+          .select(col("px"), col("py"),
             (expr("px div 40") + col("o.dx")).as("cx"),
             (expr("py div 40") + col("o.dy")).as("cy"))
-        val right = pts.select(col("id").as("rid"), col("px").as("rx"),
-            col("py").as("ry"), expr("px div 40").as("cx"),
-            expr("py div 40").as("cy"))
-        val nb = left.join(right, Seq("cx", "cy"))
-          .filter(col("id") =!= col("rid") &&
-            (col("px") - col("rx")) * (col("px") - col("rx")) +
-              (col("py") - col("ry")) * (col("py") - col("ry")) <= 1600)
-          .groupBy("id").agg(count(lit(1)).cast("long").as("nn"))
+        val right = pos.select(col("px").as("rx"), col("py").as("ry"),
+          col("m").as("rm"), expr("px div 40").as("cx"),
+          expr("py div 40").as("cy"))
+        // S(q) = ball mass INCLUDING q itself (dist 0 ≤ ε) → nn = S − 1
+        val ballMass = left.join(right, Seq("cx", "cy"))
+          .filter((col("px") - col("rx")) * (col("px") - col("rx")) +
+            (col("py") - col("ry")) * (col("py") - col("ry")) <= 1600)
+          .groupBy("px", "py").agg(sum("rm").cast("long").as("bm"))
         val out = pts
-          .join(nb, Seq("id"), "left")
+          .join(ballMass, Seq("px", "py"), "left")
           .select(col("p_brand"),
-            when(coalesce(col("nn"), lit(0L)) >= 4, 1L).otherwise(0L)
+            when(coalesce(col("bm"), lit(1L)) - 1 >= 4, 1L).otherwise(0L)
               .as("core"))
           .groupBy(col("p_brand").as("brand"))
           .agg(count(lit(1)).cast("long").as("points"),
             sum("core").cast("long").as("cores"))
           .orderBy("brand")
-        H.materialized(out, caches = Nil, checkpoints = Seq(pts))
+        H.materialized(out, caches = Nil, checkpoints = Seq(pts, pos))
       }))
 }
