@@ -1404,7 +1404,8 @@ class PlanGuardsSpec extends AnyFunSuite {
       "corpus_vocab_growth" -> "10-row decile frame",
       "clf_roc_auc" -> "score value-count histogram",
       "sample_neyman_allocation" -> "language-strata domain (|langs| rows)",
-      "stats_hill_tail" -> "top-401 TakeOrdered frame (bounded by construction)"
+      "stats_hill_tail" -> "top-401 TakeOrdered frame (bounded by construction)",
+      "sample_priority_weighted" -> "top-65 TakeOrdered frame (bounded by construction)"
     )
     // (c) r10 verdict item 6 — broadcast discipline, board-wide: the r8/r9
     //     rounds each found the SAME nit (broadcast(n) where n groups by an

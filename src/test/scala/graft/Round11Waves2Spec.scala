@@ -1,0 +1,173 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-11 waves 166-169: semantic invariants the hash compare can't
+  * localize — an independent driver-side priority-sampling selection, the
+  * spec-decoding emitted-token identity, Heaps-fit sanity bounds, and the
+  * chat-template validity partition. */
+class Round11Waves2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fold48(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    md.take(6).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+  }
+
+  test("sample_priority_weighted matches an independent driver-side selection") {
+    val docs = H.tbl(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keyed = docs.map { case (id, nc) =>
+      val w = math.min(math.max(nc, 1L), 4096L)
+      val h = fold48(s"pri:$id")
+      (id, w, w * 281474976710656L / (h + 1))
+    }
+    val ord = keyed.sortBy { case (id, _, k) => (-k, id) }
+    val tau = ord(64)._3
+    val sampleW = ord.take(64).map(_._2).sum
+    val est = ord.take(64).map { case (_, w, _) => math.max(w, tau) }
+      .map(BigInt(_)).sum
+    val got = SparkEntry.queries("sample_priority_weighted")(spark, sf).head()
+    assert(got.getAs[Long]("tau") == tau)
+    assert(got.getAs[Long]("sample_w") == sampleW)
+    assert(got.getAs[String]("est_w") == est.toString)
+    assert(got.getAs[Long]("true_w") ==
+      keyed.map(_._2).sum && got.getAs[Long]("n_docs") == docs.length)
+  }
+
+  test("serve_specdec_accept: emitted = steps + accepted and the histogram covers every block") {
+    val rows = SparkEntry.queries("serve_specdec_accept")(spark, sf).collect()
+    val nTokens = H.tbl(spark, sf, "documents")
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    Seq(2L, 4L, 8L).foreach { g =>
+      val face = rows.filter(_.getAs[Long]("gamma") == g)
+      val steps = face.head.getAs[Long]("n_steps")
+      val emitted = face.head.getAs[Long]("emitted_total")
+      // per-block emitted = accepted + 1 → totals obey emitted = steps + Σa
+      val sumA = face.map(r => r.getAs[Long]("a") * r.getAs[Long]("n_blocks")).sum
+      assert(emitted == steps + sumA, s"gamma=$g identity")
+      assert(face.map(_.getAs[Long]("n_blocks")).sum == steps)
+      // every token is drafted exactly once across blocks: Σ blocklen = n
+      // and steps = Σ_docs ceil(n_doc/γ) ≥ n/γ
+      assert(steps >= (nTokens + g - 1) / g, s"gamma=$g step lower bound")
+      // acceptance can't exceed γ, and the bonus row a=γ must exist at 10%
+      // corruption (P[full block clean] ≈ 0.9^γ >> 1/steps)
+      assert(face.map(_.getAs[Long]("a")).max == g, s"gamma=$g bonus row")
+    }
+  }
+
+  test("vocab_heaps_law: beta in (0,1), K > 0, totals match direct counts") {
+    val got = SparkEntry.queries("vocab_heaps_law")(spark, sf).head()
+    val beta = got.getAs[Long]("beta_micro")
+    assert(beta > 0 && beta < 1000000, s"Heaps exponent out of range: $beta")
+    assert(got.getAs[Long]("k_micro") > 0)
+    // independent shingle construction: driver-side sliding over tokens
+    val docRows = H.tbl(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getString(1).split(" ", -1))
+    val vTotal = docRows.iterator.flatMap(
+      _.sliding(3).filter(_.length == 3).map(_.mkString(" "))).toSet.size.toLong
+    val tTotal = docRows.map(a => math.max(a.length - 2, 0).toLong).sum
+    assert(got.getAs[Long]("v_total") == vTotal)
+    assert(got.getAs[Long]("t_total") == tTotal)
+    assert(got.getAs[Long]("n_points") >= 6)
+  }
+
+  test("rank_ndcg_mrr matches a full independent driver-side eval") {
+    val docIds = H.tbl(spark, sf, "documents").select("doc_id").collect()
+      .map(_.getLong(0))
+    def grade(q: Long, d: Long): Long = fold48(s"rl:$q:$d") % 10 match {
+      case 0 => 3L; case x if x <= 2 => 2L; case x if x <= 5 => 1L; case _ => 0L
+    }
+    val cand = for {
+      q <- (0L until 50L).toSeq; d <- docIds
+      if fold48(s"qd:$q:$d") % 100 == 0
+    } yield (q, d, fold48(s"sc:$q:$d"), grade(q, d))
+    def dcgOf(gs: Seq[Long]): Double = gs.zipWithIndex.map { case (g, i) =>
+      (math.pow(2, g.toDouble) - 1) / (math.log(i + 2.0) / math.log(2.0))
+    }.sum
+    val perq = cand.groupBy(_._1).toSeq.map { case (_, rows) =>
+      val sys = rows.sortBy(r => (-r._3, r._2)).take(10)
+      val ideal = rows.sortBy(r => (-r._4, -r._3, r._2)).take(10)
+      val (dcg, idcg) = (dcgOf(sys.map(_._4)), dcgOf(ideal.map(_._4)))
+      val fr = sys.indexWhere(_._4 >= 2)
+      (if (idcg > 0) dcg / idcg else 0.0,
+        if (fr >= 0) 1.0 / (fr + 1) else 0.0,
+        sys.count(_._4 >= 1) / 10.0)
+    }
+    val got = SparkEntry.queries("rank_ndcg_mrr")(spark, sf).head()
+    assert(got.getAs[Long]("n_queries") == perq.length)
+    assert(got.getAs[Long]("n_candidates") == cand.length)
+    def micro(x: Double) = math.floor(x * 1000000 + 0.5).toLong
+    assert(math.abs(got.getAs[Long]("ndcg10_micro")
+      - micro(perq.map(_._1).sum / perq.length)) <= 1)
+    assert(math.abs(got.getAs[Long]("mrr_micro")
+      - micro(perq.map(_._2).sum / perq.length)) <= 1)
+    assert(math.abs(got.getAs[Long]("p10_micro")
+      - micro(perq.map(_._3).sum / perq.length)) <= 1)
+  }
+
+  test("privacy_dp_accounting: advanced composition beats basic once k is large") {
+    val rows = SparkEntry.queries("privacy_dp_accounting")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_releases")
+      val basic = r.getAs[Long]("eps_sum_milli")
+      val adv = r.getAs[Long]("eps_advanced_micro")
+      // ε ∈ [0.1, 0.5] per release → Σε bounded by k's envelope
+      assert(basic >= 100 * k && basic <= 500 * k)
+      // with hundreds of small-ε releases the √k advanced bound must be
+      // far below kε sequential composition
+      assert(adv < basic * 1000, s"advanced ≥ basic for ${r.getString(0)}")
+      assert(r.getAs[Long]("eps_sq_sum") >= basic * 100,
+        "Σε² below the Cauchy-Schwarz floor")
+    }
+  }
+
+  test("dedup_benchmark_decontam matches a driver-side 13-gram containment sweep") {
+    val docs = H.tbl(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+    def grams(a: Array[String]) =
+      if (a.length >= 13) a.sliding(13).map(_.mkString(" ")).toSet
+      else Set.empty[String]
+    val ev = docs.filter(_._1 < 64).map(t => grams(t._3))
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val train = docs.filter(_._1 >= 64)
+    val contaminated = train.filter(t => grams(t._3).exists(ev.contains))
+      .map(_._1).toSet
+    val got = SparkEntry.queries("dedup_benchmark_decontam")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_train_docs"), r.getAs[Long]("n_contaminated"))).toMap
+    assert(got.values.map(_._1).sum == train.length)
+    assert(got.values.map(_._2).sum == contaminated.size)
+    train.groupBy(_._2).foreach { case (src, rows) =>
+      assert(got(src)._1 == rows.length, s"n_train_docs for $src")
+      assert(got(src)._2 == rows.count(r => contaminated(r._1)),
+        s"n_contaminated for $src")
+    }
+    assert(contaminated.nonEmpty, "planted dup clusters must straddle the eval window")
+  }
+
+  test("dq_chat_template: violation flags partition the corpus and mask ≤ content") {
+    val got = SparkEntry.queries("dq_chat_template")(spark, sf).head()
+    val n = got.getAs[Long]("n_convs")
+    assert(n == H.tbl(spark, sf, "documents").count())
+    val valid = got.getAs[Long]("n_valid")
+    val viols = Seq("n_alt_viol", "n_empty_viol", "n_no_assistant",
+      "n_bad_final").map(got.getAs[Long])
+    // a conv is invalid iff it carries ≥1 flag: valid + |union of flags| = n,
+    // and the union is bounded by the flag sum
+    assert(valid < n && valid > 0, s"degenerate validity split: $valid/$n")
+    assert(viols.sum >= n - valid, "flags must cover every invalid conv")
+    assert(viols.forall(_ <= n - valid), "no flag can exceed the invalid count")
+    val mask = got.getAs[Long]("mask_chars")
+    val content = got.getAs[Long]("content_chars")
+    assert(mask > 0 && mask < content)
+    assert(got.getAs[Long]("mask_ratio_milli") == mask * 1000 / content)
+  }
+}
