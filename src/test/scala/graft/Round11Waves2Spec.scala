@@ -153,6 +153,43 @@ class Round11Waves2Spec extends AnyFunSuite {
     assert(contaminated.nonEmpty, "planted dup clusters must straddle the eval window")
   }
 
+  test("pref_best_of_n: curve is monotone and n=1 equals the plain mean") {
+    val rows = SparkEntry.queries("pref_best_of_n")(spark, sf)
+      .orderBy("n").collect()
+    assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    val curve = rows.map(_.getAs[Long]("e_best_milli"))
+    assert(curve.sliding(2).forall(p => p(1) >= p(0)), "E[max_n] must rise")
+    // E[max of 1] is the mean reward, averaged over prompts
+    val mean = H.events(spark, sf).groupBy("user_id")
+      .agg(avg("value").as("m")).agg(avg("m")).head().getDouble(0)
+    assert(math.abs(curve(0) - math.floor(mean * 1000 + 0.5)) <= 1)
+  }
+
+  test("text_needle_insert recovers every planted needle at every depth") {
+    val rows = SparkEntry.queries("text_needle_insert")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_recovered") == r.getAs[Long]("n_samples"),
+        s"depth ${r.getAs[Long]("depth")}")
+    }
+  }
+
+  test("source_jsonl_gzip writes real .gz parts (compression actually on)") {
+    // run the query (it writes its sink dir), then find the newest sink
+    SparkEntry.queries("source_jsonl_gzip")(spark, sf).collect()
+    val scratch = new java.io.File(H.scratchDir)
+    val sink = scratch.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_jsonl_gz"))
+      .maxBy(_.lastModified)
+    val parts = new java.io.File(sink, "docs").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".gz")))
+    // and the bytes really are gzip (magic 1f 8b)
+    val in = new java.io.FileInputStream(parts.head)
+    val magic = Array.fill(2)(in.read()); in.close()
+    assert(magic.toSeq == Seq(0x1f, 0x8b))
+  }
+
   test("dq_chat_template: violation flags partition the corpus and mask ≤ content") {
     val got = SparkEntry.queries("dq_chat_template")(spark, sf).head()
     val n = got.getAs[Long]("n_convs")
