@@ -24,6 +24,41 @@ object NdcgDecontamOpsQueries extends QueryModule {
   private def fold48(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(e), 1, 12), 16, 10).cast("long")
 
+  /** The 13-gram decontamination core, shared with the pipeline_rlhf_prep
+    * capstone (so its hygiene gate cannot desync from the judged
+    * dedup_benchmark_decontam op). SQL: CTE chain ending in
+    * `deconcont`(doc_id) — the contaminated train docs. */
+  private[queries] def decontamSql: String =
+    """decontoks AS (SELECT doc_id, source,
+      |    string_split(text, ' ') AS a FROM documents),
+      |deconsh AS (SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(a) - 12),
+      |      i -> list_aggregate(a[i:i+12], 'string_agg', ' '))) AS g
+      |  FROM decontoks WHERE len(a) >= 13),
+      |deconev AS (SELECT DISTINCT g FROM deconsh WHERE doc_id < 64),
+      |deconcont AS (SELECT DISTINCT s.doc_id FROM deconsh s
+      |  JOIN deconev ON s.g = deconev.g WHERE s.doc_id >= 64)""".stripMargin
+
+  /** Spark twin of [[decontamSql]]: (contaminated doc_id frame,
+    * checkpointed eval-shingle frame for the caller to free). */
+  private[queries] def decontamDf(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val shingle = expr(
+      """CASE WHEN size(split(text, ' ')) >= 13 THEN
+        |  transform(sequence(0, size(split(text, ' ')) - 13),
+        |    i -> concat_ws(' ', slice(split(text, ' '), i + 1, 13)))
+        |ELSE array() END""".stripMargin)
+    val sh = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(shingle).as("g"))
+    val ev = sh.filter(col("doc_id") < 64).select("g").distinct()
+      .localCheckpoint() // bounded by the fixed 64-doc eval suite
+    val cont = sh.filter(col("doc_id") >= 64)
+      .join(broadcast(ev), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    (cont, ev)
+  }
+
   def all: Seq[Q] = Seq(
 
     // RANKING-QUALITY EVAL: 50 synthetic queries; each doc is a candidate
@@ -196,38 +231,21 @@ object NdcgDecontamOpsQueries extends QueryModule {
     // corpus rows at any scale.
     Q("dedup_benchmark_decontam",
       Some(
-        """WITH toks AS (SELECT doc_id, source,
-          |    string_split(text, ' ') AS a FROM documents),
-          |sh AS (SELECT doc_id, unnest(list_transform(
-          |      generate_series(1, len(a) - 12),
-          |      i -> list_aggregate(a[i:i+12], 'string_agg', ' '))) AS g
-          |  FROM toks WHERE len(a) >= 13),
-          |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 64),
-          |cont AS (SELECT DISTINCT s.doc_id FROM sh s
-          |  JOIN ev ON s.g = ev.g WHERE s.doc_id >= 64),
+        s"""WITH $decontamSql,
           |tr AS (SELECT t.doc_id, t.source,
-          |    CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS c
-          |  FROM toks t LEFT JOIN cont ON t.doc_id = cont.doc_id
+          |    CASE WHEN deconcont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS c
+          |  FROM decontoks t LEFT JOIN deconcont
+          |    ON t.doc_id = deconcont.doc_id
           |  WHERE t.doc_id >= 64)
           |SELECT source, CAST(count(*) AS BIGINT) AS n_train_docs,
           |  CAST(sum(c) AS BIGINT) AS n_contaminated,
           |  CAST(sum(c) * 1000000 // count(*) AS BIGINT) AS rate_micro,
-          |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_eval_ngrams
+          |  (SELECT CAST(count(*) AS BIGINT) FROM deconev) AS n_eval_ngrams
           |FROM tr GROUP BY source ORDER BY source
           |""".stripMargin),
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
-        val shingle = expr(
-          """CASE WHEN size(split(text, ' ')) >= 13 THEN
-            |  transform(sequence(0, size(split(text, ' ')) - 13),
-            |    i -> concat_ws(' ', slice(split(text, ' '), i + 1, 13)))
-            |ELSE array() END""".stripMargin)
-        val sh = docs.select(col("doc_id"), explode(shingle).as("g"))
-        val ev = sh.filter(col("doc_id") < 64).select("g").distinct()
-          .localCheckpoint() // bounded by the fixed 64-doc eval suite
-        val cont = sh.filter(col("doc_id") >= 64)
-          .join(broadcast(ev), Seq("g"), "left_semi")
-          .select("doc_id").distinct()
+        val (cont, ev) = decontamDf(s, dir)
         val tr = docs.filter(col("doc_id") >= 64).select("doc_id", "source")
           .join(cont.withColumn("c", lit(1)), Seq("doc_id"), "left")
           .select(col("source"), coalesce(col("c"), lit(0)).as("c"))

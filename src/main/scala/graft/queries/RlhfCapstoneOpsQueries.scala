@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{H, Q, QueryModule}
+import graft.H.tbl
+
+/** Round-11 waves 180-181: the RLHF data-prep CAPSTONE (chat-template
+  * gate → benchmark decontamination → reward-ranked preference pairs →
+  * DPO hygiene gates → per-stratum report) and a pairwise corpus BLEU-2
+  * templateness audit. The capstone composes the judged component ops
+  * through SHARED helpers (SpecDecChatOpsQueries.chatAudit*,
+  * NdcgDecontamOpsQueries.decontam*) — one definition per component, so
+  * the capstone cannot silently desync from the operators it composes
+  * (the TrainingDataQueries.pipeline_corpus_prep discipline).
+  */
+object RlhfCapstoneOpsQueries extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+
+    // RLHF PREP CAPSTONE. Stages, per (lang, source) stratum:
+    //   1. chat-template audit (shared chatAudit core): only VALID
+    //      conversations survive; the audited assistant-char mass is the
+    //      reward proxy (the content the reward/SFT loss actually sees).
+    //   2. benchmark decontamination (shared decontam core): drop train
+    //      docs sharing a 13-gram with the fixed eval suite.
+    //   3. preference pairs: rank survivors by reward within the
+    //      stratum, pair rank i with ranks i+1..i+3 (chosen, rejected) —
+    //      the pref_pairs_build shape over the gated corpus.
+    //   4. DPO hygiene gates: margin ≥ 5 chars of reward separation, and
+    //      chosen/rejected length ratio within 3× either way (the
+    //      length-bias guard every DPO recipe applies).
+    // Report: corpus funnel + kept-pair margin and loss-mass per
+    // stratum. Work: the component passes are each linear; the pair join
+    // is rank-adjacent (≤3 partners per doc) within strata.
+    Q("pipeline_rlhf_prep",
+      Some {
+        s"""WITH ${SpecDecChatOpsQueries.chatAuditSql},
+           |${NdcgDecontamOpsQueries.decontamSql},
+           |surv AS (SELECT d.doc_id, d.lang, d.source,
+           |    chatv.asst_chars AS score, chatv.all_chars AS len
+           |  FROM documents d JOIN chatv ON d.doc_id = chatv.doc_id
+           |  LEFT JOIN deconcont ON d.doc_id = deconcont.doc_id
+           |  WHERE chatv.valid = 1 AND deconcont.doc_id IS NULL
+           |    AND d.doc_id >= 64),
+           |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang, source
+           |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM surv),
+           |p AS (SELECT a.lang, a.source, a.score - b.score AS margin,
+           |    a.score AS cs, a.len AS ac, b.len AS bc
+           |  FROM r a JOIN r b ON a.lang = b.lang AND a.source = b.source
+           |    AND b.rnk - a.rnk IN (1, 2, 3)),
+           |k AS (SELECT lang, source, margin, cs,
+           |    CASE WHEN margin >= 5 AND ac * 3 >= bc AND bc * 3 >= ac
+           |      THEN 1 ELSE 0 END AS keep FROM p),
+           |base AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM documents WHERE doc_id >= 64 GROUP BY 1, 2),
+           |cln AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_clean
+           |  FROM surv GROUP BY 1, 2),
+           |pr AS (SELECT lang, source,
+           |    CAST(count(*) AS BIGINT) AS n_pairs_raw,
+           |    CAST(sum(keep) AS BIGINT) AS n_pairs_kept,
+           |    CAST(sum(CASE WHEN keep = 1 THEN margin ELSE 0 END) * 1000
+           |      // greatest(sum(keep), 1) AS BIGINT) AS kept_margin_milli,
+           |    CAST(sum(CASE WHEN keep = 1 THEN cs ELSE 0 END) AS BIGINT)
+           |      AS mask_chars
+           |  FROM k GROUP BY 1, 2)
+           |SELECT base.lang, base.source, base.n_docs,
+           |  coalesce(cln.n_clean, 0) AS n_clean,
+           |  coalesce(pr.n_pairs_raw, 0) AS n_pairs_raw,
+           |  coalesce(pr.n_pairs_kept, 0) AS n_pairs_kept,
+           |  coalesce(pr.kept_margin_milli, 0) AS kept_margin_milli,
+           |  coalesce(pr.mask_chars, 0) AS mask_chars
+           |FROM base
+           |LEFT JOIN cln ON base.lang = cln.lang AND base.source = cln.source
+           |LEFT JOIN pr ON base.lang = pr.lang AND base.source = pr.source
+           |ORDER BY base.lang, base.source
+           |""".stripMargin
+      },
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val chat = SpecDecChatOpsQueries.chatAuditDf(s, dir)
+        val (cont, ev) = NdcgDecontamOpsQueries.decontamDf(s, dir)
+        val surv = docs.select(col("doc_id"), col("lang"), col("source"))
+          .filter(col("doc_id") >= 64)
+          .join(chat.filter(col("valid") === 1)
+            .select(col("doc_id"), col("asst_chars").as("score"),
+              col("all_chars").as("len")), Seq("doc_id"))
+          .join(cont.withColumn("bad", lit(1)), Seq("doc_id"), "left")
+          .filter(col("bad").isNull).drop("bad")
+        val r = surv.withColumn("rnk", row_number().over(
+            Window.partitionBy("lang", "source")
+              .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .localCheckpoint() // both pair sides
+        val a = r.withColumn("gap", explode(array(lit(1L), lit(2L), lit(3L))))
+          .select(col("lang"), col("source"), col("score").as("cs"),
+            col("len").as("ac"), (col("rnk") + col("gap")).as("want"))
+        val b = r.select(col("lang").as("l2"), col("source").as("s2"),
+          col("score").as("rs"), col("len").as("bc"), col("rnk").as("rnk2"))
+        val k = a.join(b, col("lang") === col("l2") &&
+            col("source") === col("s2") && col("want") === col("rnk2"))
+          .select(col("lang"), col("source"),
+            (col("cs") - col("rs")).as("margin"), col("cs"),
+            when(col("cs") - col("rs") >= 5 &&
+              col("ac") * 3 >= col("bc") && col("bc") * 3 >= col("ac"), 1L)
+              .otherwise(0L).as("keep"))
+        val base = docs.filter(col("doc_id") >= 64)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+        val cln = surv.groupBy("lang", "source")
+          .agg(count(lit(1)).cast("long").as("n_clean"))
+        val pr = k.groupBy("lang", "source").agg(
+          count(lit(1)).cast("long").as("n_pairs_raw"),
+          sum("keep").cast("long").as("n_pairs_kept"),
+          expr("CAST(sum(CASE WHEN keep = 1 THEN margin ELSE 0 END) * 1000" +
+            " div greatest(sum(keep), 1) AS BIGINT)").as("kept_margin_milli"),
+          sum(when(col("keep") === 1, col("cs")).otherwise(0L))
+            .cast("long").as("mask_chars"))
+        val out = base
+          .join(cln, Seq("lang", "source"), "left")
+          .join(pr, Seq("lang", "source"), "left")
+          .select(col("lang"), col("source"), col("n_docs"),
+            coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+            coalesce(col("n_pairs_raw"), lit(0L)).as("n_pairs_raw"),
+            coalesce(col("n_pairs_kept"), lit(0L)).as("n_pairs_kept"),
+            coalesce(col("kept_margin_milli"), lit(0L)).as("kept_margin_milli"),
+            coalesce(col("mask_chars"), lit(0L)).as("mask_chars"))
+          .orderBy("lang", "source")
+        H.materialized(out, caches = Nil, checkpoints = Seq(r, ev))
+      }),
+
+    // PAIRWISE CORPUS BLEU-2 (templateness audit): BLEU of each doc
+    // against its same-source successor. Random same-source pairs from a
+    // diverse corpus score near zero; templated/near-duplicated sources
+    // score high — the generation-diversity audit next to
+    // text_template_prefix and the dedup family. Modified (clipped)
+    // unigram+bigram precision with the standard brevity penalty:
+    // BLEU2 = BP·√(p1·p2), BP = min(1, e^(1−r/c)). Pairing is one
+    // per-source lead() pass; gram matching is two linear count joins.
+    Q("eval_bleu_pairwise",
+      Some(
+        """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS a
+          |  FROM documents),
+          |pairs AS (SELECT doc_id AS cand, source,
+          |    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+          |      AS ref,
+          |    len(a) AS clen,
+          |    lead(len(a)) OVER (PARTITION BY source ORDER BY doc_id)
+          |      AS rlen
+          |  FROM d),
+          |pp AS (SELECT * FROM pairs WHERE ref IS NOT NULL),
+          |g1 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM
+          |  (SELECT doc_id, unnest(a) AS g FROM d) GROUP BY 1, 2),
+          |g2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM
+          |  (SELECT doc_id, unnest(list_transform(
+          |      generate_series(1, len(a) - 1),
+          |      i -> a[i] || ' ' || a[i+1])) AS g
+          |    FROM d WHERE len(a) >= 2) GROUP BY 1, 2),
+          |m1 AS (SELECT pp.cand, CAST(sum(least(gc.c, coalesce(gr.c, 0)))
+          |      AS BIGINT) AS hit, CAST(sum(gc.c) AS BIGINT) AS tot
+          |  FROM pp JOIN g1 gc ON gc.doc_id = pp.cand
+          |  LEFT JOIN g1 gr ON gr.doc_id = pp.ref AND gr.g = gc.g
+          |  GROUP BY 1),
+          |m2 AS (SELECT pp.cand, CAST(sum(least(gc.c, coalesce(gr.c, 0)))
+          |      AS BIGINT) AS hit, CAST(sum(gc.c) AS BIGINT) AS tot
+          |  FROM pp JOIN g2 gc ON gc.doc_id = pp.cand
+          |  LEFT JOIN g2 gr ON gr.doc_id = pp.ref AND gr.g = gc.g
+          |  GROUP BY 1),
+          |b AS (SELECT pp.source,
+          |    CASE WHEN pp.clen >= pp.rlen THEN 1.0
+          |      ELSE exp(1 - CAST(pp.rlen AS DOUBLE) / pp.clen) END
+          |    * sqrt((CAST(m1.hit AS DOUBLE) / m1.tot)
+          |      * (CAST(coalesce(m2.hit, 0) AS DOUBLE)
+          |        / greatest(coalesce(m2.tot, 1), 1))) AS bleu
+          |  FROM pp JOIN m1 ON m1.cand = pp.cand
+          |  LEFT JOIN m2 ON m2.cand = pp.cand)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+          |  CAST(floor(avg(bleu) * 1000000 + 0.5) AS BIGINT)
+          |    AS bleu2_micro,
+          |  CAST(floor(max(bleu) * 1000000 + 0.5) AS BIGINT)
+          |    AS max_bleu2_micro
+          |FROM b GROUP BY source ORDER BY source
+          |""".stripMargin),
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("a"))
+          .localCheckpoint() // feeds pairs + both gram passes
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        val pp = d.select(col("doc_id").as("cand"), col("source"),
+            lead("doc_id", 1).over(w).as("ref"),
+            size(col("a")).cast("long").as("clen"),
+            lead(size(col("a")).cast("long"), 1).over(w).as("rlen"))
+          .filter(col("ref").isNotNull)
+        val g1 = d.select(col("doc_id"), explode(col("a")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).cast("long").as("c"))
+        val g2 = d.filter(size(col("a")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(a) - 2)," +
+              " i -> concat_ws(' ', a[i], a[i+1]))")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).cast("long").as("c"))
+        def clipped(g: org.apache.spark.sql.DataFrame) = pp
+          .join(g.select(col("doc_id").as("cand"), col("g"),
+            col("c").as("cc")), Seq("cand"))
+          .join(g.select(col("doc_id").as("ref"), col("g"),
+            col("c").as("rc")), Seq("ref", "g"), "left")
+          .groupBy("cand").agg(
+            sum(least(col("cc"), coalesce(col("rc"), lit(0L))))
+              .cast("long").as("hit"),
+            sum("cc").cast("long").as("tot"))
+        val m1 = clipped(g1)
+          .select(col("cand"), col("hit").as("h1"), col("tot").as("t1"))
+        val m2 = clipped(g2)
+          .select(col("cand"), col("hit").as("h2"), col("tot").as("t2"))
+        val b = pp.join(m1, Seq("cand")).join(m2, Seq("cand"), "left")
+          .select(col("source"),
+            (when(col("clen") >= col("rlen"), lit(1.0))
+              .otherwise(exp(lit(1) - col("rlen").cast("double") / col("clen")))
+              * sqrt((col("h1").cast("double") / col("t1"))
+                * (coalesce(col("h2"), lit(0L)).cast("double")
+                  / greatest(coalesce(col("t2"), lit(1L)), lit(1L)))))
+              .as("bleu"))
+        val out = b.groupBy("source").agg(
+            count(lit(1)).cast("long").as("n_pairs"),
+            floor(avg("bleu") * 1000000 + 0.5).cast("long").as("bleu2_micro"),
+            floor(max("bleu") * 1000000 + 0.5).cast("long")
+              .as("max_bleu2_micro"))
+          .orderBy("source")
+        H.materialized(out, caches = Nil, checkpoints = Seq(d))
+      })
+  )
+}

@@ -25,6 +25,90 @@ object SpecDecChatOpsQueries extends QueryModule {
   private def fold48(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(e), 1, 12), 16, 10).cast("long")
 
+  /** The chat-template audit as a reusable per-conversation frame —
+    * shared with the pipeline_rlhf_prep capstone so the capstone's
+    * validity gate can NEVER desync from the judged dq_chat_template op.
+    * SQL: CTE chain ending in relation `chatv`(doc_id, v_alt, v_empty,
+    * v_noasst, v_final, asst_chars, all_chars, valid). */
+  private[queries] def chatAuditSql: String = {
+    val f0 = hexFoldSql("'ct:' || CAST(doc_id AS VARCHAR)")
+    val fr = hexFoldSql(
+      "'cr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(t AS VARCHAR)")
+    val fe = hexFoldSql(
+      "'ce:' || CAST(doc_id AS VARCHAR) || ':' || CAST(t AS VARCHAR)")
+    s"""chatd AS (SELECT doc_id, text,
+       |    2 + ($f0) % 6 AS nt, ($f0) % 3 = 0 AS has_sys
+       |  FROM documents),
+       |chattu AS (SELECT doc_id, text, nt, has_sys,
+       |    unnest(generate_series(0, nt - 1)) AS t FROM chatd),
+       |chatr AS (SELECT doc_id, nt, t,
+       |    CASE WHEN ($fr) % 13 = 0 THEN 'user'
+       |      WHEN t = 0 AND has_sys THEN 'system'
+       |      WHEN has_sys THEN
+       |        (CASE WHEN (t - 1) % 2 = 0 THEN 'user' ELSE 'assistant' END)
+       |      ELSE (CASE WHEN t % 2 = 0 THEN 'user' ELSE 'assistant' END)
+       |    END AS role,
+       |    CASE WHEN ($fe) % 17 = 0 THEN ''
+       |      ELSE trim(substr(text, 1 + t*37, 37)) END AS content
+       |  FROM chattu),
+       |chatl AS (SELECT *, lag(role) OVER
+       |    (PARTITION BY doc_id ORDER BY t) AS prev FROM chatr),
+       |chatc AS (SELECT doc_id,
+       |    max(CASE WHEN prev IS NOT NULL AND role = prev
+       |      THEN 1 ELSE 0 END) AS v_alt,
+       |    max(CASE WHEN content = '' THEN 1 ELSE 0 END) AS v_empty,
+       |    1 - max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+       |      AS v_noasst,
+       |    max(CASE WHEN t = nt - 1 AND role <> 'assistant'
+       |      THEN 1 ELSE 0 END) AS v_final,
+       |    sum(CASE WHEN role = 'assistant' THEN length(content)
+       |      ELSE 0 END) AS asst_chars,
+       |    sum(length(content)) AS all_chars
+       |  FROM chatl GROUP BY doc_id),
+       |chatv AS (SELECT *, CASE WHEN v_alt = 0 AND v_empty = 0
+       |    AND v_noasst = 0 AND v_final = 0 THEN 1 ELSE 0 END AS valid
+       |  FROM chatc)""".stripMargin
+  }
+
+  /** Spark twin of [[chatAuditSql]]'s `chatv` relation. */
+  private[queries] def chatAuditDf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .withColumn("f0", fold48(concat(lit("ct:"), col("doc_id").cast("string"))))
+      .select(col("doc_id"), col("text"),
+        (lit(2L) + col("f0") % 6).as("nt"), (col("f0") % 3 === 0).as("has_sys"))
+    val tu = d.select(col("doc_id"), col("text"), col("nt"), col("has_sys"),
+      explode(expr("sequence(0L, nt - 1)")).as("t"))
+    val r = tu.select(col("doc_id"), col("nt"), col("t"),
+      when(fold48(concat(lit("cr:"), col("doc_id").cast("string"),
+        lit(":"), col("t").cast("string"))) % 13 === 0, "user")
+        .when(col("t") === 0 && col("has_sys"), "system")
+        .when(col("has_sys"),
+          when((col("t") - 1) % 2 === 0, "user").otherwise("assistant"))
+        .otherwise(when(col("t") % 2 === 0, "user").otherwise("assistant"))
+        .as("role"),
+      when(fold48(concat(lit("ce:"), col("doc_id").cast("string"),
+        lit(":"), col("t").cast("string"))) % 17 === 0, "")
+        .otherwise(trim(expr("substr(text, CAST(1 + t*37 AS INT), 37)")))
+        .as("content"))
+    val l = r.withColumn("prev",
+      lag("role", 1).over(Window.partitionBy("doc_id").orderBy("t")))
+    val c = l.groupBy("doc_id").agg(
+      max(when(col("prev").isNotNull && col("role") === col("prev"), 1)
+        .otherwise(0)).as("v_alt"),
+      max(when(col("content") === "", 1).otherwise(0)).as("v_empty"),
+      (lit(1) - max(when(col("role") === "assistant", 1).otherwise(0)))
+        .as("v_noasst"),
+      max(when(col("t") === col("nt") - 1 && col("role") =!= "assistant", 1)
+        .otherwise(0)).as("v_final"),
+      sum(when(col("role") === "assistant", length(col("content")))
+        .otherwise(0L)).as("asst_chars"),
+      sum(length(col("content"))).as("all_chars"))
+    c.withColumn("valid",
+      when(col("v_alt") === 0 && col("v_empty") === 0 &&
+        col("v_noasst") === 0 && col("v_final") === 0, 1).otherwise(0))
+  }
+
   def all: Seq[Q] = Seq(
 
     // SPECULATIVE DECODING acceptance census: the draft model proposes
@@ -105,43 +189,8 @@ object SpecDecChatOpsQueries extends QueryModule {
     // by doc — bounded frames), one global reduce.
     Q("dq_chat_template",
       Some {
-        val f0 = hexFoldSql("'ct:' || CAST(doc_id AS VARCHAR)")
-        val fr = hexFoldSql(
-          "'cr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(t AS VARCHAR)")
-        val fe = hexFoldSql(
-          "'ce:' || CAST(doc_id AS VARCHAR) || ':' || CAST(t AS VARCHAR)")
-        s"""WITH d AS (SELECT doc_id, text,
-           |    2 + ($f0) % 6 AS nt, ($f0) % 3 = 0 AS has_sys
-           |  FROM documents),
-           |tu AS (SELECT doc_id, text, nt, has_sys,
-           |    unnest(generate_series(0, nt - 1)) AS t FROM d),
-           |r AS (SELECT doc_id, nt, t,
-           |    CASE WHEN ($fr) % 13 = 0 THEN 'user'
-           |      WHEN t = 0 AND has_sys THEN 'system'
-           |      WHEN has_sys THEN
-           |        (CASE WHEN (t - 1) % 2 = 0 THEN 'user' ELSE 'assistant' END)
-           |      ELSE (CASE WHEN t % 2 = 0 THEN 'user' ELSE 'assistant' END)
-           |    END AS role,
-           |    CASE WHEN ($fe) % 17 = 0 THEN ''
-           |      ELSE trim(substr(text, 1 + t*37, 37)) END AS content
-           |  FROM tu),
-           |l AS (SELECT *, lag(role) OVER
-           |    (PARTITION BY doc_id ORDER BY t) AS prev FROM r),
-           |c AS (SELECT doc_id,
-           |    max(CASE WHEN prev IS NOT NULL AND role = prev
-           |      THEN 1 ELSE 0 END) AS v_alt,
-           |    max(CASE WHEN content = '' THEN 1 ELSE 0 END) AS v_empty,
-           |    1 - max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
-           |      AS v_noasst,
-           |    max(CASE WHEN t = nt - 1 AND role <> 'assistant'
-           |      THEN 1 ELSE 0 END) AS v_final,
-           |    sum(CASE WHEN role = 'assistant' THEN length(content)
-           |      ELSE 0 END) AS asst_chars,
-           |    sum(length(content)) AS all_chars
-           |  FROM l GROUP BY doc_id),
-           |v AS (SELECT *, CASE WHEN v_alt = 0 AND v_empty = 0
-           |    AND v_noasst = 0 AND v_final = 0 THEN 1 ELSE 0 END AS valid
-           |  FROM c)
+        s"""WITH $chatAuditSql,
+           |v AS (SELECT * FROM chatv)
            |SELECT CAST(count(*) AS BIGINT) AS n_convs,
            |  CAST(sum(valid) AS BIGINT) AS n_valid,
            |  CAST(sum(v_alt) AS BIGINT) AS n_alt_viol,
@@ -159,40 +208,7 @@ object SpecDecChatOpsQueries extends QueryModule {
            |""".stripMargin
       },
       (s, dir) => {
-        val d = tbl(s, dir, "documents")
-          .withColumn("f0", fold48(concat(lit("ct:"), col("doc_id").cast("string"))))
-          .select(col("doc_id"), col("text"),
-            (lit(2L) + col("f0") % 6).as("nt"), (col("f0") % 3 === 0).as("has_sys"))
-        val tu = d.select(col("doc_id"), col("text"), col("nt"), col("has_sys"),
-          explode(expr("sequence(0L, nt - 1)")).as("t"))
-        val r = tu.select(col("doc_id"), col("nt"), col("t"),
-          when(fold48(concat(lit("cr:"), col("doc_id").cast("string"),
-            lit(":"), col("t").cast("string"))) % 13 === 0, "user")
-            .when(col("t") === 0 && col("has_sys"), "system")
-            .when(col("has_sys"),
-              when((col("t") - 1) % 2 === 0, "user").otherwise("assistant"))
-            .otherwise(when(col("t") % 2 === 0, "user").otherwise("assistant"))
-            .as("role"),
-          when(fold48(concat(lit("ce:"), col("doc_id").cast("string"),
-            lit(":"), col("t").cast("string"))) % 17 === 0, "")
-            .otherwise(trim(expr("substr(text, CAST(1 + t*37 AS INT), 37)")))
-            .as("content"))
-        val l = r.withColumn("prev",
-          lag("role", 1).over(Window.partitionBy("doc_id").orderBy("t")))
-        val c = l.groupBy("doc_id").agg(
-          max(when(col("prev").isNotNull && col("role") === col("prev"), 1)
-            .otherwise(0)).as("v_alt"),
-          max(when(col("content") === "", 1).otherwise(0)).as("v_empty"),
-          (lit(1) - max(when(col("role") === "assistant", 1).otherwise(0)))
-            .as("v_noasst"),
-          max(when(col("t") === col("nt") - 1 && col("role") =!= "assistant", 1)
-            .otherwise(0)).as("v_final"),
-          sum(when(col("role") === "assistant", length(col("content")))
-            .otherwise(0L)).as("asst_chars"),
-          sum(length(col("content"))).as("all_chars"))
-        val v = c.withColumn("valid",
-          when(col("v_alt") === 0 && col("v_empty") === 0 &&
-            col("v_noasst") === 0 && col("v_final") === 0, 1).otherwise(0))
+        val v = chatAuditDf(s, dir)
         v.agg(count(lit(1)).cast("long").as("n_convs"),
             sum("valid").cast("long").as("n_valid"),
             sum("v_alt").cast("long").as("n_alt_viol"),

@@ -190,6 +190,43 @@ class Round11Waves2Spec extends AnyFunSuite {
     assert(magic.toSeq == Seq(0x1f, 0x8b))
   }
 
+  test("pipeline_rlhf_prep: funnel invariants and gate arithmetic hold per stratum") {
+    val rows = SparkEntry.queries("pipeline_rlhf_prep")(spark, sf).collect()
+    val nTrain = H.tbl(spark, sf, "documents")
+      .filter(col("doc_id") >= 64).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nTrain)
+    rows.foreach { r =>
+      val (nd, nc) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_clean"))
+      val (raw, kept) = (r.getAs[Long]("n_pairs_raw"),
+        r.getAs[Long]("n_pairs_kept"))
+      assert(nc <= nd, "clean ≤ docs")
+      assert(raw <= 3 * math.max(nc - 1, 0), "≤3 partners per ranked doc")
+      assert(kept <= raw)
+      if (kept > 0)
+        assert(r.getAs[Long]("kept_margin_milli") >= 5000,
+          s"kept pairs must honor the margin≥5 gate (${r.getString(0)}/${r.getString(1)})")
+      else assert(r.getAs[Long]("mask_chars") == 0L)
+    }
+    // the funnel must actually cut (gates that pass everything are dead)
+    assert(rows.map(_.getAs[Long]("n_clean")).sum < nTrain)
+    assert(rows.map(_.getAs[Long]("n_pairs_kept")).sum <
+      rows.map(_.getAs[Long]("n_pairs_raw")).sum)
+    assert(rows.map(_.getAs[Long]("n_pairs_kept")).sum > 0)
+  }
+
+  test("eval_bleu_pairwise: BLEU ∈ [0,1], pair counts = docs-per-source − 1") {
+    val rows = SparkEntry.queries("eval_bleu_pairwise")(spark, sf).collect()
+    val perSource = H.tbl(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == perSource(r.getString(0)) - 1)
+      val b = r.getAs[Long]("bleu2_micro")
+      assert(b >= 0 && b <= 1000000)
+      assert(r.getAs[Long]("max_bleu2_micro") >= b)
+    }
+  }
+
   test("dq_chat_template: violation flags partition the corpus and mask ≤ content") {
     val got = SparkEntry.queries("dq_chat_template")(spark, sf).head()
     val n = got.getAs[Long]("n_convs")
