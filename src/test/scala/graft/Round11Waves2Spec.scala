@@ -227,6 +227,61 @@ class Round11Waves2Spec extends AnyFunSuite {
     }
   }
 
+  test("stats_granger_lite matches an independent driver-side FWL computation") {
+    val spine = H.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("ts").cast("date").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("d").agg(
+        coalesce(max(when(col("event_type") === "click", col("c"))), lit(0L))
+          .as("a"),
+        coalesce(max(when(col("event_type") === "purchase", col("c"))), lit(0L))
+          .as("b"))
+      .collect().map(r => (r.getDate(0).toLocalDate,
+        r.getLong(1).toDouble, r.getLong(2).toDouble))
+      .sortBy(_._1.toEpochDay)
+    val byDay = spine.map(t => t._1.toEpochDay -> (t._2, t._3)).toMap
+    val lagged = spine.flatMap { case (d, a, b) =>
+      byDay.get(d.toEpochDay - 1).map { case (al, bl) => (a, b, al, bl) }
+    }
+    def f(y: Array[Double], z: Array[Double], x: Array[Double]): Double = {
+      val n = y.length.toDouble
+      def m(v: Array[Double]) = v.sum / n
+      val (my, mz, mx) = (m(y), m(z), m(x))
+      val syz = y.zip(z).map(p => p._1 * p._2).sum - n * my * mz
+      val szz = z.map(v => v * v).sum - n * mz * mz
+      val sxz = x.zip(z).map(p => p._1 * p._2).sum - n * mx * mz
+      val ey = y.zip(z).map { case (yv, zv) => (yv - my) - syz / szz * (zv - mz) }
+      val ex = x.zip(z).map { case (xv, zv) => (xv - mx) - sxz / szz * (zv - mz) }
+      val (see, sex, sxx) = (ey.map(v => v * v).sum,
+        ey.zip(ex).map(p => p._1 * p._2).sum, ex.map(v => v * v).sum)
+      if (sxx == 0) 0.0
+      else (sex * sex / sxx) / ((see - sex * sex / sxx) / (y.length - 3))
+    }
+    val fBa = f(lagged.map(_._1), lagged.map(_._3), lagged.map(_._4))
+    val fAb = f(lagged.map(_._2), lagged.map(_._4), lagged.map(_._3))
+    val got = SparkEntry.queries("stats_granger_lite")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("f_milli")).toMap
+    assert(math.abs(got("ba") - math.floor(fBa * 1000 + 0.5)) <= 1)
+    assert(math.abs(got("ab") - math.floor(fAb * 1000 + 0.5)) <= 1)
+  }
+
+  test("privacy_synthetic_marginals: marginals survive, the joint pays the independence cost") {
+    val got = SparkEntry.queries("privacy_synthetic_marginals")(spark, sf).head()
+    assert(got.getAs[Long]("n_rows") ==
+      H.tbl(spark, sf, "documents").count())
+    val (tl, ts2) = (got.getAs[Long]("tvd_lang_milli"),
+      got.getAs[Long]("tvd_source_milli"))
+    val (tj, ig) = (got.getAs[Long]("tvd_joint_milli"),
+      got.getAs[Long]("indep_gap_milli"))
+    // 1-way marginals are preserved up to sampling noise; the 2-way joint
+    // additionally pays the dropped correlation (≈ the independence gap)
+    assert(tl < 200 && ts2 < 200, s"marginal TVD too large: $tl/$ts2")
+    assert(tj >= ig - 100, "joint TVD cannot beat the independence floor by more than noise")
+    assert(tj <= 1000 && ig <= 1000)
+    assert(tj > tl && tj > ts2, "joint must carry more error than the marginals")
+  }
+
   test("dq_chat_template: violation flags partition the corpus and mask ≤ content") {
     val got = SparkEntry.queries("dq_chat_template")(spark, sf).head()
     val n = got.getAs[Long]("n_convs")
