@@ -282,6 +282,32 @@ class Round11Waves2Spec extends AnyFunSuite {
     assert(tj > tl && tj > ts2, "joint must carry more error than the marginals")
   }
 
+  test("clf_logreg_train recovers the planted model's structure") {
+    val got = SparkEntry.queries("clf_logreg_train")(spark, sf).head()
+    val (b1, b2, b0) = (got.getAs[Long]("b1_milli"),
+      got.getAs[Long]("b2_milli"), got.getAs[Long]("b0_milli"))
+    // plant: y = 1 iff 0.9·x1 − 0.7·x2 + 0.3 + u > 0 — after 3 IRLS
+    // rounds the logistic scale is still growing, but the SIGNS and the
+    // separation quality are structural facts
+    assert(b1 > 0 && b2 < 0 && b0 > 0, s"sign pattern: $b1/$b2/$b0")
+    assert(got.getAs[Long]("train_acc_milli") >= 850,
+      "a well-conditioned 2-feature plant must separate ≥85%")
+    assert(got.getAs[Long]("n_docs") ==
+      H.tbl(spark, sf, "documents").count())
+  }
+
+  test("clf_naive_bayes_train: dialect-marked NB separates the languages") {
+    val rows = SparkEntry.queries("clf_naive_bayes_train")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("acc_milli") >= 900,
+        s"lang ${r.getString(0)}: ${r.getAs[Long]("acc_milli")}")
+    }
+    val nTest = H.tbl(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_test")).sum == nTest)
+  }
+
   test("dq_chat_template: violation flags partition the corpus and mask ≤ content") {
     val got = SparkEntry.queries("dq_chat_template")(spark, sf).head()
     val n = got.getAs[Long]("n_convs")
