@@ -14,13 +14,13 @@ object FellegiRecEvalOpsQueries extends QueryModule {
   /** The er_blocked_linkage corruption fixture (GovernanceQueries:123),
     * inlined: three deterministic corruption modes keyed on c_custkey % 3,
     * confined to the name tail so the 16-char blocking prefix survives. */
-  private val dirtySql: String =
+  private[queries] val dirtySql: String =
     "CASE CAST(c_custkey % 3 AS INTEGER) " +
       "WHEN 0 THEN substr(c_name, 1, 16) || 'Q' || substr(c_name, 18, 1) " +
       "WHEN 1 THEN substr(c_name, 1, 17) " +
       "ELSE c_name || 'Z' END"
 
-  private def dirtyCol: org.apache.spark.sql.Column =
+  private[queries] def dirtyCol: org.apache.spark.sql.Column =
     when(col("c_custkey") % 3 === 0,
       concat(substring(col("c_name"), 1, 16), lit("Q"),
         substring(col("c_name"), 18, 1)))

@@ -308,6 +308,23 @@ class Round11Waves2Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_test")).sum == nTest)
   }
 
+  test("er_fellegi_sunter_em: dead feature pinned to 0, u's recovered, λ bounded by truth") {
+    val got = SparkEntry.queries("er_fellegi_sunter_em")(spark, sf).head()
+    // f1 never fires in the fixture → EM must drive m1 (and u1) to 0
+    assert(got.getAs[Long]("m1_micro") == 0 && got.getAs[Long]("u1_micro") == 0)
+    // u-parameters are identified from the dominant non-match mass:
+    // EM's estimate must land within 2% absolute of the labeled truth
+    assert(math.abs(got.getAs[Long]("u2_micro")
+      - got.getAs[Long]("true_u2_micro")) <= 20000)
+    // λ sits between 0 and the true prevalence (the documented
+    // conflation of mode-0 matches can only shrink the latent class)
+    val lam = got.getAs[Long]("lam_micro")
+    assert(lam > 0 && lam <= got.getAs[Long]("true_prevalence_micro"))
+    // the latent match class must be high-m on the informative features
+    assert(got.getAs[Long]("m2_micro") > 900000)
+    assert(got.getAs[Long]("m3_micro") > 900000)
+  }
+
   test("dq_chat_template: violation flags partition the corpus and mask ≤ content") {
     val got = SparkEntry.queries("dq_chat_template")(spark, sf).head()
     val n = got.getAs[Long]("n_convs")
