@@ -325,6 +325,37 @@ class Round11Waves2Spec extends AnyFunSuite {
     assert(got.getAs[Long]("m3_micro") > 900000)
   }
 
+  test("privacy_dpsgd_rdp: more noise → smaller ε; order and geometry sane") {
+    val rows = SparkEntry.queries("privacy_dpsgd_rdp")(spark, sf)
+      .orderBy("sigma_milli").collect()
+    assert(rows.map(_.getAs[Long]("sigma_milli")).toSeq ==
+      Seq(500L, 1000L, 2000L))
+    val eps = rows.map(_.getAs[Long]("eps_micro"))
+    assert(eps(0) > eps(1) && eps(1) > eps(2),
+      s"ε must fall as σ rises: ${eps.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("eps_micro") > 0)
+      val a = r.getAs[Long]("best_alpha")
+      assert(a >= 2 && a <= 32)
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("steps") == 3 * ((n + 63) / 64))
+      assert(r.getAs[Long]("q_micro") ==
+        math.floor(64.0 / n * 1000000 + 0.5).toLong)
+    }
+    // independent recompute of the σ=1.0 face on the driver
+    val n = rows(1).getAs[Long]("n").toDouble
+    val q = 64.0 / n; val t = 3 * math.ceil(n / 64.0); val delta = 1 / (n * n)
+    def c(a: Int, k: Int) =
+      (1 to k).foldLeft(1L)((acc, i) => acc * (a - i + 1) / i).toDouble
+    val best = (2 to 32).map { a =>
+      val s = (0 to a).map(k => c(a, k) * math.pow(1 - q, a - k) *
+        math.pow(q, k) * math.exp(k * (k - 1) / 2.0)).sum
+      t * math.log(s) / (a - 1) + math.log(1 / delta) / (a - 1)
+    }.min
+    assert(math.abs(rows(1).getAs[Long]("eps_micro")
+      - math.floor(best * 1000000 + 0.5)) <= 2)
+  }
+
   test("dq_chat_template: violation flags partition the corpus and mask ≤ content") {
     val got = SparkEntry.queries("dq_chat_template")(spark, sf).head()
     val n = got.getAs[Long]("n_convs")
