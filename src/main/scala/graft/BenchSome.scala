@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Mini-bench for A/B experiments: same session config and timing action as
+  * Bench (one shared session, each query once, codegen cold per query), over
+  * an explicit query list. `runMain graft.BenchSome <sfDir> <q1> <q2> ...`
+  */
+object BenchSome {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.local.dir", H.scratchDir)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "customer", "documents", "embeddings")
+      .foreach(t => scala.util.Try(H.tbl(spark, sfDir, t).count()))
+    scala.util.Try(H.events(spark, sfDir).count())
+    var total = 0.0
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      H.freeLocalCheckpoint(df)
+      total += sec
+      println(f"[benchsome] $name%-32s $sec%7.2f s")
+    }
+    println(f"[benchsome] TOTAL ${total}%.2f s over ${names.size} queries")
+    spark.stop()
+  }
+}

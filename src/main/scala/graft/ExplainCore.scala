@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Plan inspector for shared pipeline cores (the judged queries wrap their
+  * result in H.materialized/localCheckpoint, which leaves only an opaque
+  * RDD scan to explain — this prints the INTERIOR plan the optimization
+  * notes reference). `runMain graft.ExplainCore <core> [sfDir]`.
+  */
+object ExplainCore {
+  def main(args: Array[String]): Unit = {
+    val core = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.local.dir", H.scratchDir)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.functions.{DedupSketches => DS}
+    val docs = H.tbl(spark, sfDir, "documents")
+    val df = core match {
+      case "dedup_candidates" =>
+        DS.candidatePairs(DS.lshBands(DS.minhashSignature(DS.shingles(docs, 3))))
+      case "minhash_signature" =>
+        DS.minhashSignature(DS.shingles(docs, 3))
+      case "simhash" => DS.simhash(docs)
+      case other => SparkEntry.queries(other)(spark, sfDir)
+    }
+    df.explain("formatted")
+    spark.stop()
+  }
+}

@@ -54,7 +54,7 @@ object Profile {
       val n = df.count()
       val t2 = System.nanoTime()
       H.freeLocalCheckpoint(df)
-      spark.sparkContext.listenerBus.waitUntilEmpty()
+      Thread.sleep(300) // let the listener bus drain
       spark.sparkContext.removeSparkListener(listener)
       println(f"[profile] rep $r: total ${(t2 - t0) / 1e9}%.2f s  (fn+eager ${(t1 - t0) / 1e9}%.2f s, count ${(t2 - t1) / 1e9}%.2f s), $n rows, ${jobs.get()} jobs")
       import scala.jdk.CollectionConverters._

@@ -22,6 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object DedupSketches {
 
+  /** Spread a frame across the session's shuffle parallelism by hash of
+    * `key` — the guide-§2.5 "repartition immediately after the read" fix
+    * for CPU-dense map chains above an under-split source. Two local
+    * under-parallelism sources measured in the r11 profile: (a) a
+    * single-file parquet scan is one task regardless of cores (row-group
+    * granularity), so the shingle+md5 map chain ran 1-threaded; (b) AQE's
+    * byte-based partition coalescing (minPartitionSize=1 MB) collapses a
+    * small cached aggregate to 1 partition, and a CPU-dense expansion
+    * join inherits it (dedup_groups: 2.1 s in ONE task while 31 cores
+    * idle). The explicit count pins the exchange against AQE coalescing
+    * (REPARTITION_BY_NUM); the count is the session's shuffle
+    * parallelism, not a constant, so a cluster session scales it. The
+    * shuffled bytes are the narrow pre-expansion rows — exactly the
+    * "shuffle a lightweight proxy to parallelize the heavy work" trade. */
+  def spread(df: DataFrame, key: Column): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
+
   val NumHashes = 12
   val BandRows = 3 // 4 bands × 3 rows: P(candidate) = 1-(1-J^3)^4
   val NumBands: Int = NumHashes / BandRows
@@ -32,7 +50,7 @@ object DedupSketches {
     * map-side, no shuffle — equivalent to a global DISTINCT on
     * (doc_id, shingle) since shingles never cross documents. */
   def shingles(docs: DataFrame, n: Int): DataFrame =
-    docs
+    spread(docs, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
         s"array_distinct(CASE WHEN size(toks) >= $n THEN " +
@@ -135,7 +153,12 @@ object DedupSketches {
     * input once per side, and everything below the (cheap, map-side) band
     * expansion is shared through the cache. */
   def candidatePairs(bands: DataFrame): DataFrame =
-    bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    // probe side spread by doc_id (NOT the band key — a hot band would
+    // then be a planted skew): the pair-expansion probe is the CPU-dense
+    // stage this join pays for, and it inherits the tiny cached signature
+    // frame's 1-partition layout without this (see `spread`)
+    spread(bands, col("doc_id"))
+      .select(col("band"), col("key"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band"), col("key"), col("doc_id").as("doc_b")),
         Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
