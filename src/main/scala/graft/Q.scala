@@ -52,6 +52,31 @@ object H {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     canonicalTypes(spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** The session's shuffle parallelism — the scale-adaptive partition count
+    * for explicit repartitions (never a hard-coded constant: the bench
+    * runs this engine at several core counts, and a cluster session sets
+    * its own value). */
+  def numShufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** Spread a frame across the session's shuffle parallelism by hash of
+    * `key` — the guide-§2.5 "repartition immediately after the read" fix
+    * for CPU-dense work above an under-split source. Two measured local
+    * under-parallelism sources (r11 profile): (a) a single-file parquet
+    * scan is ONE task regardless of cores (splits stop at row-group
+    * granularity), so per-row-heavy map chains run 1-threaded; (b) AQE's
+    * byte-based partition coalescing (minPartitionSize = 1 MB) collapses
+    * a small cached/checkpointed aggregate to 1 partition, and a
+    * CPU-dense expansion join downstream inherits it. The explicit count
+    * pins the exchange against AQE coalescing (REPARTITION_BY_NUM); the
+    * bytes moved are the narrow pre-expansion rows — the "shuffle a
+    * lightweight proxy to parallelize the heavy work" trade. Use ONLY
+    * above work that is CPU-dense per input byte (hashing, codecs, pair
+    * expansion); a plain aggregation is better served by the scan's own
+    * partitioning and map-side combine. */
+  def spread(df: DataFrame, key: Column): DataFrame =
+    df.repartition(numShufflePartitions(df), key)
+
   /** Canonicalize physically-encoding-dependent column types at the load
     * boundary, so every query downstream sees one schema regardless of how
     * the parquet writer annotated the data. The reference does the same
@@ -169,7 +194,7 @@ object H {
   def globalRank(df: DataFrame, ord: Seq[Column], out: String)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val pp = df.repartitionByRange(32, ord: _*)
+    val pp = df.repartitionByRange(numShufflePartitions(df), ord: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint() // read by the offset pass AND the rank pass
     val offs = pp.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
@@ -197,7 +222,7 @@ object H {
   def globalCumSum(df: DataFrame, ord: Seq[Column], value: Column,
       out: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val pp = df.repartitionByRange(32, ord: _*)
+    val pp = df.repartitionByRange(numShufflePartitions(df), ord: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value)
       .localCheckpoint() // read by the offset pass AND the cumsum pass

@@ -22,23 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object DedupSketches {
 
-  /** Spread a frame across the session's shuffle parallelism by hash of
-    * `key` — the guide-§2.5 "repartition immediately after the read" fix
-    * for CPU-dense map chains above an under-split source. Two local
-    * under-parallelism sources measured in the r11 profile: (a) a
-    * single-file parquet scan is one task regardless of cores (row-group
-    * granularity), so the shingle+md5 map chain ran 1-threaded; (b) AQE's
-    * byte-based partition coalescing (minPartitionSize=1 MB) collapses a
-    * small cached aggregate to 1 partition, and a CPU-dense expansion
-    * join inherits it (dedup_groups: 2.1 s in ONE task while 31 cores
-    * idle). The explicit count pins the exchange against AQE coalescing
-    * (REPARTITION_BY_NUM); the count is the session's shuffle
-    * parallelism, not a constant, so a cluster session scales it. The
-    * shuffled bytes are the narrow pre-expansion rows — exactly the
-    * "shuffle a lightweight proxy to parallelize the heavy work" trade. */
-  def spread(df: DataFrame, key: Column): DataFrame =
-    df.repartition(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
+  /** See [[graft.H.spread]] (the shared CPU-dense-stage parallelizer). */
+  def spread(df: DataFrame, key: Column): DataFrame = graft.H.spread(df, key)
 
   val NumHashes = 12
   val BandRows = 3 // 4 bands × 3 rows: P(candidate) = 1-(1-J^3)^4

@@ -161,6 +161,10 @@ object RankTestOpsQueries extends QueryModule {
             floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
               .as("cents"))
           .groupBy("dy").agg(sum("cents").cast("long").as("rev"))
+          // spread: the O(days²) pair expansion below probes this frame —
+          // left at the aggregate's AQE-coalesced single partition, ONE
+          // task generates all ~2.9M pairs (H.spread)
+          .transform(graft.H.spread(_, col("dy")))
           .localCheckpoint() // calendar-bounded day frame
         val p = d.select(col("dy").as("di"), col("rev").as("ri"))
           .join(broadcast(d.select(col("dy").as("dj"),

@@ -160,6 +160,9 @@ object RecsysOpsQueries extends QueryModule {
     val li = tbl(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      // spread: same pair-expansion-above-a-coalesced-checkpoint shape as
+      // jaccardFrames (H.spread)
+      .transform(graft.H.spread(_, col("ok")))
       .localCheckpoint() // three consumers: counts + both join sides
     val n = li.groupBy("pk").agg(count(lit(1)).cast("long").as("cnt"))
     val a = li.filter(col("pk") < 100)
@@ -199,6 +202,11 @@ object RecsysOpsQueries extends QueryModule {
             col("p_partkey") === col("l_partkey"))
           .select(col("o_custkey").as("ck"), col("p_brand").as("b"))
           .distinct()
+          // spread BEFORE the checkpoint: the distinct's coalesced tail is
+          // 2-3 partitions (~3 MB), and the pair-expansion probe below
+          // (16+ MB of pair rows from it) would inherit that parallelism
+          // (measured 3.5 s in 2 tasks) — see H.spread
+          .transform(graft.H.spread(_, col("ck")))
           .localCheckpoint() // sizes + both pair sides
         val n = cb.groupBy("ck").agg(count(lit(1)).cast("long").as("sz"))
         val w = Window.partitionBy("ca")
