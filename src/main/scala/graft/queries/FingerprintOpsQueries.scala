@@ -44,7 +44,11 @@ object FingerprintOpsQueries extends QueryModule {
         "SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, fp) AS BIGINT) AS rnk, " +
         "fp, n_docs, sample_doc FROM shared QUALIFY rnk <= 30 ORDER BY rnk"),
       (s, dir) => {
-        val pos = tbl(s, dir, "documents")
+        // spread: the per-char k-gram md5 chain (~250 hashes/doc) ran in
+        // the single scan task (2.5 s, 1 task, 21.7 MB shuffle write —
+        // r11 profile); hashing by doc_id also pre-establishes the
+        // doc-window's partitioning so its exchange is reused (H.spread)
+        val pos = H.spread(tbl(s, dir, "documents"), col("doc_id"))
           .filter(length(col("text")) >= K)
           .select(col("doc_id"),
             explode(expr(s"sequence(1, length(text) - ${K - 1})")).as("i"),

@@ -175,14 +175,19 @@ object PrioritySampleOpsQueries extends QueryModule {
           when(c === 0, 0).otherwise(length(bin(c))).as("b")
         // 3-gram shingles as a per-row array op (no window, no extra
         // shuffle); sequence() must be guarded — Spark generates a
-        // DESCENDING sequence when start > stop, not an empty one
+        // DESCENDING sequence when start > stop, not an empty one.
+        // `toks` is PROJECTED once: higher-order lambdas run interpreted
+        // (CodegenFallback), and the previous inline form re-evaluated
+        // split(text) per lambda reference — the r11 profile put the whole
+        // chain at 4.3 s in ONE task, so the shingle pass is also spread
+        // across cores (H.spread).
         val shingle = expr(
-          """CASE WHEN size(split(text, ' ')) >= 3 THEN
-            |  transform(sequence(0, size(split(text, ' ')) - 3),
-            |    i -> concat_ws(' ', split(text, ' ')[i],
-            |      split(text, ' ')[i+1], split(text, ' ')[i+2]))
+          """CASE WHEN size(toks) >= 3 THEN
+            |  transform(sequence(0, size(toks) - 3),
+            |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
             |ELSE array() END""".stripMargin)
-        val vh = docs
+        val vh = graft.H.spread(docs, col("doc_id"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .select(col("doc_id"), explode(shingle).as("tok"))
           .groupBy("tok").agg(min("doc_id").as("fd"))
           .groupBy(bitLen(col("fd"))).agg(count(lit(1)).cast("long").as("c"))

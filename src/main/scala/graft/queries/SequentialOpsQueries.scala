@@ -68,7 +68,11 @@ object SequentialOpsQueries extends QueryModule {
       (s, dir) => {
         val op = tbl(s, dir, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct().localCheckpoint()
+          .distinct()
+          // spread: the two-sided pattern-expansion joins below probe this
+          // checkpoint; at its AQE-coalesced 2-3 partitions they ran on as
+          // many tasks (H.spread)
+          .transform(H.spread(_, col("o"))).localCheckpoint()
         val seq0 = tbl(s, dir, "orders")
           .select(col("o_custkey").as("c"), col("o_orderkey").as("o"),
             row_number().over(Window.partitionBy("o_custkey")
