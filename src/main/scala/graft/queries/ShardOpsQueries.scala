@@ -73,7 +73,9 @@ object ShardOpsQueries extends QueryModule {
               col("node").cast("string"), lit("#"),
               col("vv").cast("string"))), 1, 13), 16, 10).cast("long")
               * 512 + col("node") * 16 + col("vv")).as("pos"))
-        val k = tbl(s, dir, "customer")
+        // spread: the 144-way ring expansion + per-key md5 ran in the
+        // single customer-scan task (1.8 s, 1 task — r11 profile; H.spread)
+        val k = graft.H.spread(tbl(s, dir, "customer"), col("c_custkey"))
           .select(col("c_custkey"),
             (conv(substring(md5(col("c_custkey").cast("string")), 1, 13),
               16, 10).cast("long") * 512).as("kh"))

@@ -79,7 +79,9 @@ object SuffixOpsQueries extends QueryModule {
            |FROM per QUALIFY rnk <= 20 ORDER BY rnk
            |""".stripMargin),
       (s, dir) => {
-        val docs = tbl(s, dir, "documents")
+        // spread: the suffix explode ran in the single scan task (0.9 s,
+        // 1 task, 14.8 MB shuffle write — r11 profile; H.spread)
+        val docs = graft.H.spread(tbl(s, dir, "documents"), col("doc_id"))
         // docs shorter than B can't host a reported repeat — filter BEFORE
         // the explode (also keeps sequence() bounds valid: stop >= start)
         val sfx = docs.filter(length(col("text")) >= B)
