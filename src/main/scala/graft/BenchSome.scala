@@ -36,6 +36,14 @@ object BenchSome {
       println(f"[benchsome] $name%-32s $sec%7.2f s")
     }
     println(f"[benchsome] TOTAL ${total}%.2f s over ${names.size} queries")
+    // Codegen-compiler telemetry (drift-free A/B evidence): total janino
+    // compilations and wall ms spent compiling this JVM. The bench runs 742
+    // queries through ONE session, so the global codegen cache's hit rate —
+    // not per-run host luck — decides how much of this is paid repeatedly.
+    val cg = org.apache.spark.metrics.source.CodegenMetrics
+    println(s"[benchsome] codegen: compiled=${cg.METRIC_COMPILATION_TIME.getCount} " +
+      s"totalMs=${cg.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum} " +
+      s"generatedClasses=${cg.METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount}")
     spark.stop()
   }
 }
