@@ -262,7 +262,7 @@ object Bench {
     // runs, so only a CLEAN run (0 errors, 0 stall suspects) may refresh
     // it — a degraded run's fail-fast and stall-inflated times would make
     // the triggers nonsensical. Degraded runs land in BENCH_LAST.json.
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","calib_ms":${"%.0f".format(calibMs)},"calib_par_ms":${"%.0f".format(calibParMs)},"calib_io_ms":${"%.0f".format(calibIoMs)},"queries":$qs,"errors":$errs,"stall_suspect":$susp,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"calib_ms":${"%.0f".format(calibMs)},"calib_par_ms":${"%.0f".format(calibParMs)},"calib_io_ms":${"%.0f".format(calibIoMs)},"queries":$qs,"errors":$errs,"stall_suspect":$susp,"sf":"$sfDir"}"""
     // An error-free run can still be poisoned by CONTENTION the stall
     // detector can't see (another JVM sharing the cores inflates every
     // query a little instead of one query a lot). Guard the reference
@@ -278,12 +278,19 @@ object Bench {
       }
     }
     // never clobber the canonical reference with a run at ANOTHER scale
-    // factor (e.g. a k10 probe board): adopt only when the existing
-    // reference is absent or records the same sf
+    // factor (e.g. a k10 probe board) or another CORE COUNT (the driver's
+    // low-core scaling run is a valid run but must not become the retry
+    // reference for full-core boards — r11 wrinkle: the clean 8-core run
+    // self-adopted). Adopt only when the existing reference is absent,
+    // or records the same sf AND the same cpus. A legacy reference with
+    // no "cpus" field is replaceable (that is how the stale 8-core r11
+    // reference gets retired by the first clean stamped run).
     val sameSfAsRef = scala.util.Try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
-      txt.contains(s""""sf":"$sfDir"""")
+      val cpusOk = """"cpus":(\d+)""".r.findFirstMatchIn(txt)
+        .forall(_.group(1) == cpus)
+      txt.contains(s""""sf":"$sfDir"""") && cpusOk
     }.getOrElse(true)
     val fullTarget =
       if (failed.isEmpty && suspects.isEmpty && refRegressionOk && sameSfAsRef)

@@ -31,6 +31,20 @@ object ExplainCore {
       case "minhash_signature" =>
         DS.minhashSignature(DS.shingles(docs, 3))
       case "simhash" => DS.simhash(docs)
+      case "emb_pca_core" =>
+        graft.queries.ScaleCorpusQueries.pcaFrames(spark, sfDir)._1
+      case "shingle_grid_core" =>
+        // grid construction + the df aggregate (the judged query
+        // checkpoints the grid between them)
+        val g = graft.queries.SensitivityOpsQueries
+          .shingleGridFrame(spark, sfDir)
+        g.select(col("k"), explode(col("ss")).as("s"))
+          .groupBy("k", "s").agg(count(lit(1)).as("df"))
+      case "emb_pca_pass" =>
+        // the iteration's own plan (inside pcaFrames it hides behind a
+        // localCheckpoint): one scan, per-row fold, ONE real exchange
+        val (c, _) = graft.queries.ScaleCorpusQueries.pcaCentered(spark, sfDir)
+        graft.queries.ScaleCorpusQueries.pcaPass(c, None)
       case other => SparkEntry.queries(other)(spark, sfDir)
     }
     df.explain("formatted")

@@ -57,7 +57,11 @@ object H {
     * runs this engine at several core counts, and a cluster session sets
     * its own value). */
   def numShufflePartitions(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // non-numeric values (e.g. "auto" on some platforms) fall back to the
+    // cluster's default parallelism instead of throwing at plan build
+    scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Spread a frame across the session's shuffle parallelism by hash of
     * `key` — the guide-§2.5 "repartition immediately after the read" fix

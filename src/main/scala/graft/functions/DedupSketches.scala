@@ -32,8 +32,10 @@ object DedupSketches {
   /** (doc_id, shingle) — distinct word n-grams per document. Documents
     * shorter than n tokens produce no shingles (dropped, both engines).
     * Set semantics come from per-doc `array_distinct` BEFORE the explode —
-    * map-side, no shuffle — equivalent to a global DISTINCT on
-    * (doc_id, shingle) since shingles never cross documents. */
+    * equivalent to a global DISTINCT on (doc_id, shingle) since shingles
+    * never cross documents. One deliberate exchange sits above the scan:
+    * `spread` repartitions the docs so the CPU-dense shingle+md5 chain
+    * does not run single-threaded over an unsplittable one-file read. */
   def shingles(docs: DataFrame, n: Int): DataFrame =
     spread(docs, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -220,7 +220,11 @@ object InterleaveOpsQueries extends QueryModule {
         s"(${graft.functions.VectorSim.norm2Sql("v")}) AS nrm FROM e), " +
         "q AS MATERIALIZED (SELECT vec_id AS qid, label AS ql, v AS qv, nrm AS qn " +
         "FROM n WHERE vec_id < 10), " +
-        "sims AS MATERIALIZED (SELECT q.qid, q.ql, c.vec_id AS vid, " +
+        // sims deliberately NOT materialized: the full |q|x|n| sim table
+        // buffered at once is what OOM'd the r11 oracle process; inlined,
+        // each consumer streams it (the dot product is recomputed per
+        // consumer — CPU for peak memory, the right trade in the harness)
+        "sims AS (SELECT q.qid, q.ql, c.vec_id AS vid, " +
         "c.label AS cl, " +
         s"(${graft.functions.VectorSim.dotSql("q.qv", "c.v")}) " +
         "/ (sqrt(q.qn) * sqrt(c.nrm)) AS sim " +

@@ -22,6 +22,30 @@ import graft.H.tbl
   */
 object SensitivityOpsQueries extends QueryModule {
 
+  /** Un-checkpointed (k, doc_id, per-doc shingle SET) grid for
+    * dedup_shingle_grid — split out so ExplainCore can dump the
+    * construction plan (the judged query checkpoints it, which explains
+    * as an opaque RDD scan). */
+  private[graft] def shingleGridFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    def shArr(k: Int) = {
+      val gram = (0 until k).map(j => s"toks[i + $j]")
+        .mkString("concat_ws('|', ", ", ", ")")
+      expr(s"CASE WHEN size(toks) >= $k THEN array_distinct(" +
+        s"transform(sequence(0, size(toks) - $k), i -> $gram)) " +
+        "ELSE array() END")
+    }
+    H.spread(tbl(s, dir, "documents"), col("doc_id"))
+      .select(col("doc_id"),
+        expr("filter(split(text, ' ', -1), w -> w <> '')").as("toks"))
+      .select(col("doc_id"), explode(array(
+        struct(lit(2).as("k"), shArr(2).as("ss")),
+        struct(lit(3).as("k"), shArr(3).as("ss")),
+        struct(lit(5).as("k"), shArr(5).as("ss")))).as("e"))
+      .select(col("e.k").as("k"), col("doc_id"), col("e.ss").as("ss"))
+      .filter(size(col("ss")) > 0)
+  }
+
   def all: Seq[Q] = Seq(
 
     // Shingle-size tuning grid, k ∈ {2, 3, 5}: the distinct-shingle
@@ -65,30 +89,23 @@ object SensitivityOpsQueries extends QueryModule {
           |FROM ag JOIN md ON md.k = ag.k ORDER BY 1
           |""".stripMargin),
       (s, dir) => {
-        val pw = Window.partitionBy("doc_id").orderBy("i")
-        val t2 = tbl(s, dir, "documents")
-          .select(col("doc_id"), posexplode(split(col("text"), " ", -1)))
-          .withColumnRenamed("col", "w").withColumnRenamed("pos", "i")
-          .filter(col("w") =!= "")
-          .withColumn("w1", lead("w", 1).over(pw))
-          .withColumn("w2", lead("w", 2).over(pw))
-          .withColumn("w3", lead("w", 3).over(pw))
-          .withColumn("w4", lead("w", 4).over(pw))
-        val sh = t2.filter(col("w1").isNotNull)
-          .select(lit(2).as("k"), col("doc_id"),
-            concat_ws("|", col("w"), col("w1")).as("s"))
-          .unionByName(t2.filter(col("w2").isNotNull)
-            .select(lit(3).as("k"), col("doc_id"),
-              concat_ws("|", col("w"), col("w1"), col("w2")).as("s")))
-          .unionByName(t2.filter(col("w4").isNotNull)
-            .select(lit(5).as("k"), col("doc_id"),
-              concat_ws("|", col("w"), col("w1"), col("w2"), col("w3"),
-                col("w4")).as("s")))
-          .localCheckpoint()
-        val ds = sh.groupBy("k", "s")
-          .agg(countDistinct(col("doc_id")).cast("long").as("df"))
-        val pd = sh.groupBy("k", "doc_id")
-          .agg(countDistinct(col("s")).cast("long").as("nsh"))
+        // Per-row ARRAY shingles (r11 verdict item 4): the old shape ran
+        // posexplode + 4×lead over one doc_id window, so the entire token
+        // stream crossed a window exchange and paid a per-partition sort
+        // (6.9 s, 8/32-core ratio 0.57). Here each doc builds its three
+        // k-gram sets inside its own row (transform over the split-once
+        // token array, array_distinct for the per-doc set semantics), so
+        // no token-level shuffle exists at all; the checkpointed grid is
+        // one row per (k, doc). The two aggregates then read per-doc SETS:
+        // df = count(*) per (k, s) over the exploded sets (rows are
+        // already distinct within a doc), nsh = size(set) — both equal
+        // the old countDistinct forms by construction.
+        val grid = shingleGridFrame(s, dir)
+          .localCheckpoint() // read by both the df and per-doc aggregates
+        val ds = grid.select(col("k"), explode(col("ss")).as("s"))
+          .groupBy("k", "s")
+          .agg(count(lit(1)).cast("long").as("df"))
+        val pd = grid.select(col("k"), size(col("ss")).cast("long").as("nsh"))
           .groupBy("k")
           .agg(expr("sum(nsh) * 1000 div count(*)").cast("long")
             .as("mean_per_doc_milli"))
@@ -103,7 +120,7 @@ object SensitivityOpsQueries extends QueryModule {
             col("distinct_shingles"), col("mean_per_doc_milli"),
             col("collision_mass"))
           .orderBy("shingle_k")
-        H.materialized(out, Nil, Seq(sh))
+        H.materialized(out, Nil, Seq(grid))
       }),
 
     // Funnel-window sensitivity: users converting (first view → first
