@@ -33,6 +33,14 @@ object ExplainCore {
       case "simhash" => DS.simhash(docs)
       case "emb_pca_core" =>
         graft.queries.ScaleCorpusQueries.pcaFrames(spark, sfDir)._1
+      case "global_rowid_core" =>
+        // layout_global_rowid's interior rank pipeline (the judged query
+        // materializes, which explains as an opaque RDD scan)
+        val (ranked, _) = H.globalRank(
+          H.tbl(spark, sfDir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber")),
+          Seq(col("l_orderkey"), col("l_linenumber")), "rowid")
+        ranked.filter(col("rowid") % 997 === 1)
       case "shingle_grid_core" =>
         // grid construction + the df aggregate (the judged query
         // checkpoints the grid between them)

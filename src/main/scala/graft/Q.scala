@@ -198,19 +198,29 @@ object H {
   def globalRank(df: DataFrame, ord: Seq[Column], out: String)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    // The within-partition rank comes from `monotonically_increasing_id`
+    // over the range-partitioned-and-sorted frame (id = pid·2³³ + local
+    // index in physical row order, which the sort pins to `ord`), NOT from
+    // a row_number window: the window's ClusteredDistribution(__pid) can't
+    // see that __pid IS the partition id, so it re-shuffled and re-sorted
+    // the whole frame a second time (r12: one full exchange+sort removed).
+    // `ord` is a caller-contract total order, so the physical order — and
+    // hence the id — is deterministic.
     val pp = df.repartitionByRange(numShufflePartitions(df), ord: _*)
-      .withColumn("__pid", spark_partition_id())
+      .sortWithinPartitions(ord: _*)
+      .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint() // read by the offset pass AND the rank pass
-    val offs = pp.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val offs = pp.groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off",
         sum("__cnt").over(Window.orderBy("__pid")) - col("__cnt"))
       .select(col("__pid").as("__pid2"), col("__off"))
     val ranked = pp
-      .withColumn("__lrk", row_number().over(
-        Window.partitionBy("__pid").orderBy(ord: _*)).cast("long"))
-      .join(broadcast(offs), col("__pid") === col("__pid2"))
-      .withColumn(out, (col("__off") + col("__lrk")).cast("long"))
-      .drop("__pid", "__pid2", "__off", "__lrk")
+      .join(broadcast(offs),
+        shiftright(col("__mid"), 33) === col("__pid2"))
+      .withColumn(out, (col("__off") +
+        col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L).cast("long"))
+      .drop("__mid", "__pid2", "__off")
     (ranked, pp)
   }
 

@@ -201,23 +201,14 @@ object ConcentrationOpsQueries extends QueryModule {
           |FROM r, tot WHERE r.rowid % 997 = 1 ORDER BY rowid
           |""".stripMargin),
       (s, dir) => {
-        val keyed = tbl(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_linenumber"))
-          .repartitionByRange(32, col("l_orderkey"), col("l_linenumber"))
-          .withColumn("pid", spark_partition_id())
-          .localCheckpoint() // counts + ranking read the same partitioning
-        val offs = keyed.groupBy("pid")
-          .agg(count(lit(1)).as("cnt"))
-          // <= 32 rows: the unpartitioned running sum is bounded
-          .withColumn("off",
-            sum("cnt").over(Window.orderBy("pid")) - col("cnt"))
-          .select(col("pid").as("pid2"), col("off"))
-        val ranked = keyed
-          .withColumn("lrk", row_number().over(
-            Window.partitionBy("pid")
-              .orderBy("l_orderkey", "l_linenumber")).cast("long"))
-          .join(broadcast(offs), col("pid") === col("pid2"))
-          .withColumn("rowid", (col("off") + col("lrk")).cast("long"))
+        // H.globalRank carries the whole two-phase pattern (r12: its rank
+        // phase no longer re-shuffles — monotonic id over the sorted range
+        // partitions replaces the row_number window, so the fact table
+        // crosses exactly ONE exchange)
+        val (ranked, keyed) = H.globalRank(
+          tbl(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber")),
+          Seq(col("l_orderkey"), col("l_linenumber")), "rowid")
         val tot = keyed.agg(count(lit(1)).cast("long").as("n_rows"))
         val out = ranked.filter(col("rowid") % 997 === 1)
           .crossJoin(broadcast(tot))

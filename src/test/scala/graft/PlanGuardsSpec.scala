@@ -417,10 +417,14 @@ class PlanGuardsSpec extends AnyFunSuite {
     val (ranked, pp) = H.globalRank(c, Seq(col("c"), col("k")), "rnk")
     try {
       val ip = ranked.queryExecution.executedPlan.toString
-      // the rank window must partition by __pid (parallel); the only
-      // single-partition window allowed is the ≤32-row offset table's
-      assert(ip.contains("windowspecdefinition(__pid"),
-        s"rank window not partitioned by __pid\n$ip")
+      // r12: the within-partition rank is the monotonic id baked into the
+      // checkpointed range-partitioned frame — the probe side must NOT be
+      // re-shuffled (the old row_number window re-exchanged the whole
+      // frame by __pid); the only window left is the ≤n-partition offset
+      // table's running sum, behind a BroadcastExchange
+      assert(!ip.contains("hashpartitioning(__pid"),
+        s"rank frame re-shuffled by __pid\n$ip")
+      assert(ip.contains("BroadcastExchange"), s"offsets not broadcast\n$ip")
       assert(ip.contains("Scan ExistingRDD"), s"rank frame not checkpointed\n$ip")
     } finally H.freeLocalCheckpoint(pp)
   }
