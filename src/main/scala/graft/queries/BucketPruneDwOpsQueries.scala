@@ -156,7 +156,12 @@ object BucketPruneDwOpsQueries extends QueryModule {
     val fs = dbPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(dbPath)) fs.delete(dbPath, true)
     s.sql(s"CREATE DATABASE `$db`")
-    tbl(s, dir, "orders").write.mode("overwrite")
+    // pre-partition on the bucket hash (repartition(8, key) IS the bucket
+    // spec's pmod(murmur3, 8)): each task holds exactly one bucket and
+    // writes exactly one file, so the encode+compress runs 8-way instead
+    // of single-task (r12: the write stage was 10 s of one-task wall)
+    tbl(s, dir, "orders").repartition(8, col("o_custkey"))
+      .write.mode("overwrite")
       .bucketBy(8, "o_custkey")
       .format("parquet").saveAsTable(s"$db.orders_bp")
     val out = s.table(s"$db.orders_bp")

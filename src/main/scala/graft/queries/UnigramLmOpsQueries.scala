@@ -115,55 +115,52 @@ object UnigramLmOpsQueries extends QueryModule {
         val pc = occ.groupBy("piece")
           .agg(sum("wcnt").cast("long").as("pcnt"))
         val tot = pc.agg(sum("pcnt").cast("long").as("n"))
-        val vocab = pc.crossJoin(broadcast(tot))
-          .select(col("piece"),
+        // the whole piece-cost table as ONE broadcastable map row — it is
+        // vocabulary-bounded (substrings of the top-50 words), and a map
+        // lookup replaces the per-DP-level vocab joins
+        val vm = pc.crossJoin(broadcast(tot))
+          .agg(map_from_entries(collect_list(struct(col("piece"),
             expr("CAST(floor(-ln(CAST(pcnt AS DOUBLE) / CAST(n AS DOUBLE))" +
-              " * 1000.0) AS BIGINT)").as("cost_milli"))
-          .localCheckpoint() // joined at every DP level
-        // Viterbi DP over positions 1..MaxLen on the bounded word frame;
-        // each level keeps (word, cost, k, piece) for its best prefix
-        val dp = new Array[org.apache.spark.sql.DataFrame](MaxLen + 1)
-        for (j <- 1 to MaxLen) {
-          val legs = (1 to math.min(MaxPiece, j)).map { k =>
-            val prev =
-              if (j - k == 0) words.select(col("word"), lit(0L).as("pcost"))
-              else dp(j - k).select(col("word"), col("cost").as("pcost"))
-            words.filter(length(col("word")) >= j)
-              .join(prev, Seq("word"))
-              .select(col("word"), col("pcost"),
-                expr(s"substring(word, ${j - k + 1}, $k)").as("piece"),
-                lit(k.toLong).as("k"))
-              .join(vocab, Seq("piece"))
-              .select(col("word"),
-                (col("pcost") + col("cost_milli")).as("cost"),
-                col("k"), col("piece"))
-          }
-          dp(j) = legs.reduce(_ unionByName _)
-            .withColumn("rn", row_number().over(Window.partitionBy("word")
-              .orderBy(col("cost"), col("k"), col("piece"))))
-            .filter(col("rn") === 1).drop("rn")
-            .localCheckpoint() // read by levels j+1..j+4 AND the backtrack
-        }
-        val dpAll = (1 to MaxLen).map(j =>
-            dp(j).select(col("word"), lit(j.toLong).as("pos"),
-              col("k"), col("piece")))
-          .reduce(_ unionByName _)
-          .localCheckpoint() // the walk joins it MaxLen times
-        var bt = words.select(col("word"),
-          length(col("word")).cast("long").as("pos"))
-        val emitted = (1 to MaxLen).map { _ =>
-          val step = bt.filter(col("pos") > 0)
-            .join(dpAll, Seq("word", "pos"))
-          bt = step.select(col("word"), (col("pos") - col("k")).as("pos"))
-          step.select(col("word"), col("piece"))
-        }.reduce(_ unionByName _)
-        val usage = emitted.join(words, Seq("word"))
+              " * 1000.0) AS BIGINT)")))).as("vm"))
+          .localCheckpoint() // read by the DP pass AND the old-cost lookup
+        // Viterbi DP *per row* (r12): the word cap (MaxLen) bounds the DP,
+        // so each word folds its own best-segmentation table inside one
+        // `aggregate` expression over its prefix positions — acc[i] is the
+        // best (cost, k, piece) for the first i+1 chars, ties broken by
+        // least() on the struct exactly as the old per-level
+        // row_number(ORDER BY cost, k, piece). The old shape ran 8 DP
+        // levels × (up to 4 joins + a window + a localCheckpoint) plus an
+        // 8-round backtrack join loop = 78 jobs of pure scheduling
+        // overhead on a 50-row frame; this is one projection.
+        val legSql = (1 to MaxPiece).map { k =>
+          val piece = s"substring(word, j - $k + 1, $k)"
+          s"CASE WHEN j >= $k THEN named_struct(" +
+            s"'cost', IF(j = $k, CAST(0 AS BIGINT), acc[j - $k - 1].cost)" +
+            s" + element_at(vm, $piece), " +
+            s"'k', CAST($k AS BIGINT), 'piece', $piece) " +
+            "ELSE CAST(NULL AS STRUCT<cost: BIGINT, k: BIGINT, piece: STRING>) END"
+        }.mkString("least(", ", ", ")")
+        val dpSql = "aggregate(sequence(1, CAST(length(word) AS INT)), " +
+          "CAST(array() AS ARRAY<STRUCT<cost: BIGINT, k: BIGINT, piece: STRING>>), " +
+          s"(acc, j) -> array_append(acc, $legSql))"
+        // backtrack: walk pos -> pos - dp[pos].k from pos = length(word),
+        // collecting pieces — the same jumps the old bt1..bt8 joins made
+        val btSql = s"aggregate(sequence(1, $MaxLen), " +
+          "named_struct('pos', CAST(length(word) AS BIGINT), " +
+          "'ps', CAST(array() AS ARRAY<STRING>)), " +
+          "(st, t) -> IF(st.pos > 0, named_struct(" +
+          "'pos', st.pos - dp[CAST(st.pos AS INT) - 1].k, " +
+          "'ps', array_append(st.ps, dp[CAST(st.pos AS INT) - 1].piece)), st)).ps"
+        val emitted = words.crossJoin(broadcast(vm))
+          .withColumn("dp", expr(dpSql))
+          .select(col("wcnt"), explode(expr(btSql)).as("piece"))
+        val usage = emitted
           .groupBy("piece").agg(sum("wcnt").cast("long").as("used_cnt"))
         val utot = usage.agg(sum("used_cnt").cast("long").as("n"))
-        val out = usage.join(vocab, Seq("piece"))
+        val out = usage.crossJoin(broadcast(vm))
           .crossJoin(broadcast(utot))
           .select(col("piece"), col("used_cnt"),
-            col("cost_milli").as("old_cost_milli"),
+            expr("element_at(vm, piece)").as("old_cost_milli"),
             expr("CAST(floor(-ln(CAST(used_cnt AS DOUBLE)" +
               " / CAST(n AS DOUBLE)) * 1000.0) AS BIGINT)")
               .as("new_cost_milli"))
@@ -171,8 +168,7 @@ object UnigramLmOpsQueries extends QueryModule {
             Window.orderBy(col("used_cnt").desc, col("piece"))).cast("long"))
           .filter(col("rnk") <= 15)
           .orderBy("rnk")
-        H.materialized(out, caches = Nil,
-          checkpoints = Seq(words, vocab, dpAll) ++ (1 to MaxLen).map(dp))
+        H.materialized(out, caches = Nil, checkpoints = Seq(words, vm))
       })
   )
 }

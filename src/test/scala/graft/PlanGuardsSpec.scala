@@ -16,10 +16,14 @@ class PlanGuardsSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private def df(name: String) = SparkEntry.queries(name)(spark, sf)
+  // plan strings come from the shared pooled execution (QueryRuns): a
+  // materialized query EXECUTES its whole pipeline while fn() builds it,
+  // so the ~80 per-name lookups here plus the board-wide sweep were most
+  // of this suite's wall time when each built its own frame sequentially
   private def executed(name: String): String =
-    df(name).queryExecution.executedPlan.toString
+    QueryRuns.all(name).get.executedPlan
   private def optimized(name: String): String =
-    df(name).queryExecution.optimizedPlan.toString
+    QueryRuns.all(name).get.optimizedPlan
 
   test("o02_predicate_pushdown: filters reach the parquet scan (non-empty PushedFilters)") {
     val plan = executed("o02_predicate_pushdown")
@@ -1463,15 +1467,17 @@ class PlanGuardsSpec extends AnyFunSuite {
     var cartesian = List.empty[String]
     var singleWin = List.empty[String]
     var badBroadcast = List.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val df0 =
-        try fn(spark, sf)
-        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
-      val plan = df0.queryExecution.executedPlan.toString
+    SparkEntry.queries.keysIterator.toSeq.sorted.foreach { name =>
+      val info = QueryRuns.all(name) match {
+        case scala.util.Success(i) => i
+        case scala.util.Failure(e) =>
+          fail(s"$name failed to plan: ${e.getMessage}")
+      }
+      val plan = info.executedPlan
       if (plan.contains("CartesianProduct")) cartesian ::= name
       if (winPat.findFirstIn(plan).isDefined && !windowAllow.contains(name))
         singleWin ::= name
-      val off = offendingBroadcasts(df0.queryExecution.analyzed)
+      val off = offendingBroadcasts(info.analyzed)
       if (off.nonEmpty && !broadcastAllow.contains(name))
         badBroadcast ::= s"$name (${off.mkString(", ")})"
     }
