@@ -128,54 +128,46 @@ object WalkRdpOpsQueries extends QueryModule {
         val starts = n.filter(pmod(col("vec_id"), lit(61)) === 5)
           .orderBy("vec_id").limit(8)
           .select(col("vec_id").as("entry"), col("v").as("sv"))
-        // state: one row per (query, start); strictly-improving greedy walk
+        // r12 restructure, mirroring the oracle's MATERIALIZED CTEs: the
+        // old loop recomputed candidate cosines and checkpointed state
+        // every round, plus a convergence-probe job — 67 jobs for a
+        // ≤|q|×8-walker search. Now qsim (all query-to-vector sims, |q|
+        // is FIXED at ≤17 by the vec_id cap, so this is one linear pass)
+        // is computed ONCE and shared by the ground truth and bestnext;
+        // bestnext (the best next hop per (query, node)) is computed ONCE;
+        // and the 12 walk rounds chain LAZILY — a stalled walker is a
+        // fixed point, so running the hop cap unconditionally computes
+        // the same result as early exit, in ONE job instead of ~5/round.
+        val qsim = n.select(col("vec_id"), col("v"))
+          .crossJoin(broadcast(q))
+          .select(col("qid"), col("vec_id"),
+            CE.cosine_sim(col("qv"), col("v")).as("sim"))
+          .localCheckpoint() // read by bestnext AND the ground truth
+        val bn = knn
+          .join(qsim.select(col("qid").as("qid2"), col("vec_id").as("dst"),
+            col("sim").as("nsim")), "dst")
+          .groupBy(col("qid2"), col("src").as("bsrc"))
+          .agg(max(struct(col("nsim"), (-col("dst")).as("negDst")))
+            .as("best"))
+          .select(col("qid2"), col("bsrc"),
+            col("best.nsim").as("bsim"), (-col("best.negDst")).as("bdst"))
+          .localCheckpoint() // joined by all 12 lazy rounds
+        val ckpts =
+          scala.collection.mutable.ArrayBuffer(n, sigCk, knn, qsim, bn)
         var state = broadcast(starts).crossJoin(q)
           .withColumn("cursim", CE.cosine_sim(col("qv"), col("sv")))
-          .select(col("qid"), col("qv"), col("entry"),
+          .select(col("qid"), col("entry"),
             col("entry").cast("long").as("cur"), col("cursim"),
             lit(0L).as("hops"))
-          .localCheckpoint()
-        val ckpts = scala.collection.mutable.ArrayBuffer(n, sigCk, knn, state)
-        val dstVec = n.select(col("vec_id").as("dst2"), col("v").as("dv"))
-        // frontier (≤|queries|×8 rows) and its edge expansion are tiny —
-        // broadcast them explicitly so every round is two broadcast joins
-        // against the linear-sized edge/vector frames, never a shuffle of
-        // those frames; early-exit once no walk advanced (a stalled state
-        // is a fixed point, so the skipped rounds are provably no-ops —
-        // the oracle recursion terminates the same way)
-        var round = 0
-        var moving = true
-        while (round < Hops && moving) {
-          round += 1
-          val frontier = state.select(col("qid").as("qid2"),
-            col("entry").as("entry2"), col("cur").as("cur2"))
-          val mid = knn.join(broadcast(frontier), col("cur2") === col("src"))
-            .select(col("qid2"), col("entry2"), col("dst"))
-          val cand = dstVec.join(broadcast(mid), col("dst") === col("dst2"))
-            .join(broadcast(q.select(col("qid").as("qid3"), col("qv"))),
-              col("qid2") === col("qid3"))
-            .withColumn("nsim", CE.cosine_sim(col("qv"), col("dv")))
-            .groupBy("qid2", "entry2")
-            .agg(max(struct(col("nsim"), (-col("dst")).as("negDst")))
-              .as("best"))
-            .select(col("qid2"), col("entry2"),
-              col("best.nsim").as("bsim"), (-col("best.negDst")).as("bdst"))
-          state = state.join(cand,
-              col("qid") === col("qid2") && col("entry") === col("entry2"),
+        (1 to Hops).foreach { _ =>
+          val adv = col("bsim").isNotNull && col("bsim") > col("cursim")
+          state = state.join(bn,
+              col("qid") === col("qid2") && col("cur") === col("bsrc"),
               "left")
-            .withColumn("adv", col("bsim").isNotNull &&
-              col("bsim") > col("cursim"))
-            .select(col("qid"), col("qv"), col("entry"),
-              when(col("adv"), col("bdst")).otherwise(col("cur")).as("cur"),
-              when(col("adv"), col("bsim")).otherwise(col("cursim"))
-                .as("cursim"),
-              when(col("adv"), col("hops") + 1).otherwise(col("hops"))
-                .as("hops"),
-              col("adv"))
-            .localCheckpoint()
-          ckpts += state
-          moving = state.filter(col("adv")).limit(1).count() > 0
-          state = state.drop("adv")
+            .select(col("qid"), col("entry"),
+              when(adv, col("bdst")).otherwise(col("cur")).as("cur"),
+              when(adv, col("bsim")).otherwise(col("cursim")).as("cursim"),
+              when(adv, col("hops") + 1).otherwise(col("hops")).as("hops"))
         }
         val fin = state
           .withColumn("r", row_number().over(Window.partitionBy("qid")
@@ -183,10 +175,7 @@ object WalkRdpOpsQueries extends QueryModule {
           .filter(col("r") === 1)
           .select(col("qid"), col("hops"), col("cur").as("final_vec"),
             col("cursim").as("final_sim"))
-        val t1 = broadcast(q).crossJoin(
-            n.select(col("vec_id"), col("v").as("tv")))
-          .withColumn("sim", CE.cosine_sim(col("qv"), col("tv")))
-          .select("qid", "vec_id", "sim")
+        val t1 = qsim
           .withColumn("r", row_number().over(Window.partitionBy("qid")
             .orderBy(col("sim").desc, col("vec_id"))))
           .filter(col("r") === 1)
