@@ -203,10 +203,18 @@ object CalibrationOpsQueries extends QueryModule {
           .distinct().localCheckpoint()
         val n = ob.agg(countDistinct("ord").as("n"))
         val bc = ob.groupBy("brand").agg(count(lit(1)).as("c"))
-        val pairs = ob.as("a")
-          .join(ob.as("b"),
-            col("a.ord") === col("b.ord") && col("a.brand") < col("b.brand"))
-          .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+        // r12: the ord self-join shuffled ob TWICE and probed per pair;
+        // the pair stream now expands in-row from each order's sorted
+        // brand SET (bounded by the |brands| domain, so no skew risk at
+        // any scale) — one exchange to group, then the 300-group pair
+        // count collapses map-side. sort_array makes i<j ≡ brand_a<brand_b.
+        val pairs = ob.groupBy("ord")
+          .agg(sort_array(collect_set(col("brand"))).as("bs"))
+          .select(explode(expr(
+            "flatten(transform(bs, (x, i) -> " +
+              "transform(slice(bs, i + 2, size(bs) - i - 1), y -> " +
+              "named_struct('ba', x, 'bb', y))))")).as("p"))
+          .groupBy(col("p.ba").as("brand_a"), col("p.bb").as("brand_b"))
           .agg(count(lit(1)).as("cab"))
           .filter(col("cab") >= 50)
         pairs
