@@ -870,6 +870,7 @@ object WindowingQueries extends QueryModule {
         ev.coalesce(1).write.parquet(in)
         val ss = s.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", "4")
+        graft.streaming.StreamingRefresh.tuneCheckpointConf(ss)
         val q = ss.readStream.schema(ev.schema).parquet(in)
           .withWatermark("ts", "10 days")
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
