@@ -44,12 +44,20 @@ object NdcgDecontamOpsQueries extends QueryModule {
   private[queries] def decontamDf(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {
+    // split ONCE into a projected column: the interpreted higher-order
+    // lambda re-evaluates its argument expressions per invocation, so
+    // slice(split(text), …) inside the transform re-split the document
+    // once per 13-gram (the r11 vocab_heaps_law bug class); the spread
+    // parallelizes the shingle chain above the one-task single-file scan
     val shingle = expr(
-      """CASE WHEN size(split(text, ' ')) >= 13 THEN
-        |  transform(sequence(0, size(split(text, ' ')) - 13),
-        |    i -> concat_ws(' ', slice(split(text, ' '), i + 1, 13)))
+      """CASE WHEN size(toks) >= 13 THEN
+        |  transform(sequence(0, size(toks) - 13),
+        |    i -> concat_ws(' ', slice(toks, i + 1, 13)))
         |ELSE array() END""".stripMargin)
-    val sh = tbl(s, dir, "documents")
+    val sh = graft.H.spread(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(shingle).as("g"))
     val ev = sh.filter(col("doc_id") < 64).select("g").distinct()
       .localCheckpoint() // bounded by the fixed 64-doc eval suite

@@ -106,7 +106,10 @@ object RlhfCapstoneOpsQueries extends QueryModule {
         val base = docs.filter(col("doc_id") >= 64)
           .groupBy("lang", "source")
           .agg(count(lit(1)).cast("long").as("n_docs"))
-        val cln = surv.groupBy("lang", "source")
+        // count off the CHECKPOINTED rank frame (same rows as surv): a
+        // count off surv itself re-ran the whole chat-audit + decontam
+        // chain a second time (r12 profile: two identical 1.4 s stages)
+        val cln = r.groupBy("lang", "source")
           .agg(count(lit(1)).cast("long").as("n_clean"))
         val pr = k.groupBy("lang", "source").agg(
           count(lit(1)).cast("long").as("n_pairs_raw"),

@@ -73,7 +73,13 @@ object SpecDecChatOpsQueries extends QueryModule {
   /** Spark twin of [[chatAuditSql]]'s `chatv` relation. */
   private[queries] def chatAuditDf(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val d = tbl(s, dir, "documents")
+    // spread by doc_id: the md5-fold role/content synthesis is CPU-dense
+    // above a one-task single-file scan, and the downstream lag window's
+    // ClusteredDistribution(doc_id) is satisfied by this same exchange,
+    // so the repartition costs nothing extra
+    val d = graft.H.spread(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"))
       .withColumn("f0", fold48(concat(lit("ct:"), col("doc_id").cast("string"))))
       .select(col("doc_id"), col("text"),
         (lit(2L) + col("f0") % 6).as("nt"), (col("f0") % 3 === 0).as("has_sys"))
