@@ -278,18 +278,19 @@ object Bench {
       }
     }
     // never clobber the canonical reference with a run at ANOTHER scale
-    // factor (e.g. a k10 probe board) or another CORE COUNT (the driver's
-    // low-core scaling run is a valid run but must not become the retry
-    // reference for full-core boards — r11 wrinkle: the clean 8-core run
-    // self-adopted). Adopt only when the existing reference is absent,
-    // or records the same sf AND the same cpus. A legacy reference with
-    // no "cpus" field is replaceable (that is how the stale 8-core r11
-    // reference gets retired by the first clean stamped run).
+    // factor (e.g. a k10 probe board), and never let a LOWER-core run
+    // take the reference from a higher-core board (the driver's low-core
+    // scaling run is a valid run but must not become the retry reference
+    // for full-core boards — r11 wrinkle: the clean 8-core run
+    // self-adopted). A higher-or-equal-core run may still replace a
+    // lower-core or legacy (no "cpus" field) reference, so the reference
+    // converges to the full-core board instead of deadlocking on
+    // whichever core count adopted first.
     val sameSfAsRef = scala.util.Try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
       val cpusOk = """"cpus":(\d+)""".r.findFirstMatchIn(txt)
-        .forall(_.group(1) == cpus)
+        .forall(m => cpus.toInt >= m.group(1).toInt)
       txt.contains(s""""sf":"$sfDir"""") && cpusOk
     }.getOrElse(true)
     val fullTarget =
